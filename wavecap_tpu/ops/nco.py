@@ -1,0 +1,75 @@
+"""Numerically-controlled oscillator and phase-continuous frequency shift.
+
+TPU-native replacement for the reference's cached-exponential frequency
+shift (reference ``capture.py:167-201``) and phase-continuous variant
+(reference ``trunking/system.py:1434-1466``, which carries an absolute
+sample index across chunks to avoid audible phase discontinuities).
+
+Design: integer NCO.  Phase is accumulated in uint32 "turns" (one turn =
+2**32 counts), so ``phase[n] = phase0 + n * dphi`` wraps mod 2**32
+**exactly** in int arithmetic — zero phase drift across arbitrarily many
+blocks, no float64 needed (TPUs have no f64 hardware).  The only error is
+the one-time quantization of the tuning word (≤ fs/2**32 Hz ≈ 2 mHz at
+10 Msps), far below any SNR bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+TWO_PI = 2.0 * np.pi
+_TURN = 4294967296.0  # 2**32
+
+
+def tuning_word(offset_hz, sample_rate: float) -> jnp.ndarray:
+    """Phase increment per sample in uint32 turns.
+
+    ``offset_hz`` may be a python float (static — exact f64 host math) or a
+    traced f32 scalar/array (dynamic retune without recompile; the word is
+    assembled from a hi/lo split because f32 cannot hold 32-bit integers
+    and x64 is disabled on TPU).
+    """
+    fs = float(sample_rate)
+    if isinstance(offset_hz, (int, float)):
+        word = int(round((float(offset_hz) / fs) * _TURN)) & 0xFFFFFFFF
+        return jnp.uint32(word)
+    frac = jnp.mod(jnp.asarray(offset_hz, jnp.float32) / np.float32(fs), 1.0)
+    hi = jnp.floor(frac * 65536.0)
+    lo = jnp.round((frac * 65536.0 - hi) * 65536.0)
+    return hi.astype(jnp.uint32) * jnp.uint32(65536) + lo.astype(jnp.uint32)
+
+
+def nco_phases(n: int, dphi_u32, phase0_u32) -> jnp.ndarray:
+    """Exact wrapped phases (radians, f32) for ``n`` consecutive samples."""
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    acc = phase0_u32 + idx * dphi_u32  # wraps mod 2**32 exactly
+    return acc.astype(jnp.float32) * np.float32(TWO_PI / _TURN)
+
+
+def freq_shift(
+    iq: jnp.ndarray,
+    offset_hz,
+    sample_rate: float,
+    phase0_u32=jnp.uint32(0),
+):
+    """Mix ``iq`` with ``exp(+2j*pi*offset_hz*t)``, phase-continuous.
+
+    Returns ``(shifted, next_phase0_u32)``; thread ``next_phase0_u32`` into
+    the next block for glitch-free streaming.
+    """
+    n = iq.shape[-1]
+    dphi = tuning_word(offset_hz, sample_rate)
+    ph = nco_phases(n, dphi, jnp.asarray(phase0_u32, jnp.uint32))
+    osc = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    nxt = jnp.asarray(phase0_u32, jnp.uint32) + jnp.uint32(n) * dphi
+    return iq * osc, nxt
+
+
+def real_osc(n: int, freq_hz, sample_rate: float, phase0_u32=jnp.uint32(0)):
+    """Real cosine oscillator block (for BFO / pilot regeneration)."""
+    dphi = tuning_word(freq_hz, sample_rate)
+    ph = nco_phases(n, dphi, jnp.asarray(phase0_u32, jnp.uint32))
+    nxt = jnp.asarray(phase0_u32, jnp.uint32) + jnp.uint32(n) * dphi
+    return jnp.cos(ph), nxt

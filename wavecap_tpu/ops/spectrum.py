@@ -1,0 +1,54 @@
+"""Windowed FFT power spectrum for the waterfall/spectrum stream.
+
+Reference semantics: ``dsp/fft/base.py:31`` — Hann window, power in dB,
+fftshift, 2048-point default.  On TPU the FFT is XLA's batched FFT; a
+whole block of frames is transformed at once (the reference computes one
+frame per chunk at an adaptive FPS — we compute every frame and let the
+serving layer subsample).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@lru_cache(maxsize=16)
+def _hann(n: int) -> np.ndarray:
+    return np.hanning(n).astype(np.float32)
+
+
+def power_spectrum(
+    iq: jnp.ndarray, fft_size: int = 2048, ref_level: float = 1.0
+) -> jnp.ndarray:
+    """Single power spectrum (dB, fftshifted) of the first frame of ``iq``."""
+    frame = iq[..., :fft_size]
+    win = jnp.asarray(_hann(fft_size))
+    spec = jnp.fft.fftshift(jnp.fft.fft(frame * win, axis=-1), axes=-1)
+    p = (jnp.abs(spec) ** 2) / (np.float32(fft_size) * ref_level)
+    return (10.0 * jnp.log10(jnp.maximum(p, 1e-20))).astype(jnp.float32)
+
+
+def spectrogram(
+    iq: jnp.ndarray,
+    fft_size: int = 2048,
+    hop: int | None = None,
+    average: int = 1,
+) -> jnp.ndarray:
+    """All frames of the block: ``(..., n_frames, fft_size)`` dB spectra."""
+    hop = hop or fft_size
+    n = iq.shape[-1]
+    n_frames = max((n - fft_size) // hop + 1, 0)
+    if n_frames == 0:
+        return jnp.zeros(iq.shape[:-1] + (0, fft_size), jnp.float32)
+    idx = (np.arange(n_frames)[:, None] * hop + np.arange(fft_size)[None, :])
+    frames = iq[..., jnp.asarray(idx)]
+    win = jnp.asarray(_hann(fft_size))
+    spec = jnp.fft.fftshift(jnp.fft.fft(frames * win, axis=-1), axes=-1)
+    p = (jnp.abs(spec) ** 2) / np.float32(fft_size)
+    if average > 1:
+        k = (n_frames // average) * average
+        p = p[..., :k, :].reshape(p.shape[:-2] + (-1, average, fft_size)).mean(-2)
+    return (10.0 * jnp.log10(jnp.maximum(p, 1e-20))).astype(jnp.float32)

@@ -1,0 +1,165 @@
+"""End-to-end demodulator pipelines on synthetic signals.
+
+Mirrors reference ``tests/unit/test_fm_demod.py`` & friends: modulate a
+known audio tone, demodulate, and verify the tone is recovered; plus
+block-streaming continuity (the property the TPU block pipeline needs).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wavecap_tpu import models
+from tests.conftest import make_fm_signal, snr_db
+
+
+def tone_quality(audio: np.ndarray, audio_rate: int, tone_hz: float, skip: int = 4800):
+    """(peak_freq, tone-to-everything-else dB) of the recovered audio."""
+    seg = np.asarray(audio[skip:], np.float64)
+    seg = seg - seg.mean()
+    win = np.hanning(len(seg))
+    spec = np.abs(np.fft.rfft(seg * win))
+    freqs = np.fft.rfftfreq(len(seg), 1.0 / audio_rate)
+    peak = freqs[np.argmax(spec)]
+    band = np.abs(freqs - tone_hz) < 50
+    p_tone = (spec[band] ** 2).sum()
+    p_rest = (spec[~band] ** 2).sum()
+    return peak, 10 * np.log10(p_tone / max(p_rest, 1e-30))
+
+
+class TestWbfm:
+    def test_recovers_tone(self):
+        fs, n = 240_000, 240_000
+        iq = make_fm_signal(1000.0, fs, n, deviation_hz=50_000)
+        cfg = models.WbfmConfig(sample_rate=fs)
+        audio, _ = models.wbfm_demod(jnp.asarray(iq), models.wbfm_init(cfg), cfg)
+        audio = np.asarray(audio)
+        assert len(audio) == 48_000
+        peak, q = tone_quality(audio, 48_000, 1000.0)
+        assert abs(peak - 1000.0) < 10
+        assert q > 20
+
+    def test_jit_and_streaming(self):
+        fs = 240_000
+        iq = make_fm_signal(440.0, fs, 96_000, deviation_hz=50_000)
+        cfg = models.WbfmConfig(sample_rate=fs)
+        demod = jax.jit(models.wbfm_demod, static_argnums=2)
+        state = models.wbfm_init(cfg)
+        outs = []
+        for i in range(0, 96_000, 48_000):
+            audio, state = demod(jnp.asarray(iq[i : i + 48_000]), state, cfg)
+            outs.append(np.asarray(audio))
+        audio = np.concatenate(outs)
+        peak, q = tone_quality(audio, 48_000, 440.0, skip=2400)
+        assert abs(peak - 440.0) < 10
+        assert q > 15
+
+    def test_mpx_filter_removes_pilot(self):
+        fs, n = 240_000, 240_000
+        t = np.arange(n) / fs
+        prog = 0.5 * np.sin(2 * np.pi * 1000 * t) + 0.1 * np.sin(2 * np.pi * 19_000 * t)
+        phase = 2 * np.pi * 75_000 * np.cumsum(prog) / fs
+        iq = np.exp(1j * phase).astype(np.complex64)
+        cfg = models.WbfmConfig(sample_rate=fs, enable_deemphasis=False)
+        audio, _ = models.wbfm_demod(jnp.asarray(iq), models.wbfm_init(cfg), cfg)
+        seg = np.asarray(audio)[4800:]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        freqs = np.fft.rfftfreq(len(seg), 1 / 48_000)
+        p1k = spec[np.abs(freqs - 1000) < 50].max()
+        p19k = spec[np.abs(freqs - 19_000) < 100].max()
+        assert 20 * np.log10(p1k / p19k) > 30
+
+
+class TestNbfm:
+    def test_recovers_voice_tone(self):
+        fs, n = 48_000, 96_000
+        iq = make_fm_signal(800.0, fs, n, deviation_hz=4000)
+        cfg = models.NbfmConfig(
+            sample_rate=fs, max_deviation_hz=5000.0,
+            enable_highpass=True, enable_lowpass=True,
+        )
+        audio, _ = models.nbfm_demod(jnp.asarray(iq), models.nbfm_init(cfg), cfg)
+        peak, q = tone_quality(np.asarray(audio), 48_000, 800.0)
+        assert abs(peak - 800.0) < 10
+        assert q > 15
+
+
+class TestAm:
+    def test_recovers_tone(self):
+        fs, n = 48_000, 96_000
+        t = np.arange(n) / fs
+        mod = (1.0 + 0.6 * np.sin(2 * np.pi * 1000 * t)).astype(np.float64)
+        iq = (0.5 * mod).astype(np.complex64)
+        cfg = models.AmConfig(sample_rate=fs)
+        audio, _ = models.am_demod(jnp.asarray(iq), models.am_init(cfg), cfg)
+        peak, q = tone_quality(np.asarray(audio), 48_000, 1000.0)
+        assert abs(peak - 1000.0) < 10
+        assert q > 15
+
+    def test_agc_recovers_weak_signal(self):
+        fs, n = 48_000, 96_000
+        t = np.arange(n) / fs
+        iq = (0.001 * (1.0 + 0.6 * np.sin(2 * np.pi * 700 * t))).astype(np.complex64)
+        cfg = models.AmConfig(sample_rate=fs)
+        audio, _ = models.am_demod(jnp.asarray(iq), models.am_init(cfg), cfg)
+        seg = np.asarray(audio)[24_000:]
+        assert float(np.sqrt((seg**2).mean())) > 0.01
+
+
+class TestSsb:
+    def test_usb_tone(self):
+        # A USB voice tone at f appears as carrier+f; channel centered at
+        # carrier+bfo, so the tone sits at (f - bfo) in the IQ.
+        fs, n, bfo, f_tone = 48_000, 96_000, 1500.0, 1000.0
+        t = np.arange(n) / fs
+        iq = np.exp(2j * np.pi * (f_tone - bfo) * t).astype(np.complex64)
+        cfg = models.SsbConfig(sample_rate=fs, mode="usb", bfo_offset_hz=bfo)
+        audio, _ = models.ssb_demod(jnp.asarray(iq), models.ssb_init(cfg), cfg)
+        peak, q = tone_quality(np.asarray(audio), 48_000, f_tone)
+        assert abs(peak - f_tone) < 10
+        assert q > 10
+
+    def test_lsb_tone(self):
+        fs, n, bfo, f_tone = 48_000, 96_000, 1500.0, 800.0
+        t = np.arange(n) / fs
+        iq = np.exp(-2j * np.pi * (f_tone - bfo) * t).astype(np.complex64)
+        cfg = models.SsbConfig(sample_rate=fs, mode="lsb", bfo_offset_hz=bfo)
+        audio, _ = models.ssb_demod(jnp.asarray(iq), models.ssb_init(cfg), cfg)
+        peak, q = tone_quality(np.asarray(audio), 48_000, f_tone)
+        assert abs(peak - f_tone) < 10
+        assert q > 10
+
+
+class TestSam:
+    def test_locks_carrier_offset_and_recovers_tone(self):
+        fs, n = 48_000, 96_000
+        t = np.arange(n) / fs
+        # AM signal whose carrier is off-tune by 30 Hz
+        mod = 1.0 + 0.6 * np.sin(2 * np.pi * 600 * t)
+        iq = (mod * np.exp(2j * np.pi * 30.0 * t)).astype(np.complex64)
+        cfg = models.SamConfig(sample_rate=fs, sideband="dsb")
+        state = models.sam_init(cfg)
+        audio, state = models.sam_demod(jnp.asarray(iq), state, cfg)
+        peak, q = tone_quality(np.asarray(audio), 48_000, 600.0, skip=24_000)
+        assert abs(peak - 600.0) < 10
+        assert q > 10
+        # PLL should have pulled ~30 Hz
+        freq_hz = float(state.pll.freq) * fs / (2 * np.pi)
+        assert 15 < freq_hz < 45
+
+
+class TestRegistry:
+    def test_all_modes_run(self):
+        fs, n = 48_000, 48_000
+        iq = jnp.asarray(make_fm_signal(500.0, fs, n, deviation_hz=3000))
+        for mode in ["wbfm", "nbfm", "am", "sam", "usb", "lsb"]:
+            spec = models.get_demod(mode)
+            cfg = models.make_config(mode, fs)
+            audio, state = spec.demod(iq, spec.init(cfg), cfg)
+            assert np.asarray(audio).shape[-1] == 48_000, mode
+
+    def test_unknown_mode_raises(self):
+        with pytest.raises(ValueError):
+            models.get_demod("wfm2")

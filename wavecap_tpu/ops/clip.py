@@ -34,5 +34,5 @@ def rssi_dbfs(iq: jnp.ndarray) -> jnp.ndarray:
 
 def squelch_gate(audio: jnp.ndarray, rssi_db: jnp.ndarray, threshold_db) -> jnp.ndarray:
     """Zero the audio when RSSI is below threshold (open when above)."""
-    open_ = rssi_db[..., None] >= threshold_db
+    open_ = rssi_db[..., None] >= jnp.asarray(threshold_db)[..., None]
     return jnp.where(open_, audio, jnp.zeros_like(audio))

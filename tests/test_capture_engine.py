@@ -1,0 +1,146 @@
+"""Capture engine integration: fake device -> blocks -> channels -> audio.
+
+Hardware-free integration tier (reference ``tests/test_captures_channels.py``
+pattern: FakeDriver + real engine, assert real audio flows).
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from wavecap_tpu.capture import Capture, CaptureConfig, CaptureManager, ChannelSpec
+from wavecap_tpu.devices import FakeDriver, FakeStation
+
+
+def make_manager(stations, n_devices=2):
+    return CaptureManager(FakeDriver(n_devices=n_devices, stations=stations))
+
+
+CENTER = 155_000_000.0
+RATE = 800_000
+
+
+def wait_for(pred, timeout=30.0, dt=0.1):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(dt)
+    return False
+
+
+class TestCaptureEngine:
+    def test_end_to_end_nbfm_audio(self):
+        stations = [
+            FakeStation(offset_hz=100_000.0, kind="nbfm", tone_hz=900.0, deviation_hz=4000.0)
+        ]
+        mgr = make_manager(stations)
+        cap = mgr.create_capture(
+            config=CaptureConfig(center_hz=CENTER, sample_rate=RATE, block_seconds=0.2)
+        )
+        ch = cap.create_channel(
+            ChannelSpec(id="ch1", mode="nbfm", frequency_hz=CENTER + 100_000.0)
+        )
+        sub = ch.audio.subscribe()
+        cap.start()
+        try:
+            assert wait_for(lambda: cap.blocks_processed >= 3, timeout=60)
+            assert cap.state == "running"
+            chunks = []
+            while (c := sub.get_nowait()) is not None:
+                chunks.append(c)
+            audio = np.concatenate(chunks)
+            assert len(audio) > 48_000 // 4
+            seg = audio[len(audio) // 2 :]
+            seg = seg - seg.mean()
+            s = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+            f = np.fft.rfftfreq(len(seg), 1 / 48_000)
+            assert abs(f[np.argmax(s)] - 900.0) < 20
+            assert ch.rssi_db > -40
+        finally:
+            cap.stop()
+
+    def test_channel_lifecycle_and_limits(self):
+        mgr = make_manager([])
+        cap = mgr.create_capture(
+            config=CaptureConfig(
+                center_hz=CENTER, sample_rate=RATE, narrow_capacity=2, wide_capacity=1
+            )
+        )
+        cap.create_channel(ChannelSpec(id="a", mode="nbfm", frequency_hz=CENTER + 50e3))
+        cap.create_channel(ChannelSpec(id="b", mode="nbfm", frequency_hz=CENTER - 50e3))
+        with pytest.raises(RuntimeError):
+            cap.create_channel(ChannelSpec(id="c", mode="nbfm", frequency_hz=CENTER))
+        cap.remove_channel("a")
+        cap.create_channel(ChannelSpec(id="c", mode="nbfm", frequency_hz=CENTER))
+        with pytest.raises(ValueError):
+            cap.create_channel(
+                ChannelSpec(id="dup", mode="nbfm", frequency_hz=CENTER + 10e9)
+            )
+        with pytest.raises(ValueError):
+            cap.create_channel(ChannelSpec(id="c", mode="nbfm", frequency_hz=CENTER))
+
+    def test_spectrum_subscription(self):
+        mgr = make_manager([FakeStation(offset_hz=5000.0, kind="tone")])
+        cap = mgr.create_capture(
+            config=CaptureConfig(center_hz=CENTER, sample_rate=RATE, block_seconds=0.2)
+        )
+        sub = cap.spectrum_subs.subscribe()
+        cap.start()
+        try:
+            assert wait_for(lambda: cap.blocks_processed >= 1, timeout=60)
+            spec = sub.get(timeout=30)
+            assert spec.shape[-1] == 2048
+            # tone at +5 kHz should peak near center bin
+            frame = spec[0] if spec.ndim == 2 else spec
+            peak_bin = int(np.argmax(frame))
+            expected = 2048 // 2 + round(5000.0 / (RATE / 2048))
+            assert abs(peak_bin - expected) <= 2
+        finally:
+            cap.stop()
+
+    def test_manager_limits_and_removal(self):
+        mgr = CaptureManager(FakeDriver(n_devices=1), max_captures=1)
+        cap = mgr.create_capture()
+        with pytest.raises(RuntimeError):
+            mgr.create_capture()
+        mgr.remove_capture(cap.id)
+        assert cap.state in ("stopped", "created")
+        mgr.create_capture()
+
+    def test_mixed_modes_same_capture(self):
+        stations = [
+            FakeStation(offset_hz=-100_000.0, kind="am", tone_hz=600.0, amplitude=0.5),
+            FakeStation(offset_hz=150_000.0, kind="nbfm", tone_hz=1200.0),
+        ]
+        mgr = make_manager(stations)
+        cap = mgr.create_capture(
+            config=CaptureConfig(center_hz=CENTER, sample_rate=RATE, block_seconds=0.2)
+        )
+        ch_am = cap.create_channel(
+            ChannelSpec(id="am1", mode="am", frequency_hz=CENTER - 100_000.0)
+        )
+        ch_fm = cap.create_channel(
+            ChannelSpec(id="fm1", mode="nbfm", frequency_hz=CENTER + 150_000.0)
+        )
+        sub_am = ch_am.audio.subscribe()
+        sub_fm = ch_fm.audio.subscribe()
+        cap.start()
+        try:
+            assert wait_for(lambda: cap.blocks_processed >= 3, timeout=90)
+
+            def peak(sub):
+                chunks = []
+                while (c := sub.get_nowait()) is not None:
+                    chunks.append(c)
+                a = np.concatenate(chunks)
+                a = a[len(a) // 2 :]
+                a = a - a.mean()
+                s = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+                return np.fft.rfftfreq(len(a), 1 / 48_000)[np.argmax(s)]
+
+            assert abs(peak(sub_am) - 600.0) < 20
+            assert abs(peak(sub_fm) - 1200.0) < 20
+        finally:
+            cap.stop()

@@ -1,0 +1,122 @@
+"""Sharded pipeline on the virtual 8-device CPU mesh.
+
+The key property: the sharded (time-split + halo-exchange + all_to_all)
+pipeline produces the SAME output as the single-device pipeline — block
+boundaries between time shards must be invisible.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wavecap_tpu import models, parallel
+from wavecap_tpu.models.channel_bank import (
+    ChannelBankConfig,
+    assignment_init,
+    bank_init,
+    bank_step,
+)
+from wavecap_tpu.ops.channelizer import ChannelizerConfig
+
+
+CH = ChannelizerConfig(sample_rate=200_000.0, channel_bandwidth=25_000.0)
+# M = 8 channels, channel rate 50 kHz
+DEMOD_CFG = models.NbfmConfig(sample_rate=50_000, max_deviation_hz=4000.0)
+GRID_CFG = parallel.ShardedGridConfig(channelizer=CH, mode="nbfm", demod_cfg=DEMOD_CFG)
+
+
+def make_station(fs, n, offset, tone, dev=4000.0):
+    t = np.arange(n) / fs
+    phase = 2 * np.pi * (offset * t + dev * np.cumsum(np.sin(2 * np.pi * tone * t)) / fs)
+    return np.exp(1j * phase).astype(np.complex64)
+
+
+def peak_freq(audio, rate=48_000):
+    a = np.array(audio)
+    a = a[len(a) // 2 :] - np.mean(a[len(a) // 2 :])
+    s = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    return np.fft.rfftfreq(len(a), 1.0 / rate)[np.argmax(s)]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return parallel.make_mesh(n_streams=2, n_time=4)
+
+
+class TestShardedGrid:
+    def test_two_streams_demod(self, mesh):
+        fs, n = 200_000, 8 * 4000  # divisible by M * n_time
+        x0 = make_station(fs, n, CH.channel_offset_hz(2), 700.0)
+        x1 = make_station(fs, n, CH.channel_offset_hz(6), 1200.0)
+        x = jnp.asarray(np.stack([x0, x1]))
+
+        step = parallel.sharded_grid_step(mesh, GRID_CFG)
+        state = parallel.grid_init(GRID_CFG, 2)
+        ctl = parallel.control_init(GRID_CFG, 2)
+        active = np.zeros((2, 8), bool)
+        active[0, 2] = True
+        active[1, 6] = True
+        ctl = ctl._replace(active=jnp.asarray(active))
+
+        with jax.set_mesh(mesh):
+            out, state = step(x, state, ctl)
+        audio = np.asarray(out["audio"])
+        assert audio.shape[:2] == (2, 8)
+        assert abs(peak_freq(audio[0, 2]) - 700.0) < 15
+        assert abs(peak_freq(audio[1, 6]) - 1200.0) < 15
+        assert np.abs(audio[0, 3]).max() == 0.0
+
+    def test_matches_single_device(self, mesh):
+        """Sharded output == unsharded channelize+demod on one device."""
+        fs, n = 200_000, 8 * 4000
+        x0 = make_station(fs, n, CH.channel_offset_hz(2), 700.0)
+
+        # Sharded (1 stream x 4 time shards — use a stream-1 mesh)
+        m1 = parallel.make_mesh(n_streams=1, n_time=4)
+        step = parallel.sharded_grid_step(m1, GRID_CFG)
+        state = parallel.grid_init(GRID_CFG, 1)
+        ctl = parallel.control_init(GRID_CFG, 1)
+        ctl = ctl._replace(active=jnp.ones((1, 8), bool))
+        with jax.set_mesh(m1):
+            out_sh, state = step(jnp.asarray(x0)[None], state, ctl)
+
+        # Single device: channelize + same demod per channel
+        from wavecap_tpu.ops.channelizer import channelize, channelizer_init
+        from wavecap_tpu.models.registry import get_demod
+        from wavecap_tpu import ops as wops
+
+        chans, _ = channelize(jnp.asarray(x0), channelizer_init(CH), CH)
+        spec = get_demod("nbfm")
+
+        def per_chan(iq_c, ph0, dstate):
+            shifted, _ = wops.freq_shift(iq_c, -0.0, CH.channel_rate, ph0)
+            audio, _ = spec.demod(shifted, dstate, DEMOD_CFG)
+            return audio
+
+        st = jax.tree.map(lambda v: jnp.broadcast_to(v, (8,) + v.shape), spec.init(DEMOD_CFG))
+        audio_ref = jax.vmap(per_chan)(chans, jnp.zeros(8, jnp.uint32), st)
+
+        got = np.asarray(out_sh["audio"][0])
+        ref = np.asarray(audio_ref)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=5e-4)
+
+    def test_streaming_state_carries_across_blocks(self, mesh):
+        fs, n = 200_000, 8 * 2000
+        x = make_station(fs, n * 2, CH.channel_offset_hz(5), 900.0)
+        step = parallel.sharded_grid_step(mesh, GRID_CFG)
+        state = parallel.grid_init(GRID_CFG, 2)
+        ctl = parallel.control_init(GRID_CFG, 2)
+        active = np.zeros((2, 8), bool)
+        active[:, 5] = True
+        ctl = ctl._replace(active=jnp.asarray(active))
+        outs = []
+        with jax.set_mesh(mesh):
+            for i in range(2):
+                blk = jnp.asarray(np.stack([x[i * n : (i + 1) * n]] * 2))
+                out, state = step(blk, state, ctl)
+                outs.append(np.asarray(out["audio"][0, 5]))
+        audio = np.concatenate(outs)
+        assert abs(peak_freq(audio) - 900.0) < 15

@@ -1,0 +1,418 @@
+"""Host-side capture runtime: device reads -> jitted block pipeline -> fan-out.
+
+Behavioral port of the reference capture engine (reference ``capture.py``:
+``Capture`` :1810, ``Channel`` :505, ``CaptureManager`` :3340,
+``_run_thread`` :2925) redesigned around the TPU block pipeline:
+
+  * one reader thread per capture accumulates device chunks into fixed
+    blocks (default 200 ms), runs the jitted ``capture_step``, and fans
+    audio/spectrum/IQ out to subscribers;
+  * subscribers are bounded queues with drop-oldest backpressure
+    (reference ``Channel._broadcast`` :884, queue maxsize semantics);
+  * overflow from the device resets all carried DSP state but keeps
+    channel assignments (reference overflow contract ``capture.py:3058``);
+  * channels are slots in per-mode banks; create/remove/retune only
+    touches traced assignment arrays (no recompile), while adding the
+    first channel of a new *mode* rebuilds the pipeline (static change);
+  * per-capture health monitoring: watchdog timestamps + error counters
+    (reference health monitor thread :2012 and error_tracker).
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+from wavecap_tpu.devices.base import Device, DeviceConfig
+from wavecap_tpu.utils.broadcast import FanOut
+from . import pipeline as pl
+
+logger = logging.getLogger(__name__)
+
+WIDE_MODES = ("wbfm",)
+
+
+@dataclass
+class ChannelSpec:
+    """User-facing channel definition."""
+
+    id: str
+    mode: str  # wbfm | nbfm | am | sam | usb | lsb
+    frequency_hz: float  # absolute RF frequency
+    squelch_db: float | None = None
+    name: str = ""
+
+
+@dataclass
+class CaptureConfig:
+    center_hz: float = 100_000_000.0
+    sample_rate: int = 2_400_000
+    gain_db: float | None = None
+    block_seconds: float = 0.2
+    fft_size: int = 2048
+    narrow_capacity: int = 8
+    wide_capacity: int = 2
+    audio_rate: int = 48_000
+    channel_bandwidth: float = 25_000.0
+
+
+class ChannelHandle:
+    """Host-side channel: slot routing + audio subscriber fan-out."""
+
+    def __init__(self, spec: ChannelSpec, mode_group: str, slot: int):
+        self.spec = spec
+        self.mode_group = mode_group  # "wide" or a narrow mode name
+        self.slot = slot
+        self.audio = FanOut(maxsize=32)
+        self.rssi_db: float = -200.0
+        self.state = "active"
+
+    @property
+    def id(self) -> str:
+        return self.spec.id
+
+
+class Capture:
+    """One device stream + its block pipeline."""
+
+    _ids = itertools.count(1)
+
+    def __init__(self, device: Device, config: CaptureConfig, capture_id: str | None = None):
+        self.id = capture_id or f"cap{next(self._ids)}"
+        self.device = device
+        self.config = config
+        self.state = "created"  # created|starting|running|stopped|failed
+        self.error: str | None = None
+
+        self.channels: dict[str, ChannelHandle] = {}
+        self.iq_subs = FanOut(maxsize=8)
+        self.spectrum_subs = FanOut(maxsize=8)
+
+        self._lock = threading.RLock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._jit_step: Callable | None = None
+        self._pipe_cfg: pl.CapturePipelineConfig | None = None
+        self._dev_state = None
+        self._ctl = None
+        self._ctl_dirty = True
+
+        # metrics
+        self.blocks_processed = 0
+        self.overflow_count = 0
+        self.last_block_time: float = 0.0
+        self.block_ms: float = 0.0
+
+        self._compute_block_size()
+
+    # -- geometry ---------------------------------------------------------
+
+    def _compute_block_size(self) -> None:
+        cfg = self.config
+        ch = pl.ChannelizerConfig(
+            sample_rate=float(cfg.sample_rate), channel_bandwidth=cfg.channel_bandwidth
+        )
+        m = ch.channel_count
+        decim = max(1, int(cfg.sample_rate) // pl.WIDE_RATE)
+        unit = int(np.lcm(m, decim))
+        n = int(round(cfg.sample_rate * cfg.block_seconds))
+        self.block_size = max(unit, (n // unit) * unit)
+        self._channelizer = ch
+
+    # -- channel management ----------------------------------------------
+
+    def _mode_group(self, mode: str) -> str:
+        return "wide" if mode.lower() in WIDE_MODES else mode.lower()
+
+    def create_channel(self, spec: ChannelSpec) -> ChannelHandle:
+        with self._lock:
+            if spec.id in self.channels:
+                raise ValueError(f"channel {spec.id!r} exists")
+            group = self._mode_group(spec.mode)
+            off = spec.frequency_hz - self.config.center_hz
+            half = self.config.sample_rate / 2
+            if not (-half < off < half):
+                raise ValueError(
+                    f"frequency {spec.frequency_hz} outside capture span"
+                )
+            cap = (
+                self.config.wide_capacity
+                if group == "wide"
+                else self.config.narrow_capacity
+            )
+            used = {c.slot for c in self.channels.values() if c.mode_group == group}
+            free = [s for s in range(cap) if s not in used]
+            if not free:
+                raise RuntimeError(f"no free {group} slots (capacity {cap})")
+            ch = ChannelHandle(spec, group, free[0])
+            self.channels[spec.id] = ch
+            self._rebuild_pipeline_if_needed()
+            self._ctl_dirty = True
+            return ch
+
+    def remove_channel(self, channel_id: str) -> None:
+        with self._lock:
+            self.channels.pop(channel_id, None)
+            self._ctl_dirty = True
+
+    def update_channel(self, channel_id: str, **kwargs) -> ChannelHandle:
+        with self._lock:
+            ch = self.channels[channel_id]
+            for k, v in kwargs.items():
+                if v is not None and hasattr(ch.spec, k):
+                    setattr(ch.spec, k, v)
+            self._ctl_dirty = True
+            return ch
+
+    # -- pipeline build ----------------------------------------------------
+
+    def _narrow_modes(self) -> tuple:
+        return tuple(
+            sorted({c.mode_group for c in self.channels.values() if c.mode_group != "wide"})
+        )
+
+    def _make_pipe_cfg(self) -> pl.CapturePipelineConfig:
+        cfg = self.config
+        return pl.CapturePipelineConfig(
+            sample_rate=cfg.sample_rate,
+            block_size=self.block_size,
+            fft_size=cfg.fft_size,
+            narrow_modes=self._narrow_modes(),
+            narrow_capacity=cfg.narrow_capacity,
+            channel_bandwidth=cfg.channel_bandwidth,
+            wide_capacity=cfg.wide_capacity,
+            audio_rate=cfg.audio_rate,
+        )
+
+    def _rebuild_pipeline_if_needed(self) -> None:
+        new_cfg = self._make_pipe_cfg()
+        if new_cfg != self._pipe_cfg:
+            self._pipe_cfg = new_cfg
+            self._jit_step = pl.jit_capture_step(new_cfg)
+            self._dev_state = pl.pipeline_init(new_cfg)
+
+    def _build_control(self) -> Any:
+        assert self._pipe_cfg is not None
+        cfg = self._pipe_cfg
+        ctl = pl.control_init(cfg)
+        ch_cfg = self._channelizer
+        banks = {m: dict(idx=[], fine=[], act=[], sq=[], slots=[]) for m in cfg.narrow_modes}
+        wide = dict(off=[0.0] * cfg.wide_capacity, act=[False] * cfg.wide_capacity,
+                    sq=[-1e9] * cfg.wide_capacity)
+        bank_arrays = {
+            m: dict(
+                idx=np.zeros(cfg.narrow_capacity, np.int32),
+                fine=np.zeros(cfg.narrow_capacity, np.float32),
+                act=np.zeros(cfg.narrow_capacity, bool),
+                sq=np.full(cfg.narrow_capacity, -1e9, np.float32),
+            )
+            for m in cfg.narrow_modes
+        }
+        for ch in self.channels.values():
+            off = ch.spec.frequency_hz - self.config.center_hz
+            sq = ch.spec.squelch_db if ch.spec.squelch_db is not None else -1e9
+            if ch.mode_group == "wide":
+                wide["off"][ch.slot] = off
+                wide["act"][ch.slot] = True
+                wide["sq"][ch.slot] = sq
+            else:
+                arr = bank_arrays[ch.mode_group]
+                ci = ch_cfg.channel_index(off)
+                arr["idx"][ch.slot] = ci
+                arr["fine"][ch.slot] = off - ch_cfg.channel_offset_hz(ci)
+                arr["act"][ch.slot] = True
+                arr["sq"][ch.slot] = sq
+        new_banks = {
+            m: pl.ChannelAssignment(
+                channel_index=jnp.asarray(a["idx"]),
+                fine_offset_hz=jnp.asarray(a["fine"]),
+                active=jnp.asarray(a["act"]),
+                squelch_db=jnp.asarray(a["sq"]),
+            )
+            for m, a in bank_arrays.items()
+        }
+        new_wide = (
+            pl.WideAssignment(
+                offset_hz=jnp.asarray(np.asarray(wide["off"], np.float32)),
+                active=jnp.asarray(np.asarray(wide["act"], bool)),
+                squelch_db=jnp.asarray(np.asarray(wide["sq"], np.float32)),
+            )
+            if cfg.wide_capacity > 0
+            else None
+        )
+        return pl.CaptureControl(banks=new_banks, wide=new_wide)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        with self._lock:
+            if self.state == "running":
+                return
+            self.state = "starting"
+            self._stop.clear()
+            self._rebuild_pipeline_if_needed()
+            self._thread = threading.Thread(
+                target=self._run, name=f"Capture-{self.id}", daemon=True
+            )
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+            self._thread = None
+        self.state = "stopped"
+
+    def restart(self) -> None:
+        self.stop()
+        self.start()
+
+    # -- the loop ----------------------------------------------------------
+
+    def _run(self) -> None:
+        try:
+            self.device.configure(
+                DeviceConfig(
+                    center_hz=self.config.center_hz,
+                    sample_rate=self.config.sample_rate,
+                    gain_db=self.config.gain_db,
+                )
+            )
+            stream = self.device.start_stream()
+        except Exception as e:  # pragma: no cover - device failures
+            self.state = "failed"
+            self.error = f"device start failed: {e}"
+            logger.exception("capture %s failed to start", self.id)
+            return
+
+        self.state = "running"
+        chunk = max(8192, self.config.sample_rate // 20)
+        buf = np.empty(0, np.complex64)
+        try:
+            while not self._stop.is_set():
+                samples, overflow = stream.read(chunk)
+                if overflow:
+                    self.overflow_count += 1
+                    buf = np.empty(0, np.complex64)
+                    if self._pipe_cfg is not None:
+                        self._dev_state = pl.pipeline_init(self._pipe_cfg)
+                    continue
+                buf = np.concatenate([buf, samples]) if buf.size else samples
+                while buf.size >= self.block_size:
+                    block, buf = buf[: self.block_size], buf[self.block_size :]
+                    self._process_block(block)
+        except Exception as e:  # pragma: no cover
+            self.state = "failed"
+            self.error = str(e)
+            logger.exception("capture %s crashed", self.id)
+        finally:
+            stream.close()
+
+    def _process_block(self, block: np.ndarray) -> None:
+        t0 = time.perf_counter()
+        with self._lock:
+            if self._ctl_dirty or self._ctl is None:
+                self._ctl = self._build_control()
+                self._ctl_dirty = False
+            jit_step = self._jit_step
+            ctl = self._ctl
+            state = self._dev_state
+            channels = list(self.channels.values())
+        assert jit_step is not None
+        out, state = jit_step(jnp.asarray(block), state, ctl)
+        with self._lock:
+            self._dev_state = state
+
+        # Fetch & fan out (host side)
+        spectrum = np.asarray(out["spectrum"])
+        self.spectrum_subs.publish(spectrum)
+        if self.iq_subs.active:
+            self.iq_subs.publish(block)
+        for ch in channels:
+            if ch.mode_group == "wide":
+                grp = out.get("wide")
+            else:
+                grp = out["banks"].get(ch.mode_group)
+            if grp is None:
+                continue
+            audio = np.asarray(grp["audio"][ch.slot])
+            ch.rssi_db = float(grp["rssi"][ch.slot])
+            ch.audio.publish(audio)
+
+        self.blocks_processed += 1
+        self.last_block_time = time.time()
+        self.block_ms = (time.perf_counter() - t0) * 1e3
+
+    # -- info --------------------------------------------------------------
+
+    def status(self) -> dict:
+        return {
+            "id": self.id,
+            "state": self.state,
+            "error": self.error,
+            "centerHz": self.config.center_hz,
+            "sampleRate": self.config.sample_rate,
+            "blockSize": self.block_size,
+            "blocksProcessed": self.blocks_processed,
+            "overflowCount": self.overflow_count,
+            "blockMs": round(self.block_ms, 2),
+            "channels": [
+                {
+                    "id": c.id,
+                    "mode": c.spec.mode,
+                    "frequencyHz": c.spec.frequency_hz,
+                    "rssiDb": round(c.rssi_db, 1),
+                    "name": c.spec.name,
+                }
+                for c in self.channels.values()
+            ],
+        }
+
+
+class CaptureManager:
+    """Create/start/stop captures over a device driver (reference :3340)."""
+
+    def __init__(self, driver, max_captures: int = 4):
+        self.driver = driver
+        self.max_captures = max_captures
+        self.captures: dict[str, Capture] = {}
+        self._lock = threading.RLock()
+
+    def list_devices(self):
+        return self.driver.enumerate()
+
+    def create_capture(
+        self, device_id: str | None = None, config: CaptureConfig | None = None
+    ) -> Capture:
+        with self._lock:
+            if len(self.captures) >= self.max_captures:
+                raise RuntimeError(f"capture limit {self.max_captures} reached")
+            devices = self.driver.enumerate()
+            if not devices:
+                raise RuntimeError("no devices")
+            dev_id = device_id or devices[0].id
+            device = self.driver.open(dev_id)
+            cap = Capture(device, config or CaptureConfig())
+            self.captures[cap.id] = cap
+            return cap
+
+    def get(self, capture_id: str) -> Capture:
+        return self.captures[capture_id]
+
+    def remove_capture(self, capture_id: str) -> None:
+        with self._lock:
+            cap = self.captures.pop(capture_id, None)
+        if cap:
+            cap.stop()
+            cap.device.close()
+
+    def stop_all(self) -> None:
+        for cap in list(self.captures.values()):
+            cap.stop()

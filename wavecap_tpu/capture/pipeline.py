@@ -1,0 +1,214 @@
+"""Per-capture jitted pipeline: spectrum + channel banks + wideband channels.
+
+This is the device-side compute for one capture block.  It replaces the
+reference's per-chunk hot loop (reference ``capture.py:3052-3331``):
+instead of a Python thread fanning out per-channel tasks to a thread pool,
+one jitted function consumes a whole IQ block and produces, in a single
+device program:
+
+  * the windowed FFT spectrum frames (reference ``_calculate_fft``),
+  * every narrowband channel via one polyphase channelizer + vmapped
+    demod bank per active mode (reference ``_process_channels_parallel``),
+  * wideband (WBFM) channels via a vmapped direct freq-shift ->
+    polyphase-decimate -> demod path (reference ``freq_shift`` +
+    ``wbfm_demod``),
+  * per-channel RSSI and squelch gating (reference
+    ``update_signal_metrics`` / squelch at ``capture.py:2919``).
+
+The jit cache key is the *static* shape of the capture: (modes present,
+slot capacities, rates, block size).  Channel tuning/activation is traced.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wavecap_tpu import ops
+from wavecap_tpu import models
+from wavecap_tpu.models.channel_bank import (
+    ChannelBankConfig,
+    ChannelAssignment,
+    ChannelBankState,
+    assignment_init,
+    bank_init,
+    bank_step,
+)
+from wavecap_tpu.models.registry import get_demod
+from wavecap_tpu.ops.channelizer import ChannelizerConfig
+
+
+NARROW_MODES = ("nbfm", "am", "sam", "usb", "lsb")
+WIDE_RATE = 240_000  # WBFM intermediate rate
+
+
+@dataclass(frozen=True)
+class WideSlotConfig:
+    """Direct-path (WBFM) slot group config."""
+
+    sample_rate: int
+    capacity: int = 2
+    audio_rate: int = 48_000
+
+    @property
+    def decim(self) -> int:
+        return max(1, int(self.sample_rate) // WIDE_RATE)
+
+    @property
+    def if_rate(self) -> int:
+        return int(self.sample_rate) // self.decim
+
+
+@dataclass(frozen=True)
+class CapturePipelineConfig:
+    sample_rate: int
+    block_size: int
+    fft_size: int = 2048
+    narrow_modes: tuple = ()  # subset of NARROW_MODES present
+    narrow_capacity: int = 8
+    channel_bandwidth: float = 25_000.0
+    wide_capacity: int = 0
+    audio_rate: int = 48_000
+
+    def channelizer(self) -> ChannelizerConfig:
+        return ChannelizerConfig(
+            sample_rate=float(self.sample_rate),
+            channel_bandwidth=self.channel_bandwidth,
+        )
+
+    def bank_cfg(self, mode: str) -> ChannelBankConfig:
+        ch = self.channelizer()
+        rate = int(ch.channel_rate)
+        spec = get_demod(mode)
+        kwargs: dict[str, Any] = dict(sample_rate=rate, audio_rate=self.audio_rate)
+        if mode == "nbfm":
+            kwargs.update(enable_highpass=True, enable_lowpass=True)
+        if mode in ("usb", "lsb"):
+            kwargs.update(mode=mode)
+        return ChannelBankConfig(
+            channelizer=ch,
+            mode=mode,
+            demod_cfg=spec.config_cls(**kwargs),
+            capacity=self.narrow_capacity,
+        )
+
+    def wide_cfg(self) -> WideSlotConfig:
+        return WideSlotConfig(
+            sample_rate=self.sample_rate,
+            capacity=self.wide_capacity,
+            audio_rate=self.audio_rate,
+        )
+
+
+class WideState(NamedTuple):
+    nco_phase: jnp.ndarray  # (W,) uint32
+    fir_tail: jnp.ndarray  # (W, taps-1) complex64
+    demod_states: Any  # stacked WbfmState
+
+
+class WideAssignment(NamedTuple):
+    offset_hz: jnp.ndarray  # (W,) f32 from capture center
+    active: jnp.ndarray  # (W,) bool
+    squelch_db: jnp.ndarray  # (W,) f32
+
+
+class CaptureState(NamedTuple):
+    banks: dict  # mode -> ChannelBankState
+    wide: WideState | None
+
+
+class CaptureControl(NamedTuple):
+    banks: dict  # mode -> ChannelAssignment
+    wide: WideAssignment | None
+
+
+def wide_assignment_init(capacity: int) -> WideAssignment:
+    return WideAssignment(
+        offset_hz=jnp.zeros(capacity, jnp.float32),
+        active=jnp.zeros(capacity, bool),
+        squelch_db=jnp.full(capacity, -1e9, jnp.float32),
+    )
+
+
+def _wide_taps(cfg: WideSlotConfig) -> np.ndarray:
+    return ops.design_decimation_fir(cfg.decim, float(cfg.sample_rate))
+
+
+def wide_init(cfg: WideSlotConfig) -> WideState:
+    taps = _wide_taps(cfg)
+    wb_cfg = models.WbfmConfig(sample_rate=cfg.if_rate, audio_rate=cfg.audio_rate)
+    base = models.wbfm_init(wb_cfg)
+    w = cfg.capacity
+    return WideState(
+        nco_phase=jnp.zeros(w, jnp.uint32),
+        fir_tail=jnp.zeros((w, len(taps) - 1), jnp.complex64),
+        demod_states=jax.tree.map(lambda x: jnp.broadcast_to(x, (w,) + x.shape), base),
+    )
+
+
+def pipeline_init(cfg: CapturePipelineConfig) -> CaptureState:
+    banks = {m: bank_init(cfg.bank_cfg(m)) for m in cfg.narrow_modes}
+    wide = wide_init(cfg.wide_cfg()) if cfg.wide_capacity > 0 else None
+    return CaptureState(banks=banks, wide=wide)
+
+
+def control_init(cfg: CapturePipelineConfig) -> CaptureControl:
+    banks = {m: assignment_init(cfg.narrow_capacity) for m in cfg.narrow_modes}
+    wide = wide_assignment_init(cfg.wide_capacity) if cfg.wide_capacity > 0 else None
+    return CaptureControl(banks=banks, wide=wide)
+
+
+def _wide_step(iq, state: WideState, assign: WideAssignment, cfg: WideSlotConfig):
+    taps = jnp.asarray(_wide_taps(cfg))
+    wb_cfg = models.WbfmConfig(sample_rate=cfg.if_rate, audio_rate=cfg.audio_rate)
+
+    def per_slot(offset, phase0, tail, dstate):
+        shifted, phase1 = ops.freq_shift(iq, -offset, cfg.sample_rate, phase0)
+        dec, tail = ops.fir_decimate(shifted, taps, cfg.decim, tail)
+        rssi = ops.rssi_dbfs(dec)
+        audio, dstate = models.wbfm_demod(dec, dstate, wb_cfg)
+        return audio, rssi, phase1, tail, dstate
+
+    audio, rssi, phases, tails, dstates = jax.vmap(per_slot)(
+        assign.offset_hz, state.nco_phase, state.fir_tail, state.demod_states
+    )
+    audio = ops.squelch_gate(audio, rssi, assign.squelch_db)
+    audio = jnp.where(assign.active[:, None], audio, jnp.zeros_like(audio))
+    rssi = jnp.where(assign.active, rssi, jnp.full_like(rssi, -200.0))
+    return {"audio": audio, "rssi": rssi}, WideState(phases, tails, dstates)
+
+
+def capture_step(
+    x: jnp.ndarray,
+    state: CaptureState,
+    ctl: CaptureControl,
+    cfg: CapturePipelineConfig,
+):
+    """One block through the whole capture.  Returns (outputs, state)."""
+    out: dict[str, Any] = {}
+    out["spectrum"] = ops.spectrogram(x, cfg.fft_size, hop=cfg.fft_size, average=4)
+    out["rssi"] = ops.rssi_dbfs(x)
+
+    new_banks = {}
+    bank_out = {}
+    for mode in cfg.narrow_modes:
+        o, s = bank_step(x, state.banks[mode], ctl.banks[mode], cfg.bank_cfg(mode))
+        bank_out[mode] = o
+        new_banks[mode] = s
+    out["banks"] = bank_out
+
+    new_wide = state.wide
+    if cfg.wide_capacity > 0 and state.wide is not None and ctl.wide is not None:
+        wo, new_wide = _wide_step(x, state.wide, ctl.wide, cfg.wide_cfg())
+        out["wide"] = wo
+
+    return out, CaptureState(banks=new_banks, wide=new_wide)
+
+
+def jit_capture_step(cfg: CapturePipelineConfig):
+    return jax.jit(partial(capture_step, cfg=cfg))

@@ -1,0 +1,180 @@
+"""Sharded multi-chip pipeline: time-sharded channelizer, channel-sharded demod.
+
+The flagship multi-chip step (SURVEY §7 design):
+
+  stage 1 — each ``time`` shard channelizes its sub-block of the wideband
+            stream; the filter history it needs is its left neighbor's
+            last ``M*T`` samples, exchanged with ``ppermute`` over ICI
+            (shard 0 uses the carry from the previous block — this is the
+            reference's streaming-``zi`` contract made collective);
+  stage 2 — an ``all_to_all`` over the ``time`` axis re-shards the
+            channelizer output from (all channels, local time) to
+            (local channels, all time), so each device runs the stateful
+            demodulators for a fixed subset of channels and the demod
+            state never migrates between devices;
+  stream axis — pure data parallelism over independent captures.
+
+Unlike the single-chip slot bank (``models/channel_bank.py``), the sharded
+grid demodulates *every* channelizer bin, gated by a traced active mask —
+channel count is static, activation is dynamic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from wavecap_tpu import ops
+from wavecap_tpu.ops.channelizer import ChannelizerConfig, channelize, design_prototype
+from wavecap_tpu.models.registry import get_demod
+
+
+@dataclass(frozen=True)
+class ShardedGridConfig:
+    channelizer: ChannelizerConfig
+    mode: str
+    demod_cfg: Any
+
+
+class GridState(NamedTuple):
+    hist: jnp.ndarray  # (n_streams, M*T) channelizer history carry
+    demod_states: Any  # stacked pytree, leading dims (n_streams, M)
+    nco_phase: jnp.ndarray  # (n_streams, M) uint32
+
+
+class GridControl(NamedTuple):
+    """Traced per-channel control (n_streams, M) — no recompiles."""
+
+    fine_offset_hz: jnp.ndarray
+    active: jnp.ndarray
+    squelch_db: jnp.ndarray
+
+
+def grid_init(cfg: ShardedGridConfig, n_streams: int) -> GridState:
+    m = cfg.channelizer.channel_count
+    t = cfg.channelizer.taps_per_channel
+    spec = get_demod(cfg.mode)
+    base = spec.init(cfg.demod_cfg)
+    return GridState(
+        hist=jnp.zeros((n_streams, m * t), jnp.complex64),
+        demod_states=jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_streams, m) + x.shape), base
+        ),
+        nco_phase=jnp.zeros((n_streams, m), jnp.uint32),
+    )
+
+
+def control_init(cfg: ShardedGridConfig, n_streams: int) -> GridControl:
+    m = cfg.channelizer.channel_count
+    return GridControl(
+        fine_offset_hz=jnp.zeros((n_streams, m), jnp.float32),
+        active=jnp.zeros((n_streams, m), bool),
+        squelch_db=jnp.full((n_streams, m), -1e9, jnp.float32),
+    )
+
+
+def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
+    """Build the jitted sharded step for ``mesh``.
+
+    Returns ``step(x, state, ctl) -> (out, state)`` where ``x`` is
+    ``(n_streams, N)`` wideband IQ sharded ``P('stream', 'time')``.
+    """
+    m = cfg.channelizer.channel_count
+    t = cfg.channelizer.taps_per_channel
+    hist_len = m * t
+    n_time = mesh.shape["time"]
+    if m % n_time != 0:
+        raise ValueError(f"channel count {m} must divide by time shards {n_time}")
+    spec = get_demod(cfg.mode)
+    rate = cfg.channelizer.channel_rate
+
+    def one_stream(x_local, hist, demod_states, nco_phase, fine, active, squelch):
+        if x_local.shape[-1] < hist_len:
+            raise ValueError(
+                f"per-shard block ({x_local.shape[-1]}) must be >= channelizer "
+                f"history M*T ({hist_len}) for halo exchange"
+            )
+        t_idx = jax.lax.axis_index("time")
+
+        # --- halo exchange: left neighbor's tail becomes my history ---
+        tail = x_local[-hist_len:]
+        left_tail = jax.lax.ppermute(
+            tail, "time", [(i, i + 1) for i in range(n_time - 1)]
+        )
+        my_hist = jnp.where(t_idx == 0, hist, left_tail)
+
+        # --- stage 1: local channelize ---
+        chans_local, _ = channelize(x_local, my_hist, cfg.channelizer)
+        # (M, S_local)
+
+        # --- re-shard: (M, S_local) -> (M/n_time, S_full) ---
+        chans_mine = jax.lax.all_to_all(
+            chans_local, "time", split_axis=0, concat_axis=1, tiled=True
+        )
+
+        # --- stage 2: demod my channel subset ---
+        def per_chan(iq_c, off, ph0, dstate):
+            shifted, ph1 = ops.freq_shift(iq_c, -off, rate, ph0)
+            rssi = ops.rssi_dbfs(shifted)
+            audio, dstate = spec.demod(shifted, dstate, cfg.demod_cfg)
+            return audio, rssi, ph1, dstate
+
+        audio, rssi, nco_phase, demod_states = jax.vmap(per_chan)(
+            chans_mine, fine, nco_phase, demod_states
+        )
+        audio = ops.squelch_gate(audio, rssi, squelch)
+        audio = jnp.where(active[:, None], audio, jnp.zeros_like(audio))
+        rssi = jnp.where(active, rssi, jnp.full_like(rssi, -200.0))
+
+        # --- next-block history: the global stream tail (last shard's) ---
+        all_tails = jax.lax.all_gather(tail, "time")  # (n_time, hist_len)
+        new_hist = all_tails[-1]
+
+        return audio, rssi, new_hist, demod_states, nco_phase
+
+    def body(x, hist, demod_states, nco_phase, fine, active, squelch):
+        f = jax.vmap(one_stream)  # over local stream axis
+        return f(x, hist, demod_states, nco_phase, fine, active, squelch)
+
+    shard = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("stream", "time"),  # x
+            P("stream", None),  # hist (replicated over time)
+            P("stream", "time"),  # demod states (prefix)
+            P("stream", "time"),  # nco
+            P("stream", "time"),  # fine
+            P("stream", "time"),  # active
+            P("stream", "time"),  # squelch
+        ),
+        out_specs=(
+            P("stream", "time", None),  # audio (M sharded)
+            P("stream", "time"),  # rssi
+            P("stream", None),  # new hist (replicated)
+            P("stream", "time"),  # demod states
+            P("stream", "time"),  # nco
+        ),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(x, state: GridState, ctl: GridControl):
+        audio, rssi, hist, dstates, nco = shard(
+            x,
+            state.hist,
+            state.demod_states,
+            state.nco_phase,
+            ctl.fine_offset_hz,
+            ctl.active,
+            ctl.squelch_db,
+        )
+        return {"audio": audio, "rssi": rssi}, GridState(hist, dstates, nco)
+
+    return step

@@ -1,0 +1,193 @@
+"""P25 end-to-end round trip: TSBK encode -> C4FM modulate -> demod -> decode.
+
+The self-checking strategy the reference uses (its own trunking encoders
+round-trip its decoders, reference ``tests/test_tsbk_decoder_roundtrip.py``),
+extended through the full physical layer: the synthesized control channel
+goes through real C4FM modulation, the JAX demodulator with timing
+recovery, the streaming framer, and the FEC/TSBK decode stack.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from wavecap_tpu.decoders import p25_frames as pf
+from wavecap_tpu.decoders import p25_tsbk as tsbk
+from wavecap_tpu.decoders.framer import P25Framer
+from wavecap_tpu.models.p25.c4fm import (
+    C4fmConfig,
+    c4fm_init,
+    c4fm_demodulate,
+    modulate_c4fm,
+    n_symbols_per_block,
+)
+
+
+def make_control_channel_dibits(nac=0x293, n_frames=8):
+    """A stream of TSDU frames with idle padding between them."""
+    rng = np.random.default_rng(5)
+    pieces = []
+    expected = []
+    for k in range(n_frames):
+        grant = pf.encode_tsbk_block(
+            tsbk.TSBKOpcode.GRP_V_CH_GRANT,
+            tsbk.make_group_grant_data(
+                tgid=100 + k, source_id=7_000_000 + k, band=1, channel_number=0x123
+            ),
+        )
+        iden = pf.encode_tsbk_block(
+            tsbk.TSBKOpcode.IDEN_UP,
+            tsbk.make_iden_up_data(identifier=1, base_freq_mhz=851.00625),
+        )
+        rfss = pf.encode_tsbk_block(
+            tsbk.TSBKOpcode.RFSS_STS_BCAST,
+            tsbk.make_rfss_status_data(
+                system_id=0x2F5, rfss_id=1, site_id=3, band=1, channel_number=0x0AA
+            ),
+            last=True,
+        )
+        frame = pf.build_tsdu_frame(nac, [grant, iden, rfss])
+        pieces.append(frame)
+        expected.append((100 + k, 7_000_000 + k))
+        # random idle dibits between frames (won't sync)
+        pieces.append(rng.integers(0, 4, size=60).astype(np.uint8))
+    return np.concatenate(pieces), expected
+
+
+class TestBitLevelRoundtrip:
+    """Decode directly from clean dibits (no modem)."""
+
+    def test_tsdu_frame_roundtrip(self):
+        dibits, _ = make_control_channel_dibits(n_frames=1)
+        # locate sync at position 0
+        frame = pf.decode_tsdu(dibits)
+        assert frame is not None
+        assert frame.nid.nac == 0x293
+        assert frame.nid.duid == pf.DUID.TSDU
+        assert len(frame.tsbk_blocks) == 3
+        assert all(b.crc_valid for b in frame.tsbk_blocks)
+        g = tsbk.parse_tsbk(
+            frame.tsbk_blocks[0].opcode,
+            frame.tsbk_blocks[0].mfid,
+            frame.tsbk_blocks[0].data,
+        )
+        assert g["type"] == "GROUP_VOICE_GRANT"
+        assert g["tgid"] == 100
+        assert g["channel_number"] == 0x123
+        i = tsbk.parse_tsbk(
+            frame.tsbk_blocks[1].opcode,
+            frame.tsbk_blocks[1].mfid,
+            frame.tsbk_blocks[1].data,
+        )
+        assert i["type"] == "IDENTIFIER_UPDATE"
+        ident = tsbk.iden_from_parsed(i)
+        assert abs(ident.frequency_hz(0x123) - (851.00625e6 + 0x123 * 12500)) < 10
+        r = tsbk.parse_tsbk(
+            frame.tsbk_blocks[2].opcode,
+            frame.tsbk_blocks[2].mfid,
+            frame.tsbk_blocks[2].data,
+        )
+        assert r["type"] == "RFSS_STATUS"
+        assert r["system_id"] == 0x2F5 and r["site_id"] == 3
+
+    def test_tsbk_with_dibit_errors(self, rng):
+        dibits, _ = make_control_channel_dibits(n_frames=1)
+        rx = dibits.copy()
+        # flip 2 isolated payload dibits
+        for p in (80, 150):
+            rx[p] ^= 2
+        frame = pf.decode_tsdu(rx)
+        assert frame is not None
+        assert frame.tsbk_blocks[0].crc_valid
+
+
+class TestModemRoundtrip:
+    def test_full_physical_layer(self):
+        fs = 48_000
+        dibits, expected = make_control_channel_dibits(n_frames=6)
+        iq = modulate_c4fm(dibits, fs)
+        # pad with noise-free dead air front and back
+        iq = np.concatenate(
+            [np.ones(2000, np.complex64), iq, np.ones(2000, np.complex64)]
+        )
+
+        cfg = C4fmConfig(sample_rate=fs)
+        state = c4fm_init(cfg)
+        framer = P25Framer()
+        block = 4800
+        grants = []
+        n_blocks = len(iq) // block
+        for i in range(n_blocks):
+            soft, _, state = c4fm_demodulate(
+                jnp.asarray(iq[i * block : (i + 1) * block]), state, cfg
+            )
+            for frame in framer.process(np.asarray(soft)):
+                if frame.duid != pf.DUID.TSDU:
+                    continue
+                payload = pf.remove_status_dibits(frame.dibits[57:], 57)
+                for b in pf.decode_tsbk_payload(payload):
+                    if b.crc_valid and b.opcode == tsbk.TSBKOpcode.GRP_V_CH_GRANT:
+                        g = tsbk.parse_tsbk(b.opcode, b.mfid, b.data)
+                        grants.append((g["tgid"], g["source_id"]))
+        assert framer.sync_count >= 4
+        # at least 2/3 of the frames fully decoded with valid CRC grants
+        hits = [e for e in expected if e in grants]
+        assert len(hits) >= len(expected) * 2 // 3, (grants, expected)
+
+    def test_with_noise_and_freq_offset(self):
+        fs = 48_000
+        rng = np.random.default_rng(11)
+        dibits, expected = make_control_channel_dibits(n_frames=6)
+        iq = modulate_c4fm(dibits, fs)
+        # 150 Hz carrier error + AWGN at ~14 dB SNR
+        t = np.arange(len(iq)) / fs
+        iq = iq * np.exp(2j * np.pi * 150.0 * t)
+        iq = iq + 0.2 * (
+            rng.standard_normal(len(iq)) + 1j * rng.standard_normal(len(iq))
+        ).astype(np.complex64) / np.sqrt(2)
+        iq = np.concatenate([np.zeros(1000, np.complex64), iq]).astype(np.complex64)
+
+        cfg = C4fmConfig(sample_rate=fs)
+        state = c4fm_init(cfg)
+        framer = P25Framer()
+        ok_crc = 0
+        total_tsbk = 0
+        block = 4800
+        for i in range(len(iq) // block):
+            soft, _, state = c4fm_demodulate(
+                jnp.asarray(iq[i * block : (i + 1) * block]), state, cfg
+            )
+            for frame in framer.process(np.asarray(soft)):
+                if frame.duid != pf.DUID.TSDU:
+                    continue
+                payload = pf.remove_status_dibits(frame.dibits[57:], 57)
+                for b in pf.decode_tsbk_payload(payload):
+                    total_tsbk += 1
+                    ok_crc += int(b.crc_valid)
+        assert framer.sync_count >= 3
+        assert total_tsbk > 0
+        assert ok_crc / total_tsbk >= 0.5
+
+
+class TestFramer:
+    def test_inverted_polarity(self):
+        fs = 48_000
+        dibits, _ = make_control_channel_dibits(n_frames=2)
+        iq = modulate_c4fm(dibits, fs)
+        # invert: conjugate flips the discriminator sign
+        iq = np.conj(iq)
+        cfg = C4fmConfig(sample_rate=fs)
+        state = c4fm_init(cfg)
+        framer = P25Framer()
+        found = 0
+        block = 4800
+        for i in range(len(iq) // block):
+            soft, _, state = c4fm_demodulate(
+                jnp.asarray(iq[i * block : (i + 1) * block]), state, cfg
+            )
+            for frame in framer.process(np.asarray(soft)):
+                assert frame.inverted
+                if frame.duid == pf.DUID.TSDU and frame.nac == 0x293:
+                    found += 1
+        assert found >= 1

@@ -1,0 +1,292 @@
+"""P25 Phase 1 frame structure: sync, NID, TSDU/TSBK extraction + synthesis.
+
+Protocol facts (TIA-102.BAAA / .AABB, layout cross-checked against the
+reference's SDRTrunk-derived implementation, reference
+``decoders/p25_frames.py``):
+
+  * one 48-bit frame sync ``0x5575F5FF77FF`` for all frame types
+    (dibits ``1`` -> +3 and ``3`` -> -3 symbols only);
+  * status symbols every 36 transmitted dibits (0-based positions 35,
+    71, 107, ...), never part of the protected payload;
+  * NID = NAC(12) + DUID(4) protected by BCH(63,16,23) + 1 pad bit
+    (32 dibits on air; a status symbol lands at NID dibit 11);
+  * TSDU carries up to 3 TSBKs, each 196 bits interleaved (formula-
+    generated pattern: input group g of 4 bits -> output group
+    ``(g%13)*4 + g//13``) over a 1/2-rate trellis, 96 bits decoded:
+    LB(1) P(1) OPCODE(6) MFID(8) DATA(64) CRC(16).
+
+Everything here is host-side numpy at symbol rate (not a hot path).
+The synthesis half exists so the decoders can be round-trip tested and
+so test signals can be generated (reference ``encoders/trunking/p25.py``
+pattern).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import IntEnum
+
+import numpy as np
+
+from .fec import bch, crc, trellis
+
+# ---------------------------------------------------------------------------
+# Constants
+# ---------------------------------------------------------------------------
+
+FRAME_SYNC_PATTERN = 0x5575F5FF77FF
+FRAME_SYNC_DIBITS = np.array(
+    [(FRAME_SYNC_PATTERN >> (46 - 2 * i)) & 3 for i in range(24)], np.uint8
+)
+# Symbol values for dibits 0..3 (P25 C4FM constellation)
+DIBIT_SYMBOLS = np.array([1.0, 3.0, -1.0, -3.0], np.float32)
+SYNC_SYMBOLS = DIBIT_SYMBOLS[FRAME_SYNC_DIBITS]
+
+STATUS_INTERVAL = 36  # a status symbol every 36 dibits (positions 35, 71, …)
+
+SYNC_LEN = 24
+NID_LEN = 33  # 32 data dibits + embedded status symbol
+
+
+class DUID(IntEnum):
+    HDU = 0x0
+    TDU = 0x3
+    LDU1 = 0x5
+    TSDU = 0x7
+    LDU2 = 0xA
+    PDU = 0xC
+    TDULC = 0xF
+
+
+# Frame body length AFTER sync+NID, in on-air dibits (including statuses),
+# per TIA frame sizes: total frame bits / 2 - 57.
+FRAME_BODY_DIBITS = {
+    DUID.HDU: 396 - 57,
+    DUID.TDU: 72 - 57,
+    DUID.LDU1: 864 - 57,
+    DUID.LDU2: 864 - 57,
+    DUID.TSDU: 360 - 57,
+    DUID.PDU: 360 - 57,  # minimum; PDU is variable-length
+    DUID.TDULC: 216 - 57,
+}
+
+
+def interleave_table() -> np.ndarray:
+    """196-bit interleave: OUTPUT[table[i]] = input[i] when deinterleaving."""
+    t = np.empty(196, np.int32)
+    starts = [0, 13, 25, 37]  # row 0 has 13 groups, rows 1-3 have 12
+    for g in range(49):
+        row = 0 if g < 13 else 1 + (g - 13) // 12
+        col = g - starts[row]
+        og = 4 * col + row
+        for b in range(4):
+            t[4 * g + b] = 4 * og + b
+    return t
+
+
+_DEINT = interleave_table()
+
+
+def deinterleave_196(bits: np.ndarray) -> np.ndarray:
+    out = np.empty(196, np.uint8)
+    out[_DEINT] = np.asarray(bits, np.uint8)
+    return out
+
+
+def interleave_196(bits: np.ndarray) -> np.ndarray:
+    return np.asarray(bits, np.uint8)[_DEINT]
+
+
+def dibits_to_bits(dibits: np.ndarray) -> np.ndarray:
+    d = np.asarray(dibits, np.uint8)
+    out = np.empty(2 * len(d), np.uint8)
+    out[0::2] = (d >> 1) & 1
+    out[1::2] = d & 1
+    return out
+
+
+def bits_to_dibits(bits: np.ndarray) -> np.ndarray:
+    b = np.asarray(bits, np.uint8)
+    return ((b[0::2] << 1) | b[1::2]).astype(np.uint8)
+
+
+def bits_to_int(bits: np.ndarray, start: int, width: int) -> int:
+    v = 0
+    for b in bits[start : start + width]:
+        v = (v << 1) | int(b)
+    return v
+
+
+def remove_status_dibits(dibits: np.ndarray, frame_offset: int) -> np.ndarray:
+    """Drop dibits at *frame* positions where (pos+1) % 36 == 0.
+
+    ``frame_offset`` is the frame position of ``dibits[0]``.
+    """
+    idx = np.arange(len(dibits)) + frame_offset
+    keep = (idx + 1) % STATUS_INTERVAL != 0
+    return np.asarray(dibits, np.uint8)[keep]
+
+
+def insert_status_dibits(
+    dibits: np.ndarray, frame_offset: int, status: int = 1
+) -> np.ndarray:
+    """Insert status symbols so the output occupies frame positions
+    ``frame_offset...`` with statuses at every 36th position."""
+    out = []
+    pos = frame_offset
+    i = 0
+    d = np.asarray(dibits, np.uint8)
+    while i < len(d):
+        if (pos + 1) % STATUS_INTERVAL == 0:
+            out.append(status)
+        else:
+            out.append(int(d[i]))
+            i += 1
+        pos += 1
+    return np.array(out, np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# NID
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class NID:
+    nac: int
+    duid: DUID
+    errors: int = 0
+
+
+def decode_nid(nid_dibits: np.ndarray, has_status: bool = True) -> NID | None:
+    """Decode the 33-dibit (or 32 pre-stripped) NID."""
+    d = np.asarray(nid_dibits, np.uint8)
+    if has_status:
+        if len(d) < NID_LEN:
+            return None
+        d = np.delete(d[:NID_LEN], 11)  # frame pos 35 == NID pos 11
+    else:
+        if len(d) < 32:
+            return None
+        d = d[:32]
+    bits = dibits_to_bits(d)
+    data, errors = bch.decode(bits[:63])
+    if errors < 0:
+        # Fallback extraction (keeps the framer moving; marked unreliable)
+        nac = bits_to_int(bits, 0, 12)
+        duid_val = bits_to_int(bits, 12, 4)
+        try:
+            return NID(nac=nac, duid=DUID(duid_val), errors=99)
+        except ValueError:
+            return None
+    nac = (data >> 4) & 0xFFF
+    try:
+        duid = DUID(data & 0xF)
+    except ValueError:
+        return None
+    return NID(nac=nac, duid=duid, errors=errors)
+
+
+def encode_nid(nac: int, duid: DUID) -> np.ndarray:
+    """NAC+DUID -> 32 on-air dibits (without the embedded status symbol)."""
+    cw = bch.encode(((nac & 0xFFF) << 4) | (int(duid) & 0xF))
+    bits64 = np.concatenate([cw, [0]]).astype(np.uint8)  # pad/parity bit
+    return bits_to_dibits(bits64)
+
+
+# ---------------------------------------------------------------------------
+# TSBK / TSDU
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TSBKBlock:
+    last_block: bool
+    protect: bool
+    opcode: int
+    mfid: int
+    data: bytes  # 8 bytes
+    crc_valid: bool
+    error_metric: int = 0
+
+
+@dataclass
+class TSDUFrame:
+    nid: NID
+    tsbk_blocks: list
+
+
+def decode_tsbk_payload(payload_dibits: np.ndarray) -> list:
+    """Decode up to 3 TSBKs from status-stripped TSDU payload dibits."""
+    blocks = []
+    d = np.asarray(payload_dibits, np.uint8)
+    for i in range(3):
+        chunk = d[i * 98 : (i + 1) * 98]
+        if len(chunk) < 98:
+            break
+        bits = dibits_to_bits(chunk)
+        deint = deinterleave_196(bits)
+        decoded, err = trellis.viterbi_decode_bits(deint)
+        ok = crc.tsbk_crc_check(decoded[:96])
+        b = decoded
+        block = TSBKBlock(
+            last_block=bool(b[0]),
+            protect=bool(b[1]),
+            opcode=bits_to_int(b, 2, 6),
+            mfid=bits_to_int(b, 8, 8),
+            data=bytes(bits_to_int(b, 16 + 8 * j, 8) for j in range(8)),
+            crc_valid=ok,
+            error_metric=err,
+        )
+        blocks.append(block)
+        if block.last_block and block.crc_valid:
+            break
+    return blocks
+
+
+def decode_tsdu(frame_dibits: np.ndarray) -> TSDUFrame | None:
+    """Full TSDU frame (starting at sync) -> NID + TSBKs."""
+    d = np.asarray(frame_dibits, np.uint8)
+    if len(d) < SYNC_LEN + NID_LEN + 98:
+        return None
+    nid = decode_nid(d[SYNC_LEN : SYNC_LEN + NID_LEN])
+    if nid is None:
+        return None
+    payload = remove_status_dibits(d[57:], frame_offset=57)
+    return TSDUFrame(nid=nid, tsbk_blocks=decode_tsbk_payload(payload))
+
+
+# ---------------------------------------------------------------------------
+# Synthesis (tests / encoders)
+# ---------------------------------------------------------------------------
+
+
+def encode_tsbk_block(
+    opcode: int, data8: bytes, mfid: int = 0, last: bool = False, protect: bool = False
+) -> np.ndarray:
+    """Build one 98-dibit on-air TSBK (interleaved trellis-coded)."""
+    assert len(data8) == 8
+    bits = np.zeros(80, np.uint8)
+    bits[0] = 1 if last else 0
+    bits[1] = 1 if protect else 0
+    for i in range(6):
+        bits[2 + i] = (opcode >> (5 - i)) & 1
+    for i in range(8):
+        bits[8 + i] = (mfid >> (7 - i)) & 1
+    for j, byte in enumerate(data8):
+        for i in range(8):
+            bits[16 + 8 * j + i] = (byte >> (7 - i)) & 1
+    block96 = np.concatenate([bits, crc.tsbk_crc_encode(bits)])
+    coded = trellis.encode_bits(block96)  # 196 bits
+    return bits_to_dibits(interleave_196(coded))
+
+
+def build_tsdu_frame(nac: int, tsbk_dibit_blocks: list) -> np.ndarray:
+    """Assemble a complete on-air TSDU: sync + NID + payload + statuses."""
+    payload = np.concatenate(list(tsbk_dibit_blocks))
+    head = np.concatenate([FRAME_SYNC_DIBITS, encode_nid(nac, DUID.TSDU)])
+    # statuses within head region: position 35 (inside NID)
+    head_with_status = insert_status_dibits(head, 0)
+    assert len(head_with_status) == 57
+    body_with_status = insert_status_dibits(payload, 57)
+    return np.concatenate([head_with_status, body_with_status]).astype(np.uint8)

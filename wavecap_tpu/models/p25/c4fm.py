@@ -1,0 +1,271 @@
+"""P25 C4FM modem: 4800-baud 4-level FSK demodulator (JAX) + test modulator.
+
+Behavioral rebuild of the reference's SDRTrunk-port demodulator
+(reference ``dsp/p25/c4fm.py:2379`` ``C4FMDemodulator``) redesigned for
+the TPU execution model:
+
+  * all sample-rate work — baseband LPF, FM discriminator, RRC matched
+    filter — is vectorized over the block;
+  * symbol-timing recovery (the inherently sequential feedback loop,
+    reference ``_symbol_recovery_jit`` at ``c4fm.py:650``) is a
+    ``lax.scan`` over a *fixed* number of symbols per block (static
+    shapes), with Gardner timing error + PI loop, carried gain/DC
+    trackers replacing the reference's equalizer (``c4fm.py:212``);
+  * block continuity is explicit state: filter tails, discriminator
+    carry, a tail of filtered samples for cross-block interpolation,
+    and the fractional timing phase.
+
+Operating point: 4800 baud at 48 kHz channel rate = 10 samples/symbol
+(the reference's preferred 10-SPS mode, ``trunking/system.py:1300``:
+90.7 % TSBK CRC vs 37.1 % at ~5 SPS).
+
+Deviation map (TIA-102.BAAA): dibit 01 -> +3 (+1800 Hz), 00 -> +1
+(+600 Hz), 10 -> -1, 11 -> -3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy import signal as _sps
+
+from wavecap_tpu import ops
+
+SYMBOL_RATE = 4800.0
+DEVIATION_HZ = 1800.0  # +/-1800 Hz for the outer symbols (+/-3)
+
+
+# ---------------------------------------------------------------------------
+# Filter designs (host-side)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=8)
+def design_rrc(sample_rate: float, alpha: float = 0.2, span_symbols: int = 8) -> np.ndarray:
+    """Root-raised-cosine filter, unit DC gain."""
+    sps = sample_rate / SYMBOL_RATE
+    n = int(span_symbols * sps) | 1
+    t = (np.arange(n) - n // 2) / sps
+    h = np.zeros(n)
+    for i, ti in enumerate(t):
+        if abs(ti) < 1e-9:
+            h[i] = 1.0 - alpha + 4 * alpha / np.pi
+        elif abs(abs(4 * alpha * ti) - 1.0) < 1e-9:
+            h[i] = (alpha / np.sqrt(2)) * (
+                (1 + 2 / np.pi) * np.sin(np.pi / (4 * alpha))
+                + (1 - 2 / np.pi) * np.cos(np.pi / (4 * alpha))
+            )
+        else:
+            h[i] = (
+                np.sin(np.pi * ti * (1 - alpha))
+                + 4 * alpha * ti * np.cos(np.pi * ti * (1 + alpha))
+            ) / (np.pi * ti * (1 - (4 * alpha * ti) ** 2))
+    return (h / h.sum()).astype(np.float32)
+
+
+@lru_cache(maxsize=8)
+def design_baseband_lpf(sample_rate: float) -> np.ndarray:
+    """Anti-noise lowpass ahead of the discriminator (remez ~5.2/6.5 kHz,
+    reference ``dsp/p25/c4fm.py:95``)."""
+    numtaps = 63
+    h = _sps.remez(
+        numtaps, [0, 5200, 6500, sample_rate / 2], [1, 0], fs=sample_rate
+    )
+    return h.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Demodulator
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class C4fmConfig:
+    sample_rate: int = 48_000  # input channel rate
+    rrc_alpha: float = 0.2
+    loop_bandwidth: float = 0.005  # fraction of symbol rate
+    max_clock_ppm: float = 2000.0
+
+    @property
+    def sps(self) -> float:
+        return self.sample_rate / SYMBOL_RATE
+
+
+class C4fmState(NamedTuple):
+    lpf_tail: jnp.ndarray  # complex
+    disc_prev: jnp.ndarray
+    rrc_tail: jnp.ndarray  # real
+    interp_tail: jnp.ndarray  # trailing filtered samples for next block
+    pos: jnp.ndarray  # next symbol center within interp_tail ++ new block
+    freq: jnp.ndarray  # samples per symbol estimate
+    integrator: jnp.ndarray
+    gain: jnp.ndarray  # EMA of |soft| at symbol instants (~2.0 when locked)
+    dc: jnp.ndarray  # EMA of DC offset (carrier error)
+    prev_soft: jnp.ndarray
+
+
+INTERP_TAIL = 64  # samples of filtered signal carried across blocks
+
+
+def c4fm_init(cfg: C4fmConfig) -> C4fmState:
+    lpf = design_baseband_lpf(float(cfg.sample_rate))
+    rrc = design_rrc(float(cfg.sample_rate), cfg.rrc_alpha)
+    return C4fmState(
+        lpf_tail=ops.fir_init(len(lpf), jnp.complex64),
+        disc_prev=jnp.zeros((), jnp.complex64),
+        rrc_tail=ops.fir_init(len(rrc), jnp.float32),
+        interp_tail=jnp.zeros(INTERP_TAIL, jnp.float32),
+        pos=jnp.asarray(float(INTERP_TAIL), jnp.float32),
+        freq=jnp.asarray(48_000.0 / SYMBOL_RATE, jnp.float32).astype(jnp.float32),
+        integrator=jnp.zeros((), jnp.float32),
+        gain=jnp.asarray(0.0, jnp.float32),  # 0 = "estimate from first block"
+        dc=jnp.zeros((), jnp.float32),
+        prev_soft=jnp.zeros((), jnp.float32),
+    )
+
+
+def n_symbols_per_block(cfg: C4fmConfig, block_len: int) -> int:
+    """Symbols per block: consumption must equal production on average so
+    the timing position neither starves nor overruns the carry tail."""
+    return int(round(block_len / cfg.sps))
+
+
+def c4fm_demodulate(iq: jnp.ndarray, state: C4fmState, cfg: C4fmConfig):
+    """Demodulate one IQ block -> (soft_symbols, dibits, state).
+
+    ``soft_symbols`` are in units of the 4-level constellation (~±1, ±3).
+    A fixed ``n_symbols_per_block(cfg, len(iq))`` symbols are produced.
+    """
+    fs = float(cfg.sample_rate)
+    sps = cfg.sps
+    lpf = jnp.asarray(design_baseband_lpf(fs))
+    rrc = jnp.asarray(design_rrc(fs, cfg.rrc_alpha))
+
+    x, lpf_tail = ops.fir_filter(iq, lpf, state.lpf_tail)
+    # discriminator scaled so +/-1800 Hz -> +/-3.0
+    fm, disc_prev = ops.quadrature_demod(
+        x, fs, state.disc_prev, max_deviation_hz=DEVIATION_HZ / 3.0
+    )
+    filt, rrc_tail = ops.fir_filter(fm, rrc, state.rrc_tail)
+
+    buf = jnp.concatenate([state.interp_tail, filt])
+    n_sym = n_symbols_per_block(cfg, iq.shape[-1])
+
+    alpha, beta = _loop_gains(cfg)
+    fmin = sps * (1 - cfg.max_clock_ppm * 1e-6)
+    fmax = sps * (1 + cfg.max_clock_ppm * 1e-6)
+
+    def interp(pos):
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - i0.astype(jnp.float32)
+        a = jax.lax.dynamic_slice(buf, (i0,), (2,))
+        return a[0] * (1 - frac) + a[1] * frac
+
+    # previous block's amplitude estimate (gain is a soft-output multiplier)
+    amp_prev = jnp.where(state.gain < 0.01, 2.0, 2.0 / jnp.maximum(state.gain, 0.05))
+
+    def step(carry, _):
+        pos, freq, integ, prev = carry
+        y = interp(pos) - dc0
+        y_mid = interp(pos - freq * 0.5) - dc0
+        # Gardner timing error on the 4-level waveform
+        err = jnp.clip((prev - y) * y_mid / amp_prev**2, -2.0, 2.0)
+        integ = jnp.clip(integ + beta * err, fmin - sps, fmax - sps)
+        freq = jnp.clip(sps + integ, fmin, fmax)
+        pos_next = pos + freq + alpha * err
+        return (pos_next, freq, integ, y), y
+
+    dc0 = state.dc * 0.9 + jnp.mean(filt) * 0.1
+    carry0 = (state.pos, state.freq, state.integrator, state.prev_soft)
+    (pos, freq, integ, prev), raw = jax.lax.scan(step, carry0, None, length=n_sym)
+
+    # Blockwise amplitude normalization: E|symbol| = 2 for the equiprobable
+    # 4-level constellation (replaces the reference's per-symbol equalizer
+    # gain loop, c4fm.py:212 — block statistics are free on TPU).
+    block_scale = 2.0 / jnp.maximum(jnp.mean(jnp.abs(raw)), 0.05)
+    # Slow EMA after acquisition: the framer applies ONE scale per frame
+    # (from the sync correlation), so the demod gain must be stable across
+    # the blocks a frame spans.
+    gain = jnp.where(
+        state.gain < 0.01, block_scale, 0.95 * state.gain + 0.05 * block_scale
+    )
+    gain = jnp.clip(gain, 0.05, 40.0)
+    soft = raw * gain
+    dc = dc0
+
+    dibits = soft_to_dibits(soft)
+
+    # next block: keep last INTERP_TAIL samples; shift pos accordingly.
+    # Clock offset between the transmitter and our sample clock slowly walks
+    # the position out of the carry window — recenter by slipping one whole
+    # symbol (the framer resynchronizes; same contract as the reference's
+    # sample-slip handling in its interpolating buffer, c4fm.py:891).
+    new_tail = buf[-INTERP_TAIL:]
+    pos_next = pos - (buf.shape[-1] - INTERP_TAIL)
+    pos_next = jnp.where(pos_next < 4.0, pos_next + sps, pos_next)
+    pos_next = jnp.where(pos_next > INTERP_TAIL + sps, pos_next - sps, pos_next)
+    new_state = C4fmState(
+        lpf_tail=lpf_tail,
+        disc_prev=disc_prev,
+        rrc_tail=rrc_tail,
+        interp_tail=new_tail,
+        pos=pos_next,
+        freq=freq,
+        integrator=integ,
+        gain=gain,
+        dc=dc,
+        prev_soft=prev,
+    )
+    return soft, dibits, new_state
+
+
+def _loop_gains(cfg: C4fmConfig):
+    # standard 2nd-order PI loop, damping 0.707
+    bw = cfg.loop_bandwidth
+    zeta = 0.707
+    denom = 1 + 2 * zeta * bw + bw * bw
+    alpha = 4 * zeta * bw / denom
+    beta = 4 * bw * bw / denom
+    return float(alpha), float(beta)
+
+
+def soft_to_dibits(soft: jnp.ndarray) -> jnp.ndarray:
+    """Map soft symbols to dibits: +3->1, +1->0, -1->2, -3->3."""
+    pos = soft >= 0
+    outer = jnp.abs(soft) >= 2.0
+    return jnp.where(
+        pos,
+        jnp.where(outer, 1, 0),
+        jnp.where(outer, 3, 2),
+    ).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Modulator (host-side; test-signal synthesis, reference encoders/trunking)
+# ---------------------------------------------------------------------------
+
+
+def modulate_c4fm(
+    dibits: np.ndarray,
+    sample_rate: float = 48_000.0,
+    amplitude: float = 1.0,
+) -> np.ndarray:
+    """Dibits -> C4FM complex IQ at ``sample_rate`` (RRC-shaped 4FSK)."""
+    from wavecap_tpu.decoders.p25_frames import DIBIT_SYMBOLS
+
+    sps = sample_rate / SYMBOL_RATE
+    assert abs(sps - round(sps)) < 1e-9, "integer sps required for synthesis"
+    sps = int(round(sps))
+    symbols = DIBIT_SYMBOLS[np.asarray(dibits, np.uint8)]
+    impulses = np.zeros(len(symbols) * sps, np.float32)
+    impulses[::sps] = symbols * sps  # impulse-train gain compensation
+    h = design_rrc(sample_rate)
+    shaped = _sps.lfilter(h, 1.0, impulses)
+    freq_hz = shaped * (DEVIATION_HZ / 3.0)
+    phase = 2 * np.pi * np.cumsum(freq_hz) / sample_rate
+    return (amplitude * np.exp(1j * phase)).astype(np.complex64)

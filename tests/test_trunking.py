@@ -1,0 +1,244 @@
+"""Trunking control plane: state machine (injected TSBKs) + full integration.
+
+Tier 1 mirrors reference ``tests/test_trunking.py`` (drive the real state
+machine with parsed TSBK dicts + stub capture); tier 2 goes further than
+the reference: a fake device transmits a real modulated P25 control
+channel and the whole system — capture, on-device C4FM, framer, FEC,
+grants — locks and follows voice grants.
+"""
+
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+from scipy import signal as sps
+
+from wavecap_tpu.capture import CaptureManager, CaptureConfig
+from wavecap_tpu.devices import FakeDriver, FakeStation
+from wavecap_tpu.trunking import (
+    TrunkingManager,
+    TrunkingSystem,
+    TrunkingSystemConfig,
+    TalkgroupConfig,
+)
+from wavecap_tpu.trunking.recorder import RecorderPool
+from wavecap_tpu.decoders import p25_frames as pf
+from wavecap_tpu.decoders import p25_tsbk as tsbk
+
+
+class StubCapture:
+    def __init__(self, center_hz, sample_rate):
+        class C:
+            pass
+
+        self.config = C()
+        self.config.center_hz = center_hz
+        self.config.sample_rate = sample_rate
+        self.retunes = []
+
+    def update_channel(self, cid, **kw):
+        self.retunes.append((cid, kw))
+
+
+def make_system(tmp_path, **cfg_kw):
+    cfg = TrunkingSystemConfig(
+        id="sys1",
+        control_channels=[851_000_000.0],
+        sample_rate=2_400_000,
+        **cfg_kw,
+    )
+    mgr = CaptureManager(FakeDriver())
+    sys_ = TrunkingSystem(cfg, mgr, state_dir=tmp_path)
+    # wire a stub capture + pool without starting threads
+    sys_.capture = StubCapture(851_000_000.0, 2_400_000)
+    sys_.pool = RecorderPool(["voice0", "voice1"])
+    return sys_
+
+
+class TestStateMachine:
+    def test_iden_up_then_grant_starts_call(self, tmp_path):
+        sys_ = make_system(tmp_path)
+        iden = tsbk.parse_tsbk(
+            0x3D, 0, tsbk.make_iden_up_data(identifier=1, base_freq_mhz=851.0)
+        )
+        sys_._handle_tsbk({**iden, "nac": 0x293}, None)
+        assert 1 in sys_.identifiers
+        grant = tsbk.parse_tsbk(
+            0x00,
+            0,
+            tsbk.make_group_grant_data(
+                tgid=1001, source_id=5_000_001, band=1, channel_number=40
+            ),
+        )
+        sys_._handle_tsbk({**grant, "nac": 0x293}, None)
+        assert 1001 in sys_.active_calls
+        call = sys_.active_calls[1001]
+        assert abs(call.frequency_hz - (851e6 + 40 * 12500)) < 1
+        # the recorder slot was retuned to the voice frequency
+        assert sys_.capture.retunes and sys_.capture.retunes[0][0] == "voice0"
+
+    def test_grant_without_iden_ignored(self, tmp_path):
+        sys_ = make_system(tmp_path)
+        grant = tsbk.parse_tsbk(
+            0x00,
+            0,
+            tsbk.make_group_grant_data(
+                tgid=1001, source_id=1, band=7, channel_number=40
+            ),
+        )
+        sys_._handle_tsbk({**grant, "nac": 0x293}, None)
+        assert not sys_.active_calls
+
+    def test_talkgroup_monitor_filter(self, tmp_path):
+        sys_ = make_system(
+            tmp_path,
+            talkgroups={
+                666: TalkgroupConfig(tgid=666, monitor=False),
+            },
+        )
+        sys_._handle_tsbk(
+            {
+                **tsbk.parse_tsbk(
+                    0x3D, 0, tsbk.make_iden_up_data(identifier=1, base_freq_mhz=851.0)
+                ),
+                "nac": 1,
+            },
+            None,
+        )
+        grant = tsbk.parse_tsbk(
+            0x00,
+            0,
+            tsbk.make_group_grant_data(tgid=666, source_id=1, band=1, channel_number=4),
+        )
+        sys_._handle_tsbk({**grant, "nac": 1}, None)
+        assert not sys_.active_calls
+
+    def test_grant_update_extends_existing(self, tmp_path):
+        sys_ = make_system(tmp_path)
+        sys_._handle_tsbk(
+            {
+                **tsbk.parse_tsbk(
+                    0x3D, 0, tsbk.make_iden_up_data(identifier=1, base_freq_mhz=851.0)
+                ),
+                "nac": 1,
+            },
+            None,
+        )
+        g = tsbk.make_group_grant_data(tgid=7, source_id=1, band=1, channel_number=4)
+        sys_._handle_tsbk({**tsbk.parse_tsbk(0x00, 0, g), "nac": 1}, None)
+        n_retunes = len(sys_.capture.retunes)
+        sys_._handle_tsbk({**tsbk.parse_tsbk(0x02, 0, g), "nac": 1}, None)
+        assert len(sys_.capture.retunes) == n_retunes  # no second assignment
+
+    def test_rfss_and_network_status(self, tmp_path):
+        sys_ = make_system(tmp_path)
+        rf = tsbk.parse_tsbk(
+            0x3A,
+            0,
+            tsbk.make_rfss_status_data(
+                system_id=0x2F5, rfss_id=1, site_id=3, band=1, channel_number=5
+            ),
+        )
+        sys_._handle_tsbk({**rf, "nac": 0x293}, None)
+        assert sys_.identity.system_id == 0x2F5
+        assert sys_.identity.site_id == 3
+
+    def test_state_persistence_roundtrip(self, tmp_path):
+        sys_ = make_system(tmp_path)
+        sys_._handle_tsbk(
+            {
+                **tsbk.parse_tsbk(
+                    0x3D, 0, tsbk.make_iden_up_data(identifier=2, base_freq_mhz=770.0)
+                ),
+                "nac": 1,
+            },
+            None,
+        )
+        sys_.cc_locked = 851_000_000.0
+        sys_._save_state()
+        sys2 = make_system(tmp_path)
+        assert 2 in sys2.identifiers
+        assert abs(sys2.identifiers[2].base_freq_mhz - 770.0) < 1e-6
+        assert sys2.cc_locked == 851_000_000.0
+
+
+def make_p25_cc_iq(capture_rate: int, offset_hz: float, nac=0x293, n_frames=30):
+    """A looping control-channel waveform at ``offset_hz`` in the capture."""
+    from wavecap_tpu.models.p25.c4fm import modulate_c4fm
+
+    pieces = []
+    for k in range(n_frames):
+        grant = pf.encode_tsbk_block(
+            tsbk.TSBKOpcode.GRP_V_CH_GRANT,
+            tsbk.make_group_grant_data(
+                tgid=2001, source_id=42, band=1, channel_number=56
+            ),
+        )
+        iden = pf.encode_tsbk_block(
+            tsbk.TSBKOpcode.IDEN_UP,
+            tsbk.make_iden_up_data(identifier=1, base_freq_mhz=851.0),
+            last=False,
+        )
+        rfss = pf.encode_tsbk_block(
+            tsbk.TSBKOpcode.RFSS_STS_BCAST,
+            tsbk.make_rfss_status_data(
+                system_id=0x123, rfss_id=1, site_id=7, band=1, channel_number=0
+            ),
+            last=True,
+        )
+        pieces.append(pf.build_tsdu_frame(nac, [iden, grant, rfss]))
+    dibits = np.concatenate(pieces)
+    iq48 = modulate_c4fm(dibits, 48_000)
+    from math import gcd
+
+    g = gcd(capture_rate, 48_000)
+    iq = sps.resample_poly(iq48, capture_rate // g, 48_000 // g).astype(np.complex64)
+    t = np.arange(len(iq)) / capture_rate
+    return (iq * np.exp(2j * np.pi * offset_hz * t)).astype(np.complex64)
+
+
+@pytest.mark.slow
+class TestTrunkingIntegration:
+    def test_locks_and_follows_grant(self, tmp_path):
+        capture_rate = 960_000
+        center = 851_500_000.0
+        cc_freq = 851_200_000.0
+        loop_iq = make_p25_cc_iq(capture_rate, cc_freq - center)
+
+        station = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        station.iq_loop = loop_iq
+        mgr = CaptureManager(FakeDriver(stations=[station]))
+        tm = TrunkingManager(mgr, state_dir=tmp_path)
+        cfg = TrunkingSystemConfig(
+            id="int1",
+            control_channels=[cc_freq],
+            center_hz=center,
+            sample_rate=capture_rate,
+            max_voice_channels=2,
+            recording_dir=str(tmp_path / "rec"),
+        )
+        sys_ = tm.create_system(cfg)
+        sys_.start()
+        try:
+            t0 = time.time()
+            while time.time() - t0 < 120:
+                st = sys_.status()
+                if st["synced"] and st["tsbkCount"] > 3 and (
+                    sys_.active_calls or sys_.call_history
+                ):
+                    break
+                time.sleep(0.25)
+            st = sys_.status()
+            assert st["synced"], st
+            assert st["nac"] == 0x293
+            assert st["tsbkCrcRate"] > 0.5, st
+            assert "1" in st["identifiers"] or 1 in st["identifiers"]
+            # the grant for tg 2001 must have started a call at 852.0 MHz
+            seen = list(sys_.active_calls.values()) + list(sys_.call_history)
+            assert any(c.tgid == 2001 for c in seen), st
+            call = next(c for c in seen if c.tgid == 2001)
+            assert abs(call.frequency_hz - (851e6 + 56 * 12500)) < 1
+            assert st["systemId"] == 0x123 and st["siteId"] == 7
+        finally:
+            tm.stop_all()

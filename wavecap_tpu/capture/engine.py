@@ -37,6 +37,7 @@ from . import pipeline as pl
 logger = logging.getLogger(__name__)
 
 WIDE_MODES = ("wbfm",)
+P25_MODES = ("p25",)
 
 
 @dataclass
@@ -59,6 +60,7 @@ class CaptureConfig:
     fft_size: int = 2048
     narrow_capacity: int = 8
     wide_capacity: int = 2
+    p25_capacity: int = 2
     audio_rate: int = 48_000
     channel_bandwidth: float = 25_000.0
 
@@ -68,9 +70,10 @@ class ChannelHandle:
 
     def __init__(self, spec: ChannelSpec, mode_group: str, slot: int):
         self.spec = spec
-        self.mode_group = mode_group  # "wide" or a narrow mode name
+        self.mode_group = mode_group  # "wide", "p25", or a narrow mode name
         self.slot = slot
         self.audio = FanOut(maxsize=32)
+        self.symbols = FanOut(maxsize=32)  # P25 soft-symbol batches
         self.rssi_db: float = -200.0
         self.state = "active"
 
@@ -129,7 +132,12 @@ class Capture:
     # -- channel management ----------------------------------------------
 
     def _mode_group(self, mode: str) -> str:
-        return "wide" if mode.lower() in WIDE_MODES else mode.lower()
+        m = mode.lower()
+        if m in WIDE_MODES:
+            return "wide"
+        if m in P25_MODES:
+            return "p25"
+        return m
 
     def create_channel(self, spec: ChannelSpec) -> ChannelHandle:
         with self._lock:
@@ -142,11 +150,12 @@ class Capture:
                 raise ValueError(
                     f"frequency {spec.frequency_hz} outside capture span"
                 )
-            cap = (
-                self.config.wide_capacity
-                if group == "wide"
-                else self.config.narrow_capacity
-            )
+            if group == "wide":
+                cap = self.config.wide_capacity
+            elif group == "p25":
+                cap = self.config.p25_capacity
+            else:
+                cap = self.config.narrow_capacity
             used = {c.slot for c in self.channels.values() if c.mode_group == group}
             free = [s for s in range(cap) if s not in used]
             if not free:
@@ -175,7 +184,13 @@ class Capture:
 
     def _narrow_modes(self) -> tuple:
         return tuple(
-            sorted({c.mode_group for c in self.channels.values() if c.mode_group != "wide"})
+            sorted(
+                {
+                    c.mode_group
+                    for c in self.channels.values()
+                    if c.mode_group not in ("wide", "p25")
+                }
+            )
         )
 
     def _make_pipe_cfg(self) -> pl.CapturePipelineConfig:
@@ -188,6 +203,7 @@ class Capture:
             narrow_capacity=cfg.narrow_capacity,
             channel_bandwidth=cfg.channel_bandwidth,
             wide_capacity=cfg.wide_capacity,
+            p25_capacity=cfg.p25_capacity,
             audio_rate=cfg.audio_rate,
         )
 
@@ -215,10 +231,21 @@ class Capture:
             )
             for m in cfg.narrow_modes
         }
+        p25 = dict(
+            idx=np.zeros(cfg.p25_capacity, np.int32),
+            fine=np.zeros(cfg.p25_capacity, np.float32),
+            act=np.zeros(cfg.p25_capacity, bool),
+            sq=np.full(cfg.p25_capacity, -1e9, np.float32),
+        )
         for ch in self.channels.values():
             off = ch.spec.frequency_hz - self.config.center_hz
             sq = ch.spec.squelch_db if ch.spec.squelch_db is not None else -1e9
-            if ch.mode_group == "wide":
+            if ch.mode_group == "p25":
+                ci = ch_cfg.channel_index(off)
+                p25["idx"][ch.slot] = ci
+                p25["fine"][ch.slot] = off - ch_cfg.channel_offset_hz(ci)
+                p25["act"][ch.slot] = True
+            elif ch.mode_group == "wide":
                 wide["off"][ch.slot] = off
                 wide["act"][ch.slot] = True
                 wide["sq"][ch.slot] = sq
@@ -238,6 +265,16 @@ class Capture:
             )
             for m, a in bank_arrays.items()
         }
+        new_p25 = (
+            pl.ChannelAssignment(
+                channel_index=jnp.asarray(p25["idx"]),
+                fine_offset_hz=jnp.asarray(p25["fine"]),
+                active=jnp.asarray(p25["act"]),
+                squelch_db=jnp.asarray(p25["sq"]),
+            )
+            if cfg.p25_capacity > 0
+            else None
+        )
         new_wide = (
             pl.WideAssignment(
                 offset_hz=jnp.asarray(np.asarray(wide["off"], np.float32)),
@@ -247,7 +284,7 @@ class Capture:
             if cfg.wide_capacity > 0
             else None
         )
-        return pl.CaptureControl(banks=new_banks, wide=new_wide)
+        return pl.CaptureControl(banks=new_banks, wide=new_wide, p25=new_p25)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -336,6 +373,19 @@ class Capture:
         if self.iq_subs.active:
             self.iq_subs.publish(block)
         for ch in channels:
+            if ch.mode_group == "p25":
+                grp = out.get("p25")
+                if grp is None:
+                    continue
+                ch.rssi_db = float(grp["rssi"][ch.slot])
+                ch.symbols.publish(
+                    {
+                        "soft": np.asarray(grp["soft"][ch.slot]),
+                        "dibits": np.asarray(grp["dibits"][ch.slot]),
+                        "rssi": ch.rssi_db,
+                    }
+                )
+                continue
             if ch.mode_group == "wide":
                 grp = out.get("wide")
             else:

@@ -43,6 +43,13 @@ from wavecap_tpu.models.registry import get_demod
 from wavecap_tpu.ops.channelizer import ChannelizerConfig
 
 
+from wavecap_tpu.models.p25.c4fm import (
+    C4fmConfig,
+    C4fmState,
+    c4fm_init,
+    c4fm_demodulate,
+)
+
 NARROW_MODES = ("nbfm", "am", "sam", "usb", "lsb")
 WIDE_RATE = 240_000  # WBFM intermediate rate
 
@@ -73,6 +80,7 @@ class CapturePipelineConfig:
     narrow_capacity: int = 8
     channel_bandwidth: float = 25_000.0
     wide_capacity: int = 0
+    p25_capacity: int = 0
     audio_rate: int = 48_000
 
     def channelizer(self) -> ChannelizerConfig:
@@ -117,14 +125,22 @@ class WideAssignment(NamedTuple):
     squelch_db: jnp.ndarray  # (W,) f32
 
 
+class P25BankState(NamedTuple):
+    nco_phase: jnp.ndarray  # (P,) uint32
+    c4fm: Any  # stacked C4fmState
+
+
 class CaptureState(NamedTuple):
+    chan_state: jnp.ndarray | None  # shared channelizer history
     banks: dict  # mode -> ChannelBankState
     wide: WideState | None
+    p25: P25BankState | None
 
 
 class CaptureControl(NamedTuple):
     banks: dict  # mode -> ChannelAssignment
     wide: WideAssignment | None
+    p25: ChannelAssignment | None  # channel_index/fine/active reused
 
 
 def wide_assignment_init(capacity: int) -> WideAssignment:
@@ -151,16 +167,35 @@ def wide_init(cfg: WideSlotConfig) -> WideState:
     )
 
 
+def p25_cfg_for(cfg: CapturePipelineConfig) -> C4fmConfig:
+    return C4fmConfig(sample_rate=int(cfg.channelizer().channel_rate))
+
+
+def p25_init(cfg: CapturePipelineConfig) -> P25BankState:
+    base = c4fm_init(p25_cfg_for(cfg))
+    p = cfg.p25_capacity
+    return P25BankState(
+        nco_phase=jnp.zeros(p, jnp.uint32),
+        c4fm=jax.tree.map(lambda x: jnp.broadcast_to(x, (p,) + x.shape), base),
+    )
+
+
 def pipeline_init(cfg: CapturePipelineConfig) -> CaptureState:
+    from wavecap_tpu.ops.channelizer import channelizer_init
+
     banks = {m: bank_init(cfg.bank_cfg(m)) for m in cfg.narrow_modes}
     wide = wide_init(cfg.wide_cfg()) if cfg.wide_capacity > 0 else None
-    return CaptureState(banks=banks, wide=wide)
+    p25 = p25_init(cfg) if cfg.p25_capacity > 0 else None
+    needs_chan = bool(cfg.narrow_modes) or cfg.p25_capacity > 0
+    chan = channelizer_init(cfg.channelizer()) if needs_chan else None
+    return CaptureState(chan_state=chan, banks=banks, wide=wide, p25=p25)
 
 
 def control_init(cfg: CapturePipelineConfig) -> CaptureControl:
     banks = {m: assignment_init(cfg.narrow_capacity) for m in cfg.narrow_modes}
     wide = wide_assignment_init(cfg.wide_capacity) if cfg.wide_capacity > 0 else None
-    return CaptureControl(banks=banks, wide=wide)
+    p25 = assignment_init(cfg.p25_capacity) if cfg.p25_capacity > 0 else None
+    return CaptureControl(banks=banks, wide=wide, p25=p25)
 
 
 def _wide_step(iq, state: WideState, assign: WideAssignment, cfg: WideSlotConfig):
@@ -190,14 +225,25 @@ def capture_step(
     cfg: CapturePipelineConfig,
 ):
     """One block through the whole capture.  Returns (outputs, state)."""
+    from wavecap_tpu.ops.channelizer import channelize
+    from wavecap_tpu.models.channel_bank import bank_demod_step
+
     out: dict[str, Any] = {}
     out["spectrum"] = ops.spectrogram(x, cfg.fft_size, hop=cfg.fft_size, average=4)
     out["rssi"] = ops.rssi_dbfs(x)
 
+    # One channelizer pass feeds every narrowband bank and the P25 bank.
+    chans = None
+    new_chan_state = state.chan_state
+    if state.chan_state is not None:
+        chans, new_chan_state = channelize(x, state.chan_state, cfg.channelizer())
+
     new_banks = {}
     bank_out = {}
     for mode in cfg.narrow_modes:
-        o, s = bank_step(x, state.banks[mode], ctl.banks[mode], cfg.bank_cfg(mode))
+        o, s = bank_demod_step(
+            chans, state.banks[mode], ctl.banks[mode], cfg.bank_cfg(mode)
+        )
         bank_out[mode] = o
         new_banks[mode] = s
     out["banks"] = bank_out
@@ -207,7 +253,37 @@ def capture_step(
         wo, new_wide = _wide_step(x, state.wide, ctl.wide, cfg.wide_cfg())
         out["wide"] = wo
 
-    return out, CaptureState(banks=new_banks, wide=new_wide)
+    new_p25 = state.p25
+    if cfg.p25_capacity > 0 and state.p25 is not None and ctl.p25 is not None:
+        po, new_p25 = _p25_step(chans, state.p25, ctl.p25, cfg)
+        out["p25"] = po
+
+    return out, CaptureState(
+        chan_state=new_chan_state, banks=new_banks, wide=new_wide, p25=new_p25
+    )
+
+
+def _p25_step(chans, state: P25BankState, assign, cfg: CapturePipelineConfig):
+    """C4FM symbol bank over the shared channelizer output."""
+    ch = cfg.channelizer()
+    c4 = p25_cfg_for(cfg)
+    selected = chans[assign.channel_index]
+    rate = ch.channel_rate
+
+    def per_slot(iq_slot, offset_hz, phase0, c4state):
+        shifted, phase1 = ops.freq_shift(iq_slot, -offset_hz, rate, phase0)
+        rssi = ops.rssi_dbfs(shifted)
+        soft, dibits, c4state = c4fm_demodulate(shifted, c4state, c4)
+        return soft, dibits, rssi, phase1, c4state
+
+    soft, dibits, rssi, phases, c4states = jax.vmap(per_slot)(
+        selected, assign.fine_offset_hz, state.nco_phase, state.c4fm
+    )
+    rssi = jnp.where(assign.active, rssi, jnp.full_like(rssi, -200.0))
+    return (
+        {"soft": soft, "dibits": dibits, "rssi": rssi},
+        P25BankState(phases, c4states),
+    )
 
 
 def jit_capture_step(cfg: CapturePipelineConfig):

@@ -257,6 +257,62 @@ def decode_tsdu(frame_dibits: np.ndarray) -> TSDUFrame | None:
 
 
 # ---------------------------------------------------------------------------
+# LDU (voice) frames
+# ---------------------------------------------------------------------------
+
+# LDU payload layout after sync+NID, status symbols removed (bits):
+# IMBE1 IMBE2 LC1 IMBE3 LC2 IMBE4 LC3 IMBE5 LC4 IMBE6 LC5 IMBE7 LC6 IMBE8
+# LSD IMBE9  — IMBE codewords are 144 bits, LC chunks 40, LSD 32
+# (TIA-102.BAAA voice LDU structure; the reference's extractor at
+# decoders/p25_frames.py:986 is a simplified contiguous layout — we use
+# the spec geometry).
+_LDU_LAYOUT: list[tuple[str, int]] = [
+    ("imbe", 144), ("imbe", 144),
+    ("lc", 40), ("imbe", 144), ("lc", 40), ("imbe", 144),
+    ("lc", 40), ("imbe", 144), ("lc", 40), ("imbe", 144),
+    ("lc", 40), ("imbe", 144), ("lc", 40), ("imbe", 144),
+    ("lsd", 32), ("imbe", 144),
+]
+
+
+@dataclass
+class LDUFrame:
+    nid: NID
+    imbe_codewords: list  # 9 x 144-bit arrays (raw, pre vocoder FEC)
+    lc_bits: np.ndarray  # 240 bits (LDU1: link control; LDU2: enc sync)
+    lsd_bits: np.ndarray  # 32 bits
+
+
+def decode_ldu(frame_dibits: np.ndarray) -> LDUFrame | None:
+    """Full LDU frame (from sync) -> raw IMBE codewords + LC/LSD bits."""
+    d = np.asarray(frame_dibits, np.uint8)
+    if len(d) < 864:
+        return None
+    nid = decode_nid(d[SYNC_LEN : SYNC_LEN + NID_LEN])
+    if nid is None:
+        return None
+    payload = remove_status_dibits(d[57:864], frame_offset=57)
+    bits = dibits_to_bits(payload)
+    imbe, lc, lsd = [], [], []
+    pos = 0
+    for kind, width in _LDU_LAYOUT:
+        chunk = bits[pos : pos + width]
+        pos += width
+        if kind == "imbe":
+            imbe.append(chunk)
+        elif kind == "lc":
+            lc.append(chunk)
+        else:
+            lsd.append(chunk)
+    return LDUFrame(
+        nid=nid,
+        imbe_codewords=imbe,
+        lc_bits=np.concatenate(lc) if lc else np.zeros(0, np.uint8),
+        lsd_bits=np.concatenate(lsd) if lsd else np.zeros(0, np.uint8),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Synthesis (tests / encoders)
 # ---------------------------------------------------------------------------
 

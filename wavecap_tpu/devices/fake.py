@@ -19,10 +19,11 @@ from .base import Device, DeviceConfig, DeviceDriver, DeviceInfo, StreamHandle
 @dataclass
 class FakeStation:
     offset_hz: float  # from capture center
-    kind: str = "tone"  # tone | nbfm | wbfm | am | carrier
+    kind: str = "tone"  # tone | nbfm | wbfm | am | carrier | iq_loop
     tone_hz: float = 1000.0
     deviation_hz: float = 4000.0
     amplitude: float = 0.5
+    iq_loop: np.ndarray | None = None  # for kind="iq_loop": looped baseband
 
 
 class FakeStream(StreamHandle):
@@ -63,6 +64,12 @@ class FakeStream(StreamHandle):
             elif s.kind == "am":
                 mod = 1.0 + 0.6 * np.sin(2 * np.pi * s.tone_hz * t)
                 x += s.amplitude * mod * np.exp(2j * np.pi * s.offset_hz * t)
+            elif s.kind == "iq_loop" and s.iq_loop is not None:
+                idx = (self._pos + np.arange(n)) % len(s.iq_loop)
+                base = s.iq_loop[idx]
+                if s.offset_hz:
+                    base = base * np.exp(2j * np.pi * s.offset_hz * t)
+                x += s.amplitude * base
         if self.noise > 0:
             x += self.noise * (
                 self._rng.standard_normal(n) + 1j * self._rng.standard_normal(n)

@@ -80,20 +80,18 @@ def bank_init(cfg: ChannelBankConfig) -> ChannelBankState:
     )
 
 
-def bank_step(
-    iq: jnp.ndarray,
+def bank_demod_step(
+    chans: jnp.ndarray,
     state: ChannelBankState,
     assign: ChannelAssignment,
     cfg: ChannelBankConfig,
 ):
-    """Process one wideband block through channelizer + demod bank.
+    """Demod bank over pre-channelized output ``chans`` of shape (M, S).
 
-    Returns ``(out, state)`` where ``out`` is a dict with:
-      audio:  (capacity, n_audio) f32, squelch-gated, zeroed when inactive
-      rssi:   (capacity,) f32 dBFS per slot
+    Returns ``(out, state)``; ``state.chan_state`` passes through untouched
+    (the caller owns the shared channelizer history).
     """
     spec = get_demod(cfg.mode)
-    chans, chan_state = channelize(iq, state.chan_state, cfg.channelizer)
     rate = cfg.channelizer.channel_rate
 
     selected = chans[assign.channel_index]  # (capacity, S)
@@ -113,4 +111,16 @@ def bank_step(
     rssi = jnp.where(assign.active, rssi, jnp.full_like(rssi, -200.0))
 
     out = {"audio": audio, "rssi": rssi}
-    return out, ChannelBankState(chan_state, demod_states, nco_phase)
+    return out, ChannelBankState(state.chan_state, demod_states, nco_phase)
+
+
+def bank_step(
+    iq: jnp.ndarray,
+    state: ChannelBankState,
+    assign: ChannelAssignment,
+    cfg: ChannelBankConfig,
+):
+    """Standalone wideband step: channelize + demod bank (single-bank use)."""
+    chans, chan_state = channelize(iq, state.chan_state, cfg.channelizer)
+    out, state = bank_demod_step(chans, state, assign, cfg)
+    return out, state._replace(chan_state=chan_state)

@@ -1,0 +1,141 @@
+"""Trunking system configuration (reference ``trunking/config.py`` parity).
+
+YAML/dict-driven system config + talkgroup lists (CSV importable in the
+RadioReference export format the reference consumes,
+reference ``trunking/config.py:load_talkgroups_csv``).
+"""
+
+from __future__ import annotations
+
+import csv
+from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
+from typing import Any
+
+
+class TrunkingProtocol(str, Enum):
+    P25_PHASE1 = "p25_phase1"
+    P25_PHASE2 = "p25_phase2"
+
+
+class HuntMode(str, Enum):
+    FIXED = "fixed"  # stay on configured control channel
+    HUNT = "hunt"  # cycle through list on loss
+    SCAN = "scan"  # measure all, pick best
+
+
+@dataclass
+class TalkgroupConfig:
+    tgid: int
+    name: str = ""
+    category: str = ""
+    priority: int = 5  # 1 = highest
+    record: bool = True
+    monitor: bool = True
+
+
+@dataclass
+class TrunkingSystemConfig:
+    id: str
+    name: str = ""
+    protocol: TrunkingProtocol = TrunkingProtocol.P25_PHASE1
+    control_channels: list[float] = field(default_factory=list)  # Hz
+    center_hz: float | None = None  # capture center; default = mean of CCs
+    sample_rate: int = 2_400_000
+    device_id: str | None = None
+    hunt_mode: HuntMode = HuntMode.HUNT
+    hunt_timeout_s: float = 10.0
+    max_voice_channels: int = 4
+    min_call_duration_s: float = 1.0
+    call_hold_s: float = 2.0
+    record_audio: bool = True
+    recording_dir: str = "recordings"
+    talkgroups: dict[int, TalkgroupConfig] = field(default_factory=dict)
+    monitor_unknown_talkgroups: bool = True
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "TrunkingSystemConfig":
+        tgs = {}
+        for tg in d.get("talkgroups", []) or []:
+            if isinstance(tg, dict):
+                t = TalkgroupConfig(
+                    tgid=int(tg["tgid"]),
+                    name=tg.get("name", ""),
+                    category=tg.get("category", ""),
+                    priority=int(tg.get("priority", 5)),
+                    record=bool(tg.get("record", True)),
+                    monitor=bool(tg.get("monitor", True)),
+                )
+                tgs[t.tgid] = t
+        cc = [float(f) for f in d.get("control_channels", d.get("controlChannels", []))]
+        return cls(
+            id=str(d["id"]),
+            name=d.get("name", str(d["id"])),
+            protocol=TrunkingProtocol(d.get("protocol", "p25_phase1")),
+            control_channels=cc,
+            center_hz=d.get("center_hz", d.get("centerHz")),
+            sample_rate=int(d.get("sample_rate", d.get("sampleRate", 2_400_000))),
+            device_id=d.get("device_id", d.get("deviceId")),
+            hunt_mode=HuntMode(d.get("hunt_mode", d.get("huntMode", "hunt"))),
+            hunt_timeout_s=float(d.get("hunt_timeout_s", d.get("huntTimeoutS", 10.0))),
+            max_voice_channels=int(d.get("max_voice_channels", d.get("maxVoiceChannels", 4))),
+            min_call_duration_s=float(d.get("min_call_duration_s", 1.0)),
+            call_hold_s=float(d.get("call_hold_s", 2.0)),
+            record_audio=bool(d.get("record_audio", d.get("recordAudio", True))),
+            recording_dir=str(d.get("recording_dir", d.get("recordingDir", "recordings"))),
+            talkgroups=tgs,
+            monitor_unknown_talkgroups=bool(d.get("monitor_unknown_talkgroups", True)),
+        )
+
+    def effective_center_hz(self) -> float:
+        if self.center_hz is not None:
+            return float(self.center_hz)
+        if not self.control_channels:
+            raise ValueError("no control channels configured")
+        return float(np_mean(self.control_channels))
+
+    def talkgroup(self, tgid: int) -> TalkgroupConfig:
+        tg = self.talkgroups.get(tgid)
+        if tg is None:
+            tg = TalkgroupConfig(
+                tgid=tgid,
+                name=f"TG {tgid}",
+                record=self.monitor_unknown_talkgroups,
+                monitor=self.monitor_unknown_talkgroups,
+            )
+        return tg
+
+
+def np_mean(vals: list[float]) -> float:
+    return sum(vals) / len(vals)
+
+
+def load_talkgroups_csv(path: str | Path) -> dict[int, TalkgroupConfig]:
+    """RadioReference-style CSV: Decimal, Alpha Tag/Description, Category…"""
+    out: dict[int, TalkgroupConfig] = {}
+    with open(path, newline="") as f:
+        reader = csv.DictReader(f)
+        for row in reader:
+            low = {k.lower().strip(): (v or "").strip() for k, v in row.items() if k}
+            tgid_s = low.get("decimal") or low.get("tgid") or low.get("dec")
+            if not tgid_s:
+                continue
+            try:
+                tgid = int(tgid_s)
+            except ValueError:
+                continue
+            name = (
+                low.get("alpha tag")
+                or low.get("alphatag")
+                or low.get("description")
+                or low.get("name")
+                or f"TG {tgid}"
+            )
+            out[tgid] = TalkgroupConfig(
+                tgid=tgid,
+                name=name,
+                category=low.get("category", low.get("tag", "")),
+                priority=int(low.get("priority") or 5),
+            )
+    return out

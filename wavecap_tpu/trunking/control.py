@@ -1,0 +1,108 @@
+"""Control-channel monitor: P25 symbol stream -> parsed TSBKs + sync state.
+
+Behavioral port of reference ``trunking/control_channel.py:62``
+(``ControlChannelMonitor``), consuming the TPU capture's per-block soft
+symbols (a ``p25`` channel's ``symbols`` fan-out) instead of raw IQ — the
+demod already ran on-device.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+
+from wavecap_tpu.decoders import p25_frames as pf
+from wavecap_tpu.decoders import p25_tsbk as tsbk_mod
+from wavecap_tpu.decoders.framer import P25Framer
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ControlChannelStats:
+    frames: int = 0
+    tsdu_frames: int = 0
+    tsbk_total: int = 0
+    tsbk_crc_ok: int = 0
+    last_frame_time: float = 0.0
+    nac: int | None = None
+
+    @property
+    def crc_rate(self) -> float:
+        return self.tsbk_crc_ok / self.tsbk_total if self.tsbk_total else 0.0
+
+
+class ControlChannelMonitor:
+    """Feed ``process_symbols(soft)``; emits parsed TSBK dicts via callback.
+
+    Callbacks:
+      on_tsbk(parsed: dict, block: TSBKBlock)
+      on_sync_acquired() / on_sync_lost()  (reference system.py:1363-1383)
+    """
+
+    SYNC_LOSS_S = 2.0
+
+    def __init__(
+        self,
+        on_tsbk: Callable[[dict, Any], None] | None = None,
+        on_sync_acquired: Callable[[], None] | None = None,
+        on_sync_lost: Callable[[], None] | None = None,
+        nac_filter: int | None = None,
+    ):
+        self.framer = P25Framer()
+        self.on_tsbk = on_tsbk
+        self.on_sync_acquired = on_sync_acquired
+        self.on_sync_lost = on_sync_lost
+        self.nac_filter = nac_filter
+        self.stats = ControlChannelStats()
+        self.synced = False
+
+    def reset(self) -> None:
+        self.framer.reset()
+
+    def process_symbols(self, soft: np.ndarray, now: float | None = None) -> list[dict]:
+        now = time.time() if now is None else now
+        parsed_out: list[dict] = []
+        for frame in self.framer.process(soft):
+            self.stats.frames += 1
+            self.stats.last_frame_time = now
+            if self.nac_filter is not None and frame.nac != self.nac_filter:
+                continue
+            self.stats.nac = frame.nac
+            if not self.synced:
+                self.synced = True
+                if self.on_sync_acquired:
+                    self.on_sync_acquired()
+            if frame.duid != pf.DUID.TSDU:
+                continue
+            self.stats.tsdu_frames += 1
+            payload = pf.remove_status_dibits(frame.dibits[57:], 57)
+            for block in pf.decode_tsbk_payload(payload):
+                self.stats.tsbk_total += 1
+                if not block.crc_valid:
+                    continue
+                self.stats.tsbk_crc_ok += 1
+                parsed = tsbk_mod.parse_tsbk(block.opcode, block.mfid, block.data)
+                parsed["nac"] = frame.nac
+                parsed_out.append(parsed)
+                if self.on_tsbk:
+                    self.on_tsbk(parsed, block)
+        if (
+            self.synced
+            and now - self.stats.last_frame_time > self.SYNC_LOSS_S
+        ):
+            self.synced = False
+            if self.on_sync_lost:
+                self.on_sync_lost()
+        return parsed_out
+
+    def check_timeout(self, now: float | None = None) -> None:
+        now = time.time() if now is None else now
+        if self.synced and now - self.stats.last_frame_time > self.SYNC_LOSS_S:
+            self.synced = False
+            if self.on_sync_lost:
+                self.on_sync_lost()

@@ -1,0 +1,165 @@
+"""Voice recorders: granted-call capture on dynamically tuned P25 slots.
+
+Behavioral port of reference ``trunking/system.py:267`` (``VoiceRecorder``)
+and ``trunking/voice_channel.py:55``: a pool of recorder slots, each bound
+to a ``p25`` channel slot in the trunking capture.  On a grant the slot is
+retuned to the voice frequency; LDU frames are assembled from the symbol
+stream, IMBE codewords extracted and (if a vocoder backend is available)
+synthesized to PCM; recordings are written as WAV + JSON metadata.
+
+Without a vocoder the raw IMBE codewords are still written (``.imbe``
+binary, DSD-compatible framing) so audio can be recovered offline —
+the same degradation the reference has without mbelib/DSD-FME.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+import numpy as np
+
+from wavecap_tpu.decoders import p25_frames as pf
+from wavecap_tpu.decoders.framer import P25Framer
+from wavecap_tpu.decoders.voice import VoiceDecoder, vocoder_available
+from wavecap_tpu.utils.wavio import write_audio_wav
+from wavecap_tpu.utils.broadcast import FanOut
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class CallInfo:
+    tgid: int
+    source_id: int
+    frequency_hz: float
+    start_time: float
+    system_id: str = ""
+    talkgroup_name: str = ""
+    emergency: bool = False
+    encrypted: bool = False
+    end_time: float | None = None
+    imbe_frames: int = 0
+    audio_seconds: float = 0.0
+
+
+class VoiceRecorder:
+    """One recorder slot.  States: idle -> recording -> idle."""
+
+    def __init__(self, recorder_id: int, channel_id: str):
+        self.id = recorder_id
+        self.channel_id = channel_id  # p25 channel in the trunking capture
+        self.state = "idle"
+        self.call: CallInfo | None = None
+        self.framer = P25Framer()
+        self.decoder = VoiceDecoder()
+        self.audio = FanOut(maxsize=32)  # live PCM subscribers
+        self._imbe: list[np.ndarray] = []
+        self._pcm: list[np.ndarray] = []
+        self.last_activity = 0.0
+
+    @property
+    def recording(self) -> bool:
+        return self.state == "recording"
+
+    def assign(self, call: CallInfo) -> None:
+        self.call = call
+        self.state = "recording"
+        self.framer.reset()
+        self._imbe = []
+        self._pcm = []
+        self.last_activity = call.start_time
+
+    def process_symbols(self, soft: np.ndarray, now: float | None = None) -> None:
+        if not self.recording:
+            return
+        now = time.time() if now is None else now
+        for frame in self.framer.process(soft):
+            if frame.duid in (pf.DUID.LDU1, pf.DUID.LDU2):
+                ldu = pf.decode_ldu(frame.dibits)
+                if ldu is None:
+                    continue
+                self.last_activity = now
+                for cw in ldu.imbe_codewords:
+                    self._imbe.append(np.asarray(cw, np.uint8))
+                    if self.call:
+                        self.call.imbe_frames += 1
+                pcm = self.decoder.decode_codewords(ldu.imbe_codewords)
+                if pcm is not None and len(pcm):
+                    self._pcm.append(pcm)
+                    self.audio.publish(pcm)
+            elif frame.duid in (pf.DUID.TDU, pf.DUID.TDULC):
+                self.last_activity = 0.0  # terminator: end promptly
+
+    def finalize(
+        self, recording_dir: Path | None, min_duration_s: float, now: float
+    ) -> CallInfo | None:
+        """End the call; write artifacts; return the finished CallInfo."""
+        call = self.call
+        self.state = "idle"
+        self.call = None
+        if call is None:
+            return None
+        call.end_time = now
+        call.audio_seconds = sum(len(p) for p in self._pcm) / 8000.0
+        duration = call.end_time - call.start_time
+        if recording_dir is not None and duration >= min_duration_s and (
+            self._imbe or self._pcm
+        ):
+            recording_dir.mkdir(parents=True, exist_ok=True)
+            stamp = time.strftime("%Y%m%d_%H%M%S", time.localtime(call.start_time))
+            base = recording_dir / f"{stamp}_tg{call.tgid}_src{call.source_id}"
+            if self._pcm:
+                write_audio_wav(str(base) + ".wav", np.concatenate(self._pcm), 8000)
+            if self._imbe:
+                packed = np.concatenate([np.packbits(f) for f in self._imbe])
+                (Path(str(base) + ".imbe")).write_bytes(packed.tobytes())
+            meta = {
+                "tgid": call.tgid,
+                "talkgroup": call.talkgroup_name,
+                "sourceId": call.source_id,
+                "frequencyHz": call.frequency_hz,
+                "startTime": call.start_time,
+                "endTime": call.end_time,
+                "imbeFrames": call.imbe_frames,
+                "audioSeconds": call.audio_seconds,
+                "emergency": call.emergency,
+                "encrypted": call.encrypted,
+                "vocoder": vocoder_available(),
+            }
+            (Path(str(base) + ".json")).write_text(json.dumps(meta, indent=2))
+        self._imbe = []
+        self._pcm = []
+        return call
+
+
+class RecorderPool:
+    """Fixed pool of recorders mapped to p25 slots (reference :354)."""
+
+    def __init__(self, channel_ids: list[str]):
+        self.recorders = [VoiceRecorder(i, cid) for i, cid in enumerate(channel_ids)]
+
+    def available(self) -> VoiceRecorder | None:
+        for r in self.recorders:
+            if not r.recording:
+                return r
+        return None
+
+    def recording(self) -> list[VoiceRecorder]:
+        return [r for r in self.recorders if r.recording]
+
+    def by_channel(self, channel_id: str) -> VoiceRecorder | None:
+        for r in self.recorders:
+            if r.channel_id == channel_id:
+                return r
+        return None
+
+    def for_tgid(self, tgid: int) -> VoiceRecorder | None:
+        for r in self.recorders:
+            if r.recording and r.call and r.call.tgid == tgid:
+                return r
+        return None

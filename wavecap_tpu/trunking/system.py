@@ -1,0 +1,409 @@
+"""TrunkingSystem: P25 trunking state machine with voice following.
+
+Behavioral port of reference ``trunking/system.py:850`` redesigned around
+the TPU capture: the system owns one capture whose channelizer feeds a
+``p25`` control-channel slot plus a pool of ``p25`` voice slots; all demod
+runs on-device, and this class consumes symbol streams:
+
+  * control-channel lock/hunt across configured frequencies
+    (reference hunt at ``system.py:2382``),
+  * IDEN_UP learning -> channel->frequency math (``system.py:2588``),
+  * voice grants -> recorder pool assignment and slot retuning
+    (``system.py:2024``),
+  * call lifecycle with hold timeout and history ring (``system.py:2678``),
+  * state persistence: hunt index, locked CC, learned identifiers
+    (reference ``~/.wavecapsdr/trunking_state``, ``system.py:81-131``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import time
+from collections import deque
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+import numpy as np
+
+from wavecap_tpu.capture import CaptureConfig, CaptureManager, ChannelSpec
+from wavecap_tpu.decoders.p25_tsbk import ChannelIdentifier, iden_from_parsed
+from .config import HuntMode, TrunkingSystemConfig
+from .control import ControlChannelMonitor
+from .recorder import CallInfo, RecorderPool, VoiceRecorder
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class SystemIdentity:
+    nac: int | None = None
+    system_id: int | None = None
+    wacn: int | None = None
+    rfss_id: int | None = None
+    site_id: int | None = None
+
+
+class TrunkingSystem:
+    CALL_HISTORY = 200
+
+    def __init__(
+        self,
+        config: TrunkingSystemConfig,
+        capture_manager: CaptureManager,
+        state_dir: str | Path | None = None,
+    ):
+        self.config = config
+        self.capture_manager = capture_manager
+        self.state_dir = Path(state_dir) if state_dir else Path.home() / ".wavecap_tpu" / "trunking_state"
+        self.state = "created"  # created|starting|running|stopped|failed
+        self.error: str | None = None
+
+        self.identity = SystemIdentity()
+        self.identifiers: dict[int, ChannelIdentifier] = {}
+        self.cc_index = 0  # index into config.control_channels
+        self.cc_locked: float | None = None
+        self.cc_lock_time = 0.0
+        self.last_tsbk_time = 0.0
+
+        self.capture = None
+        self.monitor: ControlChannelMonitor | None = None
+        self.pool: RecorderPool | None = None
+        self.active_calls: dict[int, CallInfo] = {}  # tgid -> call
+        self.call_history: deque = deque(maxlen=self.CALL_HISTORY)
+        self.events = deque(maxlen=500)  # (time, type, payload) for the API/WS
+        self.message_log: deque = deque(maxlen=500)
+
+        self.on_event: Callable[[str, dict], None] | None = None
+
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._lock = threading.RLock()
+        self._load_state()
+
+    # -- persistence -------------------------------------------------------
+
+    def _state_path(self) -> Path:
+        return self.state_dir / f"{self.config.id}.json"
+
+    def _load_state(self) -> None:
+        try:
+            d = json.loads(self._state_path().read_text())
+        except (OSError, ValueError):
+            return
+        self.cc_index = int(d.get("cc_index", 0)) % max(
+            len(self.config.control_channels), 1
+        )
+        self.cc_locked = d.get("cc_locked")
+        for k, v in (d.get("identifiers") or {}).items():
+            try:
+                self.identifiers[int(k)] = ChannelIdentifier(**v)
+            except TypeError:
+                pass
+        ident = d.get("identity") or {}
+        for f_ in ("nac", "system_id", "wacn", "rfss_id", "site_id"):
+            if ident.get(f_) is not None:
+                setattr(self.identity, f_, ident[f_])
+
+    def _save_state(self) -> None:
+        try:
+            self.state_dir.mkdir(parents=True, exist_ok=True)
+            d = {
+                "cc_index": self.cc_index,
+                "cc_locked": self.cc_locked,
+                "identifiers": {k: asdict(v) for k, v in self.identifiers.items()},
+                "identity": asdict(self.identity),
+            }
+            self._state_path().write_text(json.dumps(d, indent=2))
+        except OSError:  # pragma: no cover
+            logger.warning("could not persist trunking state", exc_info=True)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        with self._lock:
+            if self.state == "running":
+                return
+            self.state = "starting"
+            cfg = self.config
+            if not cfg.control_channels:
+                self.state = "failed"
+                self.error = "no control channels configured"
+                return
+            cap_cfg = CaptureConfig(
+                center_hz=cfg.effective_center_hz(),
+                sample_rate=cfg.sample_rate,
+                block_seconds=0.1,  # shorter blocks: faster grant reaction
+                narrow_capacity=0,
+                wide_capacity=0,
+                p25_capacity=1 + cfg.max_voice_channels,
+            )
+            self.capture = self.capture_manager.create_capture(
+                device_id=cfg.device_id, config=cap_cfg
+            )
+            cc_freq = self.cc_locked or cfg.control_channels[self.cc_index]
+            self._cc_channel = self.capture.create_channel(
+                ChannelSpec(id="cc", mode="p25", frequency_hz=cc_freq, name="control")
+            )
+            voice_ids = []
+            for i in range(cfg.max_voice_channels):
+                vid = f"voice{i}"
+                self.capture.create_channel(
+                    ChannelSpec(
+                        id=vid, mode="p25", frequency_hz=cc_freq, name=f"voice {i}"
+                    )
+                )
+                voice_ids.append(vid)
+            self.pool = RecorderPool(voice_ids)
+            self.monitor = ControlChannelMonitor(
+                on_tsbk=self._handle_tsbk,
+                on_sync_acquired=self._on_sync,
+                on_sync_lost=self._on_sync_lost,
+            )
+            self._cc_sub = self._cc_channel.symbols.subscribe()
+            self._voice_subs = {
+                vid: self.capture.channels[vid].symbols.subscribe()
+                for vid in voice_ids
+            }
+            self.capture.start()
+            self._stop.clear()
+            self._thread = threading.Thread(
+                target=self._run, name=f"Trunking-{self.config.id}", daemon=True
+            )
+            self._thread.start()
+            self.state = "running"
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+            self._thread = None
+        if self.capture:
+            self.capture.stop()
+            self.capture_manager.remove_capture(self.capture.id)
+            self.capture = None
+        self._save_state()
+        self.state = "stopped"
+
+    # -- worker loop -------------------------------------------------------
+
+    def _run(self) -> None:
+        try:
+            while not self._stop.is_set():
+                moved = False
+                batch = self._cc_sub.get_nowait()
+                if batch is not None:
+                    moved = True
+                    assert self.monitor is not None
+                    self.monitor.process_symbols(batch["soft"])
+                for vid, sub in self._voice_subs.items():
+                    vb = sub.get_nowait()
+                    if vb is not None:
+                        moved = True
+                        rec = self.pool.by_channel(vid) if self.pool else None
+                        if rec is not None:
+                            rec.process_symbols(vb["soft"])
+                self._check_call_timeouts()
+                self._check_hunt()
+                if not moved:
+                    time.sleep(0.01)
+        except Exception as e:  # pragma: no cover
+            self.state = "failed"
+            self.error = str(e)
+            logger.exception("trunking system %s crashed", self.config.id)
+
+    # -- control-channel handling -----------------------------------------
+
+    def _on_sync(self) -> None:
+        freq = self.config.control_channels[self.cc_index]
+        self.cc_locked = freq
+        self.cc_lock_time = time.time()
+        self._emit("control_locked", {"frequencyHz": freq})
+        self._save_state()
+
+    def _on_sync_lost(self) -> None:
+        self._emit("control_lost", {})
+
+    def _check_hunt(self) -> None:
+        if self.config.hunt_mode == HuntMode.FIXED:
+            return
+        now = time.time()
+        last = max(self.last_tsbk_time, self.cc_lock_time)
+        if self.monitor and self.monitor.synced:
+            return
+        if now - last < self.config.hunt_timeout_s or not self.capture:
+            return
+        # advance to the next configured control channel
+        n = len(self.config.control_channels)
+        if n <= 1:
+            self.cc_lock_time = now
+            return
+        self.cc_index = (self.cc_index + 1) % n
+        freq = self.config.control_channels[self.cc_index]
+        self.capture.update_channel("cc", frequency_hz=freq)
+        if self.monitor:
+            self.monitor.reset()
+        self.cc_lock_time = now
+        self.cc_locked = None
+        self._emit("control_hunt", {"frequencyHz": freq})
+        self._save_state()
+
+    def _handle_tsbk(self, parsed: dict, block) -> None:
+        self.last_tsbk_time = time.time()
+        t = parsed.get("type")
+        self.message_log.append({"time": self.last_tsbk_time, **parsed})
+        if parsed.get("nac") is not None:
+            self.identity.nac = parsed["nac"]
+        if t in ("IDENTIFIER_UPDATE", "IDENTIFIER_UPDATE_VU", "IDENTIFIER_UPDATE_TDMA"):
+            ident = iden_from_parsed(parsed)
+            self.identifiers[ident.identifier] = ident
+            self._save_state()
+        elif t == "RFSS_STATUS":
+            self.identity.system_id = parsed.get("system_id")
+            self.identity.rfss_id = parsed.get("rfss_id")
+            self.identity.site_id = parsed.get("site_id")
+        elif t == "NETWORK_STATUS":
+            self.identity.wacn = parsed.get("wacn")
+            self.identity.system_id = parsed.get("system_id")
+        elif t in ("GROUP_VOICE_GRANT", "GROUP_VOICE_GRANT_UPDATE"):
+            self._handle_voice_grant(parsed)
+
+    # -- voice -------------------------------------------------------------
+
+    def calculate_frequency(self, band: int, channel_number: int) -> float | None:
+        ident = self.identifiers.get(band)
+        if ident is None:
+            return None
+        return ident.frequency_hz(channel_number)
+
+    def _handle_voice_grant(self, parsed: dict) -> None:
+        tgid = parsed.get("tgid")
+        if tgid is None or self.pool is None or self.capture is None:
+            return
+        tg = self.config.talkgroup(tgid)
+        if not tg.monitor:
+            return
+        freq = self.calculate_frequency(
+            parsed.get("frequency_band", 0), parsed.get("channel_number", 0)
+        )
+        if freq is None:
+            return
+        now = time.time()
+        existing = self.pool.for_tgid(tgid)
+        if existing is not None:
+            existing.last_activity = now  # grant update extends the call
+            return
+        half = self.config.sample_rate / 2
+        off = freq - self.capture.config.center_hz
+        if not (-half < off < half):
+            self._emit("grant_out_of_band", {"tgid": tgid, "frequencyHz": freq})
+            return
+        rec = self.pool.available()
+        if rec is None:
+            self._emit("grant_no_recorder", {"tgid": tgid})
+            return
+        call = CallInfo(
+            tgid=tgid,
+            source_id=parsed.get("source_id", 0),
+            frequency_hz=freq,
+            start_time=now,
+            system_id=self.config.id,
+            talkgroup_name=tg.name,
+            emergency=bool(parsed.get("emergency")),
+            encrypted=bool(parsed.get("encrypted")),
+        )
+        self.capture.update_channel(rec.channel_id, frequency_hz=freq)
+        rec.assign(call)
+        self.active_calls[tgid] = call
+        self._emit(
+            "call_start",
+            {
+                "tgid": tgid,
+                "talkgroup": tg.name,
+                "sourceId": call.source_id,
+                "frequencyHz": freq,
+                "recorder": rec.id,
+            },
+        )
+
+    def _check_call_timeouts(self) -> None:
+        if self.pool is None:
+            return
+        now = time.time()
+        for rec in self.pool.recording():
+            if rec.call is None:
+                continue
+            if now - rec.last_activity > self.config.call_hold_s:
+                self._end_call(rec, now)
+
+    def _end_call(self, rec: VoiceRecorder, now: float) -> None:
+        rec_dir = (
+            Path(self.config.recording_dir) / self.config.id
+            if self.config.record_audio
+            else None
+        )
+        tg = self.config.talkgroup(rec.call.tgid) if rec.call else None
+        if tg is not None and not tg.record:
+            rec_dir = None
+        call = rec.finalize(rec_dir, self.config.min_call_duration_s, now)
+        if call is not None:
+            self.active_calls.pop(call.tgid, None)
+            self.call_history.appendleft(call)
+            self._emit(
+                "call_end",
+                {
+                    "tgid": call.tgid,
+                    "durationS": round((call.end_time or now) - call.start_time, 2),
+                    "imbeFrames": call.imbe_frames,
+                },
+            )
+
+    # -- misc --------------------------------------------------------------
+
+    def _emit(self, event_type: str, payload: dict) -> None:
+        evt = {"time": time.time(), "type": event_type, "systemId": self.config.id, **payload}
+        self.events.append(evt)
+        if self.on_event:
+            try:
+                self.on_event(event_type, evt)
+            except Exception:  # pragma: no cover
+                logger.exception("event callback failed")
+
+    def status(self) -> dict:
+        mon = self.monitor.stats if self.monitor else None
+        return {
+            "id": self.config.id,
+            "name": self.config.name,
+            "state": self.state,
+            "error": self.error,
+            "protocol": self.config.protocol.value,
+            "controlChannelHz": self.cc_locked
+            or (
+                self.config.control_channels[self.cc_index]
+                if self.config.control_channels
+                else None
+            ),
+            "synced": bool(self.monitor and self.monitor.synced),
+            "nac": self.identity.nac,
+            "systemId": self.identity.system_id,
+            "rfssId": self.identity.rfss_id,
+            "siteId": self.identity.site_id,
+            "wacn": self.identity.wacn,
+            "tsbkCount": mon.tsbk_total if mon else 0,
+            "tsbkCrcRate": round(mon.crc_rate, 3) if mon else 0.0,
+            "identifiers": {
+                k: asdict(v) for k, v in self.identifiers.items()
+            },
+            "activeCalls": [
+                {
+                    "tgid": c.tgid,
+                    "talkgroup": c.talkgroup_name,
+                    "sourceId": c.source_id,
+                    "frequencyHz": c.frequency_hz,
+                    "startTime": c.start_time,
+                }
+                for c in self.active_calls.values()
+            ],
+        }

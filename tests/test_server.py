@@ -1,0 +1,241 @@
+"""Server integration: REST + WebSocket against a live in-process server.
+
+Reference tier: ``tests/test_captures_channels.py`` (TestClient + fake
+driver, asserting real bytes flow capture -> channel -> WS).  Here the
+server is the real asyncio HTTP/WS stack on an ephemeral port, driven
+with httpx (REST) and the ``websockets`` client (streams).
+"""
+
+import asyncio
+import json
+import threading
+import time
+
+import httpx
+import numpy as np
+import pytest
+import websockets.asyncio.client as ws_client
+
+from wavecap_tpu.server.app import AppServer
+from wavecap_tpu.utils.config import AppConfig, config_from_dict
+
+
+class ServerHarness:
+    """Run AppServer in a background event loop thread."""
+
+    def __init__(self, cfg: AppConfig):
+        self.server = AppServer(cfg)
+        self.loop = asyncio.new_event_loop()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._started = threading.Event()
+
+    def _run(self):
+        asyncio.set_event_loop(self.loop)
+
+        async def boot():
+            await self.server.start()
+            self._started.set()
+
+        self.loop.create_task(boot())
+        self.loop.run_forever()
+
+    def start(self):
+        self._thread.start()
+        assert self._started.wait(60)
+        return self
+
+    @property
+    def base(self) -> str:
+        return f"http://127.0.0.1:{self.server.port}/api/v1"
+
+    @property
+    def ws_base(self) -> str:
+        return f"ws://127.0.0.1:{self.server.port}/api/v1"
+
+    def stop(self):
+        async def shutdown():
+            await self.server.stop()
+            self.loop.stop()
+
+        asyncio.run_coroutine_threadsafe(shutdown(), self.loop)
+        self._thread.join(timeout=10)
+
+    def run(self, coro):
+        return asyncio.run_coroutine_threadsafe(coro, self.loop).result(60)
+
+
+@pytest.fixture(scope="module")
+def harness():
+    cfg = config_from_dict(
+        {
+            "server": {"host": "127.0.0.1", "port": 0},
+            "device": {"driver": "fake"},
+        }
+    )
+    h = ServerHarness(cfg).start()
+    yield h
+    h.stop()
+
+
+@pytest.fixture(scope="module")
+def client(harness):
+    with httpx.Client(base_url=harness.base, timeout=30) as c:
+        yield c
+
+
+class TestRest:
+    def test_health_and_devices(self, client):
+        r = client.get("/health")
+        assert r.status_code == 200 and r.json()["status"] == "ok"
+        devices = client.get("/devices").json()
+        assert len(devices) >= 1 and devices[0]["driver"] == "fake"
+
+    def test_capture_crud_and_lifecycle(self, client):
+        r = client.post(
+            "/captures",
+            json={"centerHz": 155e6, "sampleRate": 800_000},
+        )
+        assert r.status_code == 201, r.text
+        cap = r.json()
+        cid = cap["id"]
+        assert cap["state"] == "created"
+
+        r = client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 155.1e6, "name": "test"},
+        )
+        assert r.status_code == 201, r.text
+        ch = r.json()
+        assert ch["captureId"] == cid
+
+        r = client.post(f"/captures/{cid}/start")
+        assert r.json()["state"] in ("starting", "running")
+
+        # runs and produces blocks
+        for _ in range(120):
+            st = client.get(f"/captures/{cid}").json()
+            if st["blocksProcessed"] >= 2:
+                break
+            time.sleep(0.25)
+        assert st["blocksProcessed"] >= 2
+
+        # spectrum snapshot works
+        spec = client.get(f"/captures/{cid}/spectrum").json()
+        assert len(spec["db"]) == 2048
+
+        # channel metrics + update
+        r = client.patch(f"/channels/{ch['id']}", json={"name": "renamed"})
+        assert r.json()["name"] == "renamed"
+
+        r = client.delete(f"/channels/{ch['id']}")
+        assert r.json()["ok"]
+        r = client.post(f"/captures/{cid}/stop")
+        assert r.json()["state"] == "stopped"
+        assert client.delete(f"/captures/{cid}").json()["ok"]
+
+    def test_errors(self, client):
+        assert client.get("/captures/nope").status_code == 404
+        assert client.delete("/channels/nope").status_code == 404
+        r = client.post("/captures", content=b"{bad json")
+        assert r.status_code == 400
+        r = client.post("/captures", json={})  # defaults fine
+        cid = r.json()["id"]
+        r = client.post(f"/captures/{cid}/channels", json={"mode": "nbfm"})
+        assert r.status_code == 422
+        r = client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 999e9},
+        )
+        assert r.status_code == 422
+        client.delete(f"/captures/{cid}")
+
+    def test_system_metrics_and_logs(self, client):
+        m = client.get("/system/metrics").json()
+        assert "uptimeS" in m
+        assert client.get("/logs").status_code == 200
+        assert client.get("/errors").status_code == 200
+        assert client.get("/debug/perf").status_code == 200
+
+    def test_trunking_endpoints(self, client):
+        r = client.post(
+            "/trunking/systems",
+            json={
+                "id": "tsys",
+                "control_channels": [851.2e6],
+                "sample_rate": 960_000,
+                "talkgroups": [{"tgid": 100, "name": "Dispatch"}],
+            },
+        )
+        assert r.status_code == 201, r.text
+        assert client.get("/trunking/systems").json()[0]["id"] == "tsys"
+        tgs = client.get("/trunking/systems/tsys/talkgroups").json()
+        assert tgs[0]["name"] == "Dispatch"
+        calls = client.get("/trunking/systems/tsys/calls").json()
+        assert calls["active"] == [] and calls["history"] == []
+        assert client.delete("/trunking/systems/tsys").json()["ok"]
+
+
+class TestWebSockets:
+    def test_audio_stream_delivers_pcm(self, harness, client):
+        r = client.post("/captures", json={"centerHz": 155e6, "sampleRate": 800_000})
+        cid = r.json()["id"]
+        ch = client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 155.005e6},
+        ).json()
+        client.post(f"/captures/{cid}/start")
+
+        async def grab():
+            async with ws_client.connect(
+                f"{harness.ws_base}/stream/channels/{ch['id']}", open_timeout=30
+            ) as ws:
+                chunks = []
+                for _ in range(3):
+                    chunks.append(await asyncio.wait_for(ws.recv(), 60))
+                return chunks
+
+        chunks = harness.run(grab())
+        assert all(isinstance(c, (bytes, bytearray)) for c in chunks)
+        pcm = np.frombuffer(b"".join(chunks), np.int16)
+        assert len(pcm) > 4800
+        client.post(f"/captures/{cid}/stop")
+        client.delete(f"/captures/{cid}")
+
+    def test_spectrum_stream(self, harness, client):
+        r = client.post("/captures", json={"centerHz": 155e6, "sampleRate": 800_000})
+        cid = r.json()["id"]
+        client.post(f"/captures/{cid}/start")
+
+        async def grab():
+            async with ws_client.connect(
+                f"{harness.ws_base}/stream/captures/{cid}/spectrum", open_timeout=30
+            ) as ws:
+                return json.loads(await asyncio.wait_for(ws.recv(), 60))
+
+        msg = harness.run(grab())
+        assert msg["type"] == "spectrum" and len(msg["db"]) == 2048
+        client.post(f"/captures/{cid}/stop")
+        client.delete(f"/captures/{cid}")
+
+    def test_state_stream_sees_channel_creation(self, harness, client):
+        r = client.post("/captures", json={"centerHz": 155e6, "sampleRate": 800_000})
+        cid = r.json()["id"]
+
+        async def watch():
+            async with ws_client.connect(
+                f"{harness.ws_base}/stream/state", open_timeout=30
+            ) as ws:
+                await asyncio.sleep(0.2)
+                resp = await asyncio.to_thread(
+                    client.post,
+                    f"/captures/{cid}/channels",
+                    json={"mode": "nbfm", "frequencyHz": 155.01e6},
+                )
+                assert resp.status_code == 201
+                evt = json.loads(await asyncio.wait_for(ws.recv(), 30))
+                return evt
+
+        evt = watch()
+        evt = harness.run(evt)
+        assert evt["entity"] == "channel" and evt["change"] == "created"
+        client.delete(f"/captures/{cid}")

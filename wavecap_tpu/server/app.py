@@ -1,0 +1,658 @@
+"""Application wiring: state, REST routes, WebSocket streams, bootstrap.
+
+Behavioral port of the reference's service layer (reference ``app.py:179``
+``create_app``, ``state.py:71`` ``AppState.from_config``, ``api.py`` REST
+surface, ``trunking/api.py``): same ``/api/v1`` paths and camelCase JSON
+shapes so reference clients work against this server.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import itertools
+import json
+import logging
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from wavecap_tpu.capture import Capture, CaptureConfig, CaptureManager, ChannelSpec
+from wavecap_tpu.devices import FakeDriver, FileReplayDriver
+from wavecap_tpu.trunking import TrunkingManager, TrunkingSystemConfig
+from wavecap_tpu.utils import config as config_mod
+from wavecap_tpu.utils.observability import (
+    ERROR_TRACKER,
+    LOG_RING,
+    STATE_BROADCASTER,
+    system_metrics,
+)
+from wavecap_tpu.utils.wavio import pack_iq16, pack_pcm16, pack_f32
+from .httpd import HttpError, HttpServer, Request, Response, Router, WebSocket
+
+logger = logging.getLogger(__name__)
+
+
+def create_device_driver(cfg: config_mod.AppConfig):
+    """Driver selection (reference state.py:29-54): fake | file | soapy."""
+    d = cfg.device
+    if d.driver == "file" and d.file_path:
+        return FileReplayDriver(d.file_path)
+    if d.driver == "soapy":  # pragma: no cover - hardware
+        try:
+            from wavecap_tpu.devices.soapy import SoapyDriver
+
+            return SoapyDriver(d.device_args)
+        except Exception as e:
+            logger.warning("SoapySDR unavailable (%s); falling back to fake", e)
+    return FakeDriver()
+
+
+class AppState:
+    def __init__(self, cfg: config_mod.AppConfig):
+        self.config = cfg
+        self.driver = create_device_driver(cfg)
+        self.captures = CaptureManager(self.driver, max_captures=cfg.limits.max_captures)
+        self.trunking = TrunkingManager(self.captures)
+        self.started_at = time.time()
+        self._chan_ids = itertools.count(1)
+        self.trunking.on_event = self._trunking_event
+        self._trunking_event_subs: set = set()
+
+    # -- id helpers --------------------------------------------------------
+
+    def new_channel_id(self) -> str:
+        return f"ch{next(self._chan_ids)}"
+
+    def find_channel(self, channel_id: str):
+        for cap in self.captures.captures.values():
+            ch = cap.channels.get(channel_id)
+            if ch is not None:
+                return cap, ch
+        raise HttpError(404, f"channel {channel_id} not found")
+
+    def get_capture(self, capture_id: str) -> Capture:
+        cap = self.captures.captures.get(capture_id)
+        if cap is None:
+            raise HttpError(404, f"capture {capture_id} not found")
+        return cap
+
+    def _trunking_event(self, event_type: str, evt: dict) -> None:
+        for cb in list(self._trunking_event_subs):
+            try:
+                cb(evt)
+            except Exception:
+                pass
+
+    # -- bootstrap ---------------------------------------------------------
+
+    def apply_config(self) -> None:
+        """Create configured captures/channels/trunking (lifespan autostart)."""
+        for spec in self.config.captures:
+            cap = self.captures.create_capture(
+                device_id=spec.device_id,
+                config=CaptureConfig(
+                    center_hz=spec.center_hz,
+                    sample_rate=spec.sample_rate,
+                    gain_db=spec.gain_db,
+                    narrow_capacity=self.config.limits.max_channels_per_capture,
+                    wide_capacity=self.config.limits.max_wide_channels,
+                    p25_capacity=self.config.limits.max_p25_channels,
+                    audio_rate=self.config.stream.audio_rate,
+                    fft_size=self.config.stream.fft_size,
+                ),
+            )
+            for ch in spec.channels:
+                cap.create_channel(
+                    ChannelSpec(
+                        id=ch.id,
+                        mode=ch.mode,
+                        frequency_hz=ch.frequency_hz,
+                        squelch_db=ch.squelch_db,
+                        name=ch.name,
+                    )
+                )
+            if spec.auto_start:
+                cap.start()
+        for tdict in self.config.trunking_systems:
+            cfg = TrunkingSystemConfig.from_dict(tdict)
+            self.trunking.create_system(cfg)
+            if tdict.get("auto_start", True):
+                self.trunking.get(cfg.id).start()
+
+    def shutdown(self) -> None:
+        self.trunking.stop_all()
+        self.captures.stop_all()
+
+
+# ---------------------------------------------------------------------------
+# JSON shapes (camelCase, reference models.py)
+# ---------------------------------------------------------------------------
+
+
+def capture_json(cap: Capture) -> dict:
+    return cap.status()
+
+
+def channel_json(cap: Capture, ch) -> dict:
+    return {
+        "id": ch.id,
+        "captureId": cap.id,
+        "mode": ch.spec.mode,
+        "frequencyHz": ch.spec.frequency_hz,
+        "name": ch.spec.name,
+        "squelchDb": ch.spec.squelch_db,
+        "rssiDb": round(ch.rssi_db, 1),
+        "state": ch.state,
+        "audioSubscribers": ch.audio.count,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Routes
+# ---------------------------------------------------------------------------
+
+
+def build_router(state: AppState) -> Router:
+    r = Router()
+    v1 = "/api/v1"
+
+    # ---- devices ----
+    @r.get(v1 + "/devices")
+    async def devices(req: Request) -> Response:
+        return Response.json(
+            [
+                {
+                    "id": d.id,
+                    "driver": d.driver,
+                    "label": d.label,
+                    "serial": d.serial,
+                }
+                for d in state.captures.list_devices()
+            ]
+        )
+
+    # ---- captures ----
+    @r.get(v1 + "/captures")
+    async def captures_list(req: Request) -> Response:
+        return Response.json([capture_json(c) for c in state.captures.captures.values()])
+
+    @r.post(v1 + "/captures")
+    async def captures_create(req: Request) -> Response:
+        body = req.json()
+        try:
+            cap = state.captures.create_capture(
+                device_id=body.get("deviceId"),
+                config=CaptureConfig(
+                    center_hz=float(body.get("centerHz", 100e6)),
+                    sample_rate=int(body.get("sampleRate", 2_400_000)),
+                    gain_db=body.get("gainDb"),
+                    narrow_capacity=state.config.limits.max_channels_per_capture,
+                    wide_capacity=state.config.limits.max_wide_channels,
+                    p25_capacity=state.config.limits.max_p25_channels,
+                    audio_rate=state.config.stream.audio_rate,
+                ),
+            )
+        except RuntimeError as e:
+            raise HttpError(409, str(e))
+        STATE_BROADCASTER.publish("capture", cap.id, "created", capture_json(cap))
+        if body.get("autoStart", False):
+            cap.start()
+        return Response.json(capture_json(cap), status=201)
+
+    @r.get(v1 + "/captures/{cid}")
+    async def capture_get(req: Request) -> Response:
+        return Response.json(capture_json(state.get_capture(req.params["cid"])))
+
+    @r.delete(v1 + "/captures/{cid}")
+    async def capture_delete(req: Request) -> Response:
+        state.get_capture(req.params["cid"])
+        state.captures.remove_capture(req.params["cid"])
+        STATE_BROADCASTER.publish("capture", req.params["cid"], "deleted")
+        return Response.json({"ok": True})
+
+    @r.post(v1 + "/captures/{cid}/start")
+    async def capture_start(req: Request) -> Response:
+        cap = state.get_capture(req.params["cid"])
+        await asyncio.to_thread(cap.start)
+        return Response.json(capture_json(cap))
+
+    @r.post(v1 + "/captures/{cid}/stop")
+    async def capture_stop(req: Request) -> Response:
+        cap = state.get_capture(req.params["cid"])
+        await asyncio.to_thread(cap.stop)
+        return Response.json(capture_json(cap))
+
+    @r.post(v1 + "/captures/{cid}/restart")
+    async def capture_restart(req: Request) -> Response:
+        cap = state.get_capture(req.params["cid"])
+        await asyncio.to_thread(cap.restart)
+        return Response.json(capture_json(cap))
+
+    @r.get(v1 + "/captures/{cid}/spectrum")
+    async def capture_spectrum(req: Request) -> Response:
+        cap = state.get_capture(req.params["cid"])
+        sub = cap.spectrum_subs.subscribe(maxsize=2)
+        try:
+            spec = await asyncio.to_thread(sub.get, 10.0)
+        except Exception:
+            raise HttpError(404, "no spectrum available (capture running?)")
+        finally:
+            sub.close()
+        frame = spec[-1] if spec.ndim == 2 else spec
+        return Response.json(
+            {
+                "captureId": cap.id,
+                "centerHz": cap.config.center_hz,
+                "sampleRate": cap.config.sample_rate,
+                "db": [round(float(x), 1) for x in frame],
+            }
+        )
+
+    # ---- channels ----
+    @r.get(v1 + "/channels")
+    async def channels_all(req: Request) -> Response:
+        out = []
+        for cap in state.captures.captures.values():
+            out += [channel_json(cap, c) for c in cap.channels.values()]
+        return Response.json(out)
+
+    @r.post(v1 + "/captures/{cid}/channels")
+    async def channel_create(req: Request) -> Response:
+        cap = state.get_capture(req.params["cid"])
+        body = req.json()
+        cid = body.get("id") or state.new_channel_id()
+        try:
+            ch = cap.create_channel(
+                ChannelSpec(
+                    id=cid,
+                    mode=body.get("mode", "nbfm"),
+                    frequency_hz=float(body["frequencyHz"]),
+                    squelch_db=body.get("squelchDb"),
+                    name=body.get("name", ""),
+                )
+            )
+        except KeyError:
+            raise HttpError(422, "frequencyHz required")
+        except ValueError as e:
+            raise HttpError(422, str(e))
+        except RuntimeError as e:
+            raise HttpError(409, str(e))
+        STATE_BROADCASTER.publish("channel", cid, "created", channel_json(cap, ch))
+        return Response.json(channel_json(cap, ch), status=201)
+
+    @r.get(v1 + "/channels/{chid}")
+    async def channel_get(req: Request) -> Response:
+        cap, ch = state.find_channel(req.params["chid"])
+        return Response.json(channel_json(cap, ch))
+
+    @r.patch(v1 + "/channels/{chid}")
+    async def channel_update(req: Request) -> Response:
+        cap, ch = state.find_channel(req.params["chid"])
+        body = req.json()
+        cap.update_channel(
+            ch.id,
+            frequency_hz=body.get("frequencyHz"),
+            squelch_db=body.get("squelchDb"),
+            name=body.get("name"),
+        )
+        STATE_BROADCASTER.publish("channel", ch.id, "updated", channel_json(cap, ch))
+        return Response.json(channel_json(cap, ch))
+
+    @r.delete(v1 + "/channels/{chid}")
+    async def channel_delete(req: Request) -> Response:
+        cap, ch = state.find_channel(req.params["chid"])
+        cap.remove_channel(ch.id)
+        STATE_BROADCASTER.publish("channel", ch.id, "deleted")
+        return Response.json({"ok": True})
+
+    @r.get(v1 + "/channels/{chid}/metrics")
+    async def channel_metrics(req: Request) -> Response:
+        cap, ch = state.find_channel(req.params["chid"])
+        return Response.json(
+            {
+                "id": ch.id,
+                "rssiDb": round(ch.rssi_db, 1),
+                "audioSubscribers": ch.audio.count,
+            }
+        )
+
+    # ---- config / system ----
+    @r.get(v1 + "/config")
+    async def config_get(req: Request) -> Response:
+        from dataclasses import asdict
+
+        return Response.json(asdict(state.config))
+
+    @r.post(v1 + "/config/reload")
+    async def config_reload(req: Request) -> Response:
+        path = state.config.config_paths[0] if state.config.config_paths else None
+        new_cfg = config_mod.load_config(path)
+        state.config = new_cfg
+        return Response.json({"ok": True, "paths": new_cfg.config_paths})
+
+    @r.get(v1 + "/system/metrics")
+    async def sys_metrics(req: Request) -> Response:
+        m = system_metrics()
+        m["captures"] = {
+            c.id: {
+                "blocksProcessed": c.blocks_processed,
+                "blockMs": round(c.block_ms, 2),
+                "overflowCount": c.overflow_count,
+            }
+            for c in state.captures.captures.values()
+        }
+        m["errorRates"] = ERROR_TRACKER.rates()
+        m["uptimeS"] = round(time.time() - state.started_at, 1)
+        return Response.json(m)
+
+    @r.get(v1 + "/debug/perf")
+    async def perf(req: Request) -> Response:
+        return Response.json(
+            {
+                c.id: {"blockMs": round(c.block_ms, 2), "blockSize": c.block_size}
+                for c in state.captures.captures.values()
+            }
+        )
+
+    @r.get(v1 + "/errors")
+    async def errors(req: Request) -> Response:
+        return Response.json(
+            [
+                {"time": e.time, "kind": e.kind, "source": e.source, "message": e.message}
+                for e in ERROR_TRACKER.recent(int(req.query.get("limit", "100")))
+            ]
+        )
+
+    @r.get(v1 + "/logs")
+    async def logs(req: Request) -> Response:
+        return Response.json(LOG_RING.tail(int(req.query.get("limit", "200"))))
+
+    # ---- trunking ----
+    @r.get(v1 + "/trunking/systems")
+    async def tk_systems(req: Request) -> Response:
+        return Response.json(state.trunking.status())
+
+    @r.post(v1 + "/trunking/systems")
+    async def tk_create(req: Request) -> Response:
+        body = req.json()
+        try:
+            cfg = TrunkingSystemConfig.from_dict(body)
+            sys_ = state.trunking.create_system(cfg)
+        except (KeyError, ValueError) as e:
+            raise HttpError(422, str(e))
+        if body.get("autoStart", False):
+            await asyncio.to_thread(sys_.start)
+        return Response.json(sys_.status(), status=201)
+
+    @r.get(v1 + "/trunking/systems/{sid}")
+    async def tk_get(req: Request) -> Response:
+        try:
+            return Response.json(state.trunking.get(req.params["sid"]).status())
+        except KeyError:
+            raise HttpError(404)
+
+    @r.delete(v1 + "/trunking/systems/{sid}")
+    async def tk_delete(req: Request) -> Response:
+        state.trunking.remove_system(req.params["sid"])
+        return Response.json({"ok": True})
+
+    @r.post(v1 + "/trunking/systems/{sid}/start")
+    async def tk_start(req: Request) -> Response:
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+        await asyncio.to_thread(sys_.start)
+        return Response.json(sys_.status())
+
+    @r.post(v1 + "/trunking/systems/{sid}/stop")
+    async def tk_stop(req: Request) -> Response:
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+        await asyncio.to_thread(sys_.stop)
+        return Response.json(sys_.status())
+
+    @r.get(v1 + "/trunking/systems/{sid}/talkgroups")
+    async def tk_talkgroups(req: Request) -> Response:
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+        return Response.json(
+            [
+                {
+                    "tgid": t.tgid,
+                    "name": t.name,
+                    "category": t.category,
+                    "priority": t.priority,
+                    "record": t.record,
+                    "monitor": t.monitor,
+                }
+                for t in sys_.config.talkgroups.values()
+            ]
+        )
+
+    @r.get(v1 + "/trunking/systems/{sid}/calls")
+    async def tk_calls(req: Request) -> Response:
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+        hist = [
+            {
+                "tgid": c.tgid,
+                "talkgroup": c.talkgroup_name,
+                "sourceId": c.source_id,
+                "frequencyHz": c.frequency_hz,
+                "startTime": c.start_time,
+                "endTime": c.end_time,
+                "imbeFrames": c.imbe_frames,
+            }
+            for c in list(sys_.call_history)[: int(req.query.get("limit", "50"))]
+        ]
+        return Response.json(
+            {"active": sys_.status()["activeCalls"], "history": hist}
+        )
+
+    @r.get(v1 + "/trunking/systems/{sid}/messages")
+    async def tk_messages(req: Request) -> Response:
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+        return Response.json(list(sys_.message_log)[-int(req.query.get("limit", "100")):])
+
+    @r.get(v1 + "/trunking/systems/{sid}/events")
+    async def tk_events(req: Request) -> Response:
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+        return Response.json(list(sys_.events)[-int(req.query.get("limit", "100")):])
+
+    # ---- WebSocket streams ----
+    @r.websocket(v1 + "/stream/captures/{cid}/spectrum")
+    async def ws_spectrum(req: Request, ws: WebSocket) -> None:
+        cap = state.get_capture(req.params["cid"])
+        sub = cap.spectrum_subs.subscribe(maxsize=4)
+        try:
+            while not ws.closed:
+                spec = await asyncio.to_thread(sub.get, 30.0)
+                frame = spec[-1] if spec.ndim == 2 else spec
+                await ws.send_json(
+                    {
+                        "type": "spectrum",
+                        "centerHz": cap.config.center_hz,
+                        "sampleRate": cap.config.sample_rate,
+                        "db": [round(float(x), 1) for x in frame],
+                    }
+                )
+        finally:
+            sub.close()
+
+    @r.websocket(v1 + "/stream/captures/{cid}/iq")
+    async def ws_iq(req: Request, ws: WebSocket) -> None:
+        cap = state.get_capture(req.params["cid"])
+        sub = cap.iq_subs.subscribe(maxsize=4)
+        try:
+            while not ws.closed:
+                iq = await asyncio.to_thread(sub.get, 30.0)
+                await ws.send_bytes(pack_iq16(iq).tobytes())
+        finally:
+            sub.close()
+
+    @r.websocket(v1 + "/stream/channels/{chid}")
+    async def ws_audio(req: Request, ws: WebSocket) -> None:
+        cap, ch = state.find_channel(req.params["chid"])
+        fmt = req.query.get("format", "pcm16")
+        sub = ch.audio.subscribe(maxsize=16)
+        try:
+            while not ws.closed:
+                audio = await asyncio.to_thread(sub.get, 30.0)
+                if fmt == "f32":
+                    await ws.send_bytes(pack_f32(audio))
+                else:
+                    await ws.send_bytes(pack_pcm16(audio).tobytes())
+        finally:
+            sub.close()
+
+    @r.websocket(v1 + "/stream/state")
+    async def ws_state(req: Request, ws: WebSocket) -> None:
+        q: asyncio.Queue = asyncio.Queue(maxsize=100)
+        loop = asyncio.get_running_loop()
+
+        def cb(evt):
+            try:
+                loop.call_soon_threadsafe(q.put_nowait, evt)
+            except RuntimeError:
+                pass
+
+        cancel = STATE_BROADCASTER.subscribe(cb)
+        try:
+            while not ws.closed:
+                evt = await q.get()
+                await ws.send_json(evt)
+        finally:
+            cancel()
+
+    @r.websocket(v1 + "/stream/health")
+    async def ws_health(req: Request, ws: WebSocket) -> None:
+        while not ws.closed:
+            await ws.send_json(
+                {
+                    "type": "health",
+                    "time": time.time(),
+                    "captures": {
+                        c.id: c.state for c in state.captures.captures.values()
+                    },
+                    "errorRates": ERROR_TRACKER.rates(),
+                }
+            )
+            await asyncio.sleep(2.0)
+
+    @r.websocket(v1 + "/stream/logs")
+    async def ws_logs(req: Request, ws: WebSocket) -> None:
+        q: asyncio.Queue = asyncio.Queue(maxsize=200)
+        loop = asyncio.get_running_loop()
+        cancel = LOG_RING.subscribe(
+            lambda e: loop.call_soon_threadsafe(_safe_put, q, e)
+        )
+        try:
+            for entry in LOG_RING.tail(100):
+                await ws.send_json(entry)
+            while not ws.closed:
+                await ws.send_json(await q.get())
+        finally:
+            cancel()
+
+    @r.websocket(v1 + "/trunking/stream")
+    async def ws_trunking(req: Request, ws: WebSocket) -> None:
+        q: asyncio.Queue = asyncio.Queue(maxsize=200)
+        loop = asyncio.get_running_loop()
+
+        def cb(evt):
+            loop.call_soon_threadsafe(_safe_put, q, evt)
+
+        state._trunking_event_subs.add(cb)
+        try:
+            while not ws.closed:
+                await ws.send_json(await q.get())
+        finally:
+            state._trunking_event_subs.discard(cb)
+
+    @r.websocket(v1 + "/trunking/stream/{sid}/voice")
+    async def ws_voice(req: Request, ws: WebSocket) -> None:
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+        if sys_.pool is None:
+            await ws.close()
+            return
+        subs = [r_.audio.subscribe(maxsize=16) for r_ in sys_.pool.recorders]
+        try:
+            while not ws.closed:
+                sent = False
+                for sub in subs:
+                    pcm = sub.get_nowait()
+                    if pcm is not None:
+                        await ws.send_bytes(pack_pcm16(pcm).tobytes())
+                        sent = True
+                if not sent:
+                    await asyncio.sleep(0.05)
+        finally:
+            for sub in subs:
+                sub.close()
+
+    # ---- health root ----
+    @r.get(v1 + "/health")
+    async def health(req: Request) -> Response:
+        return Response.json({"status": "ok", "uptimeS": time.time() - state.started_at})
+
+    return r
+
+
+def _safe_put(q: asyncio.Queue, item) -> None:
+    try:
+        q.put_nowait(item)
+    except asyncio.QueueFull:
+        pass
+
+
+class AppServer:
+    """Server + state lifecycle (create_app + lifespan equivalent)."""
+
+    def __init__(self, cfg: config_mod.AppConfig | None = None):
+        self.config = cfg or config_mod.AppConfig()
+        self.state = AppState(self.config)
+        self.router = build_router(self.state)
+        self.http = HttpServer(
+            self.router, self.config.server.host, self.config.server.port
+        )
+        if self.config.server.api_key:
+            async def auth(req: Request):
+                if req.path.startswith("/api/") and req.headers.get(
+                    "x-api-key"
+                ) != self.config.server.api_key:
+                    raise HttpError(401)
+
+            self.http.middleware.append(auth)
+
+    async def start(self) -> None:
+        self.state.apply_config()
+        await self.http.start()
+        logger.info("wavecap_tpu serving on port %d", self.http.bound_port)
+
+    async def stop(self) -> None:
+        await self.http.stop()
+        self.state.shutdown()
+
+    @property
+    def port(self) -> int:
+        return self.http.bound_port

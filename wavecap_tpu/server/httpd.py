@@ -1,0 +1,379 @@
+"""Minimal asyncio HTTP/1.1 + WebSocket server (stdlib only).
+
+The reference serves FastAPI+uvicorn (reference ``app.py:179``); that
+stack isn't available here, so this module implements the small subset
+needed for the same API surface: request parsing, path routing with
+parameters, JSON bodies, chunked/streaming responses, and RFC 6455
+WebSocket upgrade with text/binary frames, ping/pong and close.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import hashlib
+import json
+import logging
+import re
+import struct
+from dataclasses import dataclass, field
+from typing import Any, Awaitable, Callable
+from urllib.parse import parse_qs, urlparse
+
+logger = logging.getLogger(__name__)
+
+WS_MAGIC = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+MAX_BODY = 10 * 1024 * 1024
+
+
+class HttpError(Exception):
+    def __init__(self, status: int, message: str = ""):
+        super().__init__(message)
+        self.status = status
+        self.message = message or {
+            400: "bad request",
+            401: "unauthorized",
+            404: "not found",
+            405: "method not allowed",
+            409: "conflict",
+            422: "unprocessable",
+            429: "too many requests",
+            500: "internal error",
+        }.get(status, "error")
+
+
+@dataclass
+class Request:
+    method: str
+    path: str
+    query: dict
+    headers: dict
+    body: bytes
+    params: dict = field(default_factory=dict)
+
+    def json(self) -> Any:
+        if not self.body:
+            return {}
+        try:
+            return json.loads(self.body)
+        except ValueError:
+            raise HttpError(400, "invalid JSON body")
+
+
+@dataclass
+class Response:
+    status: int = 200
+    body: bytes = b""
+    content_type: str = "application/json"
+    headers: dict = field(default_factory=dict)
+
+    @classmethod
+    def json(cls, obj: Any, status: int = 200) -> "Response":
+        return cls(status=status, body=json.dumps(obj).encode())
+
+    @classmethod
+    def text(cls, s: str, status: int = 200) -> "Response":
+        return cls(status=status, body=s.encode(), content_type="text/plain")
+
+
+class WebSocket:
+    """Server-side WebSocket on asyncio streams."""
+
+    def __init__(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        self.reader = reader
+        self.writer = writer
+        self.closed = False
+        self._send_lock = asyncio.Lock()
+
+    async def send_text(self, s: str) -> None:
+        await self._send_frame(0x1, s.encode())
+
+    async def send_json(self, obj: Any) -> None:
+        await self.send_text(json.dumps(obj))
+
+    async def send_bytes(self, data: bytes) -> None:
+        await self._send_frame(0x2, data)
+
+    async def _send_frame(self, opcode: int, payload: bytes) -> None:
+        if self.closed:
+            raise ConnectionError("websocket closed")
+        header = bytearray([0x80 | opcode])
+        n = len(payload)
+        if n < 126:
+            header.append(n)
+        elif n < 65536:
+            header.append(126)
+            header += struct.pack(">H", n)
+        else:
+            header.append(127)
+            header += struct.pack(">Q", n)
+        async with self._send_lock:
+            self.writer.write(bytes(header) + payload)
+            await self.writer.drain()
+
+    async def recv(self) -> tuple[str, bytes] | None:
+        """Returns (kind, payload) with kind in text|binary, or None on close."""
+        frags: list[bytes] = []
+        frag_op = 0
+        while True:
+            try:
+                hdr = await self.reader.readexactly(2)
+            except (asyncio.IncompleteReadError, ConnectionError):
+                self.closed = True
+                return None
+            fin = hdr[0] & 0x80
+            opcode = hdr[0] & 0x0F
+            masked = hdr[1] & 0x80
+            n = hdr[1] & 0x7F
+            if n == 126:
+                n = struct.unpack(">H", await self.reader.readexactly(2))[0]
+            elif n == 127:
+                n = struct.unpack(">Q", await self.reader.readexactly(8))[0]
+            if n > MAX_BODY:
+                await self.close(1009)
+                return None
+            mask = await self.reader.readexactly(4) if masked else b"\0\0\0\0"
+            payload = bytearray(await self.reader.readexactly(n))
+            if masked:
+                for i in range(n):
+                    payload[i] ^= mask[i % 4]
+            if opcode == 0x8:  # close
+                self.closed = True
+                try:
+                    await self._send_frame(0x8, bytes(payload[:2]))
+                except ConnectionError:
+                    pass
+                return None
+            if opcode == 0x9:  # ping
+                await self._send_frame(0xA, bytes(payload))
+                continue
+            if opcode == 0xA:  # pong
+                continue
+            if opcode in (0x1, 0x2):
+                frag_op = opcode
+                if fin:
+                    return ("text" if opcode == 0x1 else "binary", bytes(payload))
+                frags = [bytes(payload)]
+                continue
+            if opcode == 0x0:  # continuation
+                frags.append(bytes(payload))
+                if fin:
+                    data = b"".join(frags)
+                    return ("text" if frag_op == 0x1 else "binary", data)
+
+    async def close(self, code: int = 1000) -> None:
+        if not self.closed:
+            self.closed = True
+            try:
+                await self._send_frame(0x8, struct.pack(">H", code))
+            except (ConnectionError, RuntimeError):
+                pass
+        try:
+            self.writer.close()
+        except RuntimeError:  # pragma: no cover
+            pass
+
+
+Handler = Callable[[Request], Awaitable[Response]]
+WsHandler = Callable[[Request, WebSocket], Awaitable[None]]
+
+
+class Router:
+    def __init__(self):
+        self.routes: list[tuple[str, re.Pattern, Handler]] = []
+        self.ws_routes: list[tuple[re.Pattern, WsHandler]] = []
+
+    @staticmethod
+    def _compile(pattern: str) -> re.Pattern:
+        regex = re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", pattern)
+        return re.compile("^" + regex + "$")
+
+    def route(self, method: str, pattern: str):
+        def deco(fn: Handler):
+            self.routes.append((method.upper(), self._compile(pattern), fn))
+            return fn
+
+        return deco
+
+    def get(self, p):
+        return self.route("GET", p)
+
+    def post(self, p):
+        return self.route("POST", p)
+
+    def patch(self, p):
+        return self.route("PATCH", p)
+
+    def delete(self, p):
+        return self.route("DELETE", p)
+
+    def websocket(self, pattern: str):
+        def deco(fn: WsHandler):
+            self.ws_routes.append((self._compile(pattern), fn))
+            return fn
+
+        return deco
+
+    def find(self, method: str, path: str):
+        allowed = False
+        for m, rx, fn in self.routes:
+            match = rx.match(path)
+            if match:
+                if m == method:
+                    return fn, match.groupdict()
+                allowed = True
+        if allowed:
+            raise HttpError(405)
+        return None, {}
+
+    def find_ws(self, path: str):
+        for rx, fn in self.ws_routes:
+            match = rx.match(path)
+            if match:
+                return fn, match.groupdict()
+        return None, {}
+
+
+class HttpServer:
+    def __init__(self, router: Router, host: str = "0.0.0.0", port: int = 8087):
+        self.router = router
+        self.host = host
+        self.port = port
+        self._server: asyncio.AbstractServer | None = None
+        self.middleware: list[Callable[[Request], Awaitable[None]]] = []
+
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(
+            self._handle_conn, self.host, self.port
+        )
+
+    async def stop(self) -> None:
+        if self._server:
+            self._server.close()
+            await self._server.wait_closed()
+            self._server = None
+
+    @property
+    def bound_port(self) -> int:
+        assert self._server is not None and self._server.sockets
+        return self._server.sockets[0].getsockname()[1]
+
+    async def _handle_conn(
+        self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
+    ) -> None:
+        try:
+            while True:
+                req = await self._read_request(reader)
+                if req is None:
+                    break
+                if req.headers.get("upgrade", "").lower() == "websocket":
+                    await self._handle_ws(req, reader, writer)
+                    return
+                keep = await self._handle_http(req, writer)
+                if not keep:
+                    break
+        except (ConnectionError, asyncio.IncompleteReadError):
+            pass
+        except Exception:  # pragma: no cover
+            logger.exception("connection handler error")
+        finally:
+            try:
+                writer.close()
+            except RuntimeError:
+                pass
+
+    async def _read_request(self, reader: asyncio.StreamReader) -> Request | None:
+        try:
+            line = await reader.readline()
+        except (ConnectionError, asyncio.LimitOverrunError):
+            return None
+        if not line:
+            return None
+        try:
+            method, target, _version = line.decode("latin1").split()
+        except ValueError:
+            return None
+        headers: dict[str, str] = {}
+        while True:
+            h = await reader.readline()
+            if h in (b"\r\n", b"\n", b""):
+                break
+            if b":" in h:
+                k, v = h.decode("latin1").split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        body = b""
+        n = int(headers.get("content-length", "0") or 0)
+        if n:
+            if n > MAX_BODY:
+                raise HttpError(413, "body too large")
+            body = await reader.readexactly(n)
+        parsed = urlparse(target)
+        query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+        return Request(
+            method=method.upper(),
+            path=parsed.path,
+            query=query,
+            headers=headers,
+            body=body,
+        )
+
+    async def _handle_http(
+        self, req: Request, writer: asyncio.StreamWriter
+    ) -> bool:
+        try:
+            for mw in self.middleware:
+                await mw(req)
+            fn, params = self.router.find(req.method, req.path)
+            if fn is None:
+                raise HttpError(404)
+            req.params = params
+            resp = await fn(req)
+        except HttpError as e:
+            resp = Response.json({"error": e.message}, status=e.status)
+        except Exception:
+            logger.exception("handler error for %s %s", req.method, req.path)
+            resp = Response.json({"error": "internal error"}, status=500)
+
+        head = (
+            f"HTTP/1.1 {resp.status} X\r\n"
+            f"Content-Type: {resp.content_type}\r\n"
+            f"Content-Length: {len(resp.body)}\r\n"
+            "Access-Control-Allow-Origin: *\r\n"
+        )
+        for k, v in resp.headers.items():
+            head += f"{k}: {v}\r\n"
+        head += "Connection: keep-alive\r\n\r\n"
+        writer.write(head.encode() + resp.body)
+        await writer.drain()
+        return True
+
+    async def _handle_ws(
+        self, req: Request, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
+    ) -> None:
+        fn, params = self.router.find_ws(req.path)
+        key = req.headers.get("sec-websocket-key")
+        if fn is None or not key:
+            writer.write(b"HTTP/1.1 404 X\r\nContent-Length: 0\r\n\r\n")
+            await writer.drain()
+            return
+        accept = base64.b64encode(
+            hashlib.sha1((key + WS_MAGIC).encode()).digest()
+        ).decode()
+        writer.write(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
+            ).encode()
+        )
+        await writer.drain()
+        req.params = params
+        ws = WebSocket(reader, writer)
+        try:
+            await fn(req, ws)
+        except (ConnectionError, asyncio.CancelledError):
+            pass
+        except Exception:  # pragma: no cover
+            logger.exception("ws handler error for %s", req.path)
+        finally:
+            await ws.close()

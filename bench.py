@@ -5,7 +5,15 @@ stream per chip.  This bench runs an 800-channel NMDPFB (10 Msps / 12.5 kHz)
 plus a vmapped NBFM demod on EVERY channel plus the spectrum FFT, and
 reports sustained IQ throughput.  ``vs_baseline`` is throughput relative
 to the 10 Msps real-time target (1.0 = meets it; the CPU reference needs
-~proportionally one core per ~2 channels and cannot run this at all).
+roughly one core per ~2 channels and cannot run this configuration).
+
+Remote-TPU quirks this is engineered around (axon relay):
+  * ``block_until_ready`` does not block -> sync via a scalar fetch of a
+    checksum computed INSIDE the jitted program;
+  * every eager op is a separate remote compile and a session-wedge risk
+    -> exactly two compiled programs (init, step), no eager math;
+  * sessions can wedge -> the main process re-spawns a worker subprocess
+    up to 3 times and parses its JSON.
 
 Prints ONE JSON line on stdout.
 """
@@ -13,13 +21,18 @@ Prints ONE JSON line on stdout.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
-def main() -> None:
+def worker() -> None:
+    from wavecap_tpu.utils.jaxenv import ensure_platform
+
+    ensure_platform()
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +61,18 @@ def main() -> None:
     )
     spec = get_demod("nbfm")
 
-    def step(x, hist, dstates, phases):
+    @jax.jit
+    def init():
+        hist = chz.channelizer_init(ch)
+        dstates = jax.tree.map(
+            lambda v: jnp.broadcast_to(v, (m,) + v.shape), spec.init(demod_cfg)
+        )
+        phases = jnp.zeros(m, jnp.uint32)
+        return hist, dstates, phases
+
+    @jax.jit
+    def step(x, carry):
+        hist, dstates, phases = carry
         chans, hist = chz.channelize(x, hist, ch)
         spectrum = ops.power_spectrum(x, 2048)
 
@@ -59,52 +83,43 @@ def main() -> None:
             return audio, rssi, ph1, dstate
 
         audio, rssi, phases, dstates = jax.vmap(per_chan)(chans, phases, dstates)
-        return audio, rssi, spectrum, hist, dstates, phases
+        # checksum folds every output so nothing is dead code; scalar fetch
+        checksum = (
+            jnp.sum(rssi) + jnp.sum(audio[:, -1]) + jnp.sum(spectrum[..., 0])
+        ).reshape(1)
+        return (hist, dstates, phases), checksum
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(
+    x = jax.device_put(
         ((rng.standard_normal(n_block) + 1j * rng.standard_normal(n_block)) * 0.1).astype(
             np.complex64
         )
     )
-    hist = chz.channelizer_init(ch)
-    dstates = jax.tree.map(
-        lambda v: jnp.broadcast_to(v, (m,) + v.shape), spec.init(demod_cfg)
-    )
-    phases = jnp.zeros(m, jnp.uint32)
-
-    jit_step = jax.jit(step)
-
-    def sync(out):
-        # On remote-TPU platforms block_until_ready may not actually block;
-        # a scalar fetch is the only reliable sync point.
-        return float(np.asarray(jnp.sum(out[1])))
 
     t0 = time.perf_counter()
-    out = jit_step(x, hist, dstates, phases)
-    sync(out)
+    carry = init()
+    carry, cs = step(x, carry)
+    _ = float(np.asarray(cs)[0])
     compile_s = time.perf_counter() - t0
 
     def run(iters):
-        o = out
+        nonlocal carry
         t0 = time.perf_counter()
         for _ in range(iters):
-            o = jit_step(x, o[3], o[4], o[5])
-        sync(o)
+            carry, cs = step(x, carry)
+        _ = float(np.asarray(cs)[0])
         return time.perf_counter() - t0
 
-    lo, hi = (2, 12) if on_accel else (1, 3)
+    lo, hi = (3, 13) if on_accel else (1, 3)
     run(lo)  # warm
     t_lo = run(lo)
     t_hi = run(hi)
     dt = max((t_hi - t_lo) / (hi - lo), 1e-9)
 
-    audio, rssi, spectrum, hist, dstates, phases = out
     msps = n_block / dt / 1e6
-    realtime_x = msps * 1e6 / fs
     print(
         f"platform={platform} M={m} block={n_block} compile={compile_s:.1f}s "
-        f"iter={dt*1e3:.2f}ms msps={msps:.1f} realtime_x={realtime_x:.2f}",
+        f"iter={dt*1e3:.2f}ms msps={msps:.1f} realtime_x={msps*1e6/fs:.2f}",
         file=sys.stderr,
     )
     print(
@@ -114,6 +129,42 @@ def main() -> None:
                 "value": round(msps, 2),
                 "unit": "Msps",
                 "vs_baseline": round(msps / 10.0, 3),
+            }
+        )
+    )
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker()
+        return
+    last_err = ""
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                capture_output=True,
+                text=True,
+                timeout=2400,
+            )
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{") and '"metric"' in line:
+                    print(line)
+                    sys.stderr.write(out.stderr[-2000:])
+                    return
+            last_err = (out.stderr or out.stdout)[-800:]
+        except subprocess.TimeoutExpired:
+            last_err = f"worker timeout (attempt {attempt + 1})"
+        print(f"bench attempt {attempt + 1} failed: {last_err}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "iq_msps_channelize_demod",
+                "value": 0.0,
+                "unit": "Msps",
+                "vs_baseline": 0.0,
+                "error": last_err[-200:],
             }
         )
     )

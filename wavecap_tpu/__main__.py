@@ -1,0 +1,4 @@
+from wavecap_tpu.cli import main
+import sys
+
+sys.exit(main())

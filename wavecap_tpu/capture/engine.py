@@ -195,6 +195,10 @@ class Capture:
 
     def _make_pipe_cfg(self) -> pl.CapturePipelineConfig:
         cfg = self.config
+        groups = {c.mode_group for c in self.channels.values()}
+        # Only compile/run the bank types that have channels: an idle
+        # capture costs just the FFT, and the first wbfm/p25 channel
+        # triggers one recompile (same contract as narrow modes).
         return pl.CapturePipelineConfig(
             sample_rate=cfg.sample_rate,
             block_size=self.block_size,
@@ -202,8 +206,8 @@ class Capture:
             narrow_modes=self._narrow_modes(),
             narrow_capacity=cfg.narrow_capacity,
             channel_bandwidth=cfg.channel_bandwidth,
-            wide_capacity=cfg.wide_capacity,
-            p25_capacity=cfg.p25_capacity,
+            wide_capacity=cfg.wide_capacity if "wide" in groups else 0,
+            p25_capacity=cfg.p25_capacity if "p25" in groups else 0,
             audio_rate=cfg.audio_rate,
         )
 

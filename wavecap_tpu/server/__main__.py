@@ -65,6 +65,9 @@ async def _run(args) -> int:
 
 
 def main() -> int:
+    from wavecap_tpu.utils.jaxenv import ensure_platform
+
+    ensure_platform()
     p = argparse.ArgumentParser("wavecap_tpu server")
     p.add_argument("--config", default=None)
     p.add_argument("--bind", default=None)

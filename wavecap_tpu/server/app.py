@@ -483,7 +483,7 @@ def build_router(state: AppState) -> Router:
         sub = cap.spectrum_subs.subscribe(maxsize=4)
         try:
             while not ws.closed:
-                spec = await asyncio.to_thread(sub.get, 30.0)
+                spec = await _sub_get(sub, ws)
                 frame = spec[-1] if spec.ndim == 2 else spec
                 await ws.send_json(
                     {
@@ -502,7 +502,7 @@ def build_router(state: AppState) -> Router:
         sub = cap.iq_subs.subscribe(maxsize=4)
         try:
             while not ws.closed:
-                iq = await asyncio.to_thread(sub.get, 30.0)
+                iq = await _sub_get(sub, ws)
                 await ws.send_bytes(pack_iq16(iq).tobytes())
         finally:
             sub.close()
@@ -514,7 +514,7 @@ def build_router(state: AppState) -> Router:
         sub = ch.audio.subscribe(maxsize=16)
         try:
             while not ws.closed:
-                audio = await asyncio.to_thread(sub.get, 30.0)
+                audio = await _sub_get(sub, ws)
                 if fmt == "f32":
                     await ws.send_bytes(pack_f32(audio))
                 else:
@@ -616,6 +616,18 @@ def build_router(state: AppState) -> Router:
         return Response.json({"status": "ok", "uptimeS": time.time() - state.started_at})
 
     return r
+
+
+async def _sub_get(sub, ws, timeout: float = 5.0):
+    """Blocking-queue get that keeps the WS alive through slow warmup."""
+    import queue as _queue
+
+    while not ws.closed:
+        try:
+            return await asyncio.to_thread(sub.get, timeout)
+        except _queue.Empty:
+            continue
+    raise ConnectionError("websocket closed")
 
 
 def _safe_put(q: asyncio.Queue, item) -> None:

@@ -144,3 +144,78 @@ class TestCaptureEngine:
             assert abs(peak(sub_fm) - 1200.0) < 20
         finally:
             cap.stop()
+
+
+class TestResilience:
+    def test_overflow_resets_state_and_continues(self):
+        from wavecap_tpu.devices.fake import FakeStream, FakeDevice
+        from wavecap_tpu.devices.base import DeviceInfo
+
+        class OverflowingStream(FakeStream):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, **kw)
+                self.reads = 0
+
+            def read(self, n):
+                self.reads += 1
+                samples, _ = super().read(n)
+                return samples, self.reads == 5  # one overflow mid-stream
+
+        class OverflowingDevice(FakeDevice):
+            def start_stream(self):
+                return OverflowingStream(self.config, self.stations)
+
+        dev = OverflowingDevice(
+            DeviceInfo(id="f", driver="fake", label=""),
+            stations=[FakeStation(offset_hz=100_000.0, kind="nbfm", tone_hz=900.0)],
+        )
+        cap = Capture(
+            dev, CaptureConfig(center_hz=CENTER, sample_rate=RATE, block_seconds=0.2)
+        )
+        ch = cap.create_channel(
+            ChannelSpec(id="c", mode="nbfm", frequency_hz=CENTER + 100_000.0)
+        )
+        sub = ch.audio.subscribe()
+        cap.start()
+        try:
+            assert wait_for(lambda: cap.blocks_processed >= 4, timeout=90)
+            assert cap.overflow_count >= 1
+            assert cap.state == "running"
+            assert sub.get_nowait() is not None  # audio still flowing
+        finally:
+            cap.stop()
+
+    def test_watchdog_restarts_dead_thread(self):
+        from wavecap_tpu.devices.fake import FakeStream, FakeDevice
+        from wavecap_tpu.devices.base import DeviceInfo
+
+        crash_once = {"armed": True}
+
+        class CrashingStream(FakeStream):
+            def read(self, n):
+                if crash_once["armed"] and self._pos > RATE // 2:
+                    crash_once["armed"] = False
+                    raise RuntimeError("simulated device fault")
+                return super().read(n)
+
+        class CrashingDevice(FakeDevice):
+            def start_stream(self):
+                return CrashingStream(self.config, self.stations)
+
+        dev = CrashingDevice(DeviceInfo(id="f", driver="fake", label=""), stations=[])
+        cap = Capture(
+            dev, CaptureConfig(center_hz=CENTER, sample_rate=RATE, block_seconds=0.2)
+        )
+        cap.watchdog_timeout_s = 2.0
+        cap.startup_timeout_s = 60.0
+        cap.start()
+        try:
+            # crashes, watchdog restarts, then runs clean
+            assert wait_for(
+                lambda: cap.restart_count >= 1 and cap.state == "running", timeout=90
+            )
+            b0 = cap.blocks_processed
+            assert wait_for(lambda: cap.blocks_processed > b0, timeout=60)
+        finally:
+            cap.auto_restart = False
+            cap.stop()

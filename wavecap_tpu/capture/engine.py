@@ -113,6 +113,16 @@ class Capture:
         self.last_block_time: float = 0.0
         self.block_ms: float = 0.0
 
+        # health monitoring (reference capture.py:2012-2151)
+        self.startup_timeout_s = 120.0
+        self.watchdog_timeout_s = 30.0
+        self.auto_restart = True
+        self.restart_count = 0
+        self.max_restarts_per_hour = 6
+        self._restart_times: list[float] = []
+        self._health_thread: threading.Thread | None = None
+        self._started_at = 0.0
+
         self._compute_block_size()
 
     # -- geometry ---------------------------------------------------------
@@ -298,11 +308,65 @@ class Capture:
                 return
             self.state = "starting"
             self._stop.clear()
+            self._started_at = time.time()
             self._rebuild_pipeline_if_needed()
             self._thread = threading.Thread(
                 target=self._run, name=f"Capture-{self.id}", daemon=True
             )
             self._thread.start()
+            if self._health_thread is None or not self._health_thread.is_alive():
+                self._health_thread = threading.Thread(
+                    target=self._health_monitor,
+                    name=f"HealthMon-{self.id}",
+                    daemon=True,
+                )
+                self._health_thread.start()
+
+    def _health_monitor(self) -> None:
+        """Watchdog: thread death / stalled blocks -> failed (+auto restart).
+
+        Reference semantics: startup watchdog + IQ watchdog
+        (``capture.py:2012-2151``) with restart caps
+        (``sdrplay_recovery`` cooldown pattern).
+        """
+        from wavecap_tpu.utils.observability import ERROR_TRACKER
+
+        while not self._stop.is_set():
+            time.sleep(1.0)
+            if self.state not in ("running", "starting", "failed"):
+                continue
+            now = time.time()
+            failed = self.state == "failed"
+            thread_dead = self._thread is not None and not self._thread.is_alive()
+            stalled = False
+            if self.state == "running" and self.blocks_processed == 0:
+                stalled = now - self._started_at > self.startup_timeout_s
+            elif self.state == "running" and self.blocks_processed > 0:
+                stalled = now - self.last_block_time > self.watchdog_timeout_s
+            if not (failed or thread_dead or stalled):
+                continue
+            reason = (
+                f"failed: {self.error}"
+                if failed
+                else "thread died" if thread_dead else "no blocks (watchdog)"
+            )
+            ERROR_TRACKER.record("capture_watchdog", self.id, reason)
+            logger.warning("capture %s unhealthy: %s", self.id, reason)
+            self._restart_times = [t for t in self._restart_times if now - t < 3600]
+            if self.auto_restart and len(self._restart_times) < self.max_restarts_per_hour:
+                self._restart_times.append(now)
+                self.restart_count += 1
+                try:
+                    self.stop()
+                    self.start()
+                except Exception:
+                    self.state = "failed"
+                    self.error = reason
+                    return
+                continue  # keep monitoring from this thread
+            self.state = "failed"
+            self.error = reason
+            return
 
     def stop(self) -> None:
         self._stop.set()

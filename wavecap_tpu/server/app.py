@@ -41,6 +41,12 @@ def create_device_driver(cfg: config_mod.AppConfig):
     d = cfg.device
     if d.driver == "file" and d.file_path:
         return FileReplayDriver(d.file_path)
+    if d.driver == "native":
+        from wavecap_tpu.devices.native import NativeDriver, native_available
+
+        if native_available():
+            return NativeDriver()
+        logger.warning("native ingest unavailable; falling back to fake")
     if d.driver == "soapy":  # pragma: no cover - hardware
         try:
             from wavecap_tpu.devices.soapy import SoapyDriver

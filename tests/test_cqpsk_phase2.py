@@ -1,0 +1,122 @@
+"""CQPSK demod round trip + P25 Phase 2 superframe detection."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from wavecap_tpu.decoders import p25_frames as pf
+from wavecap_tpu.decoders import p25_phase2 as p2
+from wavecap_tpu.decoders import p25_tsbk as tsbk
+from wavecap_tpu.decoders.framer import P25Framer
+from wavecap_tpu.models.p25.cqpsk import (
+    CqpskConfig,
+    cqpsk_init,
+    cqpsk_demodulate,
+    modulate_cqpsk,
+)
+from tests.test_p25_roundtrip import make_control_channel_dibits
+
+
+def run_demod(iq, cfg, block=4800):
+    state = cqpsk_init(cfg)
+    softs = []
+    for i in range(len(iq) // block):
+        soft, _, state = cqpsk_demodulate(
+            jnp.asarray(iq[i * block : (i + 1) * block]), state, cfg
+        )
+        softs.append(np.asarray(soft))
+    return np.concatenate(softs)
+
+
+class TestCqpsk:
+    def test_clean_symbol_recovery(self, rng):
+        dibits = rng.integers(0, 4, 2000).astype(np.uint8)
+        iq = modulate_cqpsk(dibits, 48_000, 4800)
+        cfg = CqpskConfig(sample_rate=48_000, symbol_rate=4800.0)
+        soft = run_demod(iq, cfg)
+        # align via correlation of dibit symbols
+        tx = pf.DIBIT_SYMBOLS[dibits]
+        best = None
+        for off in range(0, 60):
+            n = min(len(soft) - off, len(tx) - 8)
+            err = np.mean(np.abs(soft[off : off + n] - tx[8 : 8 + n]) > 1.0)
+            if best is None or err < best[1]:
+                best = (off, err)
+        assert best[1] < 0.05, best  # <5% symbol errors after lock
+
+    def test_lsm_control_channel_via_framer(self):
+        """Full stack: TSBKs over pi/4-DQPSK -> same framer/decoders."""
+        dibits, expected = make_control_channel_dibits(n_frames=6)
+        iq = modulate_cqpsk(dibits, 48_000, 4800)
+        t = np.arange(len(iq)) / 48_000
+        iq = (iq * np.exp(2j * np.pi * 80.0 * t)).astype(np.complex64)  # carrier error
+        cfg = CqpskConfig(sample_rate=48_000)
+        state = cqpsk_init(cfg)
+        framer = P25Framer()
+        ok = tot = 0
+        for i in range(len(iq) // 4800):
+            soft, _, state = cqpsk_demodulate(
+                jnp.asarray(iq[i * 4800 : (i + 1) * 4800]), state, cfg
+            )
+            for frame in framer.process(np.asarray(soft)):
+                if frame.duid != pf.DUID.TSDU:
+                    continue
+                payload = pf.remove_status_dibits(frame.dibits[57:], 57)
+                for b in pf.decode_tsbk_payload(payload):
+                    tot += 1
+                    ok += b.crc_valid
+        assert framer.sync_count >= 3
+        assert tot > 0 and ok / tot >= 0.6, (ok, tot)
+
+    def test_phase2_rate_6000(self, rng):
+        dibits = rng.integers(0, 4, 1200).astype(np.uint8)
+        iq = modulate_cqpsk(dibits, 48_000, 6000.0, alpha=1.0)
+        cfg = CqpskConfig(sample_rate=48_000, symbol_rate=6000.0, rrc_alpha=1.0)
+        soft = run_demod(iq, cfg)
+        tx = pf.DIBIT_SYMBOLS[dibits]
+        best = min(
+            (
+                (off, np.mean(np.abs(soft[off : off + 800] - tx[8:808]) > 1.0))
+                for off in range(0, 60)
+            ),
+            key=lambda x: x[1],
+        )
+        assert best[1] < 0.08, best
+
+
+class TestPhase2Framing:
+    def test_superframe_detection(self, rng):
+        frags = [p2.build_test_fragment() for _ in range(4)]
+        soft = np.concatenate(
+            [p2.DIBIT_SYMBOLS[np.concatenate(frags)]]
+        ) + rng.normal(0, 0.2, 4 * p2.FRAGMENT_DIBITS).astype(np.float32)
+        det = p2.P25P2SuperFrameDetector()
+        found = []
+        for i in range(0, len(soft), 500):
+            found += det.process(soft[i : i + 500])
+        assert len(found) >= 2
+        f = found[0]
+        assert f.rotation == 0
+        bursts = f.bursts()
+        assert len(bursts) == 4
+        assert [b[0] for b in bursts] == [0, 1, 0, 1]
+        np.testing.assert_array_equal(
+            f.dibits[360:380], p2.SYNC_DIBITS
+        )
+
+    def test_rotation_detection_and_correction(self):
+        frag = p2.build_test_fragment()
+        rotated = p2.rotate_dibits(frag, 1)  # +90° lock error
+        soft = p2.DIBIT_SYMBOLS[rotated]
+        det = p2.P25P2SuperFrameDetector()
+        found = det.process(np.concatenate([soft, soft]))
+        assert found, "no fragment found"
+        assert found[0].rotation == 90
+        # corrected dibits should match the original at sync positions
+        np.testing.assert_array_equal(found[0].dibits[360:380], p2.SYNC_DIBITS)
+
+    def test_dibit_rotation_is_cyclic(self):
+        d = np.array([0, 1, 2, 3], np.uint8)
+        r4 = p2.rotate_dibits(d, 4)
+        np.testing.assert_array_equal(r4, d)

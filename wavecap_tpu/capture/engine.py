@@ -61,6 +61,7 @@ class CaptureConfig:
     narrow_capacity: int = 8
     wide_capacity: int = 2
     p25_capacity: int = 2
+    p25_modulation: str = "c4fm"  # c4fm | cqpsk
     audio_rate: int = 48_000
     channel_bandwidth: float = 25_000.0
 
@@ -218,6 +219,7 @@ class Capture:
             channel_bandwidth=cfg.channel_bandwidth,
             wide_capacity=cfg.wide_capacity if "wide" in groups else 0,
             p25_capacity=cfg.p25_capacity if "p25" in groups else 0,
+            p25_modulation=cfg.p25_modulation,
             audio_rate=cfg.audio_rate,
         )
 

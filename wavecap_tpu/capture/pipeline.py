@@ -49,6 +49,11 @@ from wavecap_tpu.models.p25.c4fm import (
     c4fm_init,
     c4fm_demodulate,
 )
+from wavecap_tpu.models.p25.cqpsk import (
+    CqpskConfig,
+    cqpsk_init,
+    cqpsk_demodulate,
+)
 
 NARROW_MODES = ("nbfm", "am", "sam", "usb", "lsb")
 WIDE_RATE = 240_000  # WBFM intermediate rate
@@ -81,6 +86,7 @@ class CapturePipelineConfig:
     channel_bandwidth: float = 25_000.0
     wide_capacity: int = 0
     p25_capacity: int = 0
+    p25_modulation: str = "c4fm"  # c4fm | cqpsk (LSM/simulcast)
     audio_rate: int = 48_000
 
     def channelizer(self) -> ChannelizerConfig:
@@ -167,12 +173,22 @@ def wide_init(cfg: WideSlotConfig) -> WideState:
     )
 
 
-def p25_cfg_for(cfg: CapturePipelineConfig) -> C4fmConfig:
-    return C4fmConfig(sample_rate=int(cfg.channelizer().channel_rate))
+def p25_cfg_for(cfg: CapturePipelineConfig):
+    rate = int(cfg.channelizer().channel_rate)
+    if cfg.p25_modulation == "cqpsk":
+        return CqpskConfig(sample_rate=rate)
+    return C4fmConfig(sample_rate=rate)
+
+
+def _p25_fns(cfg: CapturePipelineConfig):
+    if cfg.p25_modulation == "cqpsk":
+        return cqpsk_init, cqpsk_demodulate
+    return c4fm_init, c4fm_demodulate
 
 
 def p25_init(cfg: CapturePipelineConfig) -> P25BankState:
-    base = c4fm_init(p25_cfg_for(cfg))
+    init_fn, _ = _p25_fns(cfg)
+    base = init_fn(p25_cfg_for(cfg))
     p = cfg.p25_capacity
     return P25BankState(
         nco_phase=jnp.zeros(p, jnp.uint32),
@@ -267,13 +283,14 @@ def _p25_step(chans, state: P25BankState, assign, cfg: CapturePipelineConfig):
     """C4FM symbol bank over the shared channelizer output."""
     ch = cfg.channelizer()
     c4 = p25_cfg_for(cfg)
+    _, demod_fn = _p25_fns(cfg)
     selected = chans[assign.channel_index]
     rate = ch.channel_rate
 
     def per_slot(iq_slot, offset_hz, phase0, c4state):
         shifted, phase1 = ops.freq_shift(iq_slot, -offset_hz, rate, phase0)
         rssi = ops.rssi_dbfs(shifted)
-        soft, dibits, c4state = c4fm_demodulate(shifted, c4state, c4)
+        soft, dibits, c4state = demod_fn(shifted, c4state, c4)
         return soft, dibits, rssi, phase1, c4state
 
     soft, dibits, rssi, phases, c4states = jax.vmap(per_slot)(

@@ -1,0 +1,78 @@
+"""MCP server, DMR/FLEX decoders, encoders, namers."""
+
+import json
+
+import numpy as np
+import pytest
+
+from wavecap_tpu.decoders import dmr, flex
+from wavecap_tpu.server.encoders import available_formats, make_encoder
+from wavecap_tpu.utils import namers
+
+
+class TestDMR:
+    def test_burst_detection(self, rng):
+        bursts_tx = [
+            dmr.build_test_burst("BS_DATA", rng),
+            dmr.build_test_burst("BS_VOICE", rng),
+            dmr.build_test_burst("BS_DATA", rng),
+        ]
+        soft = dmr.DIBIT_SYMBOLS[np.concatenate(bursts_tx)]
+        soft = soft + rng.normal(0, 0.2, len(soft)).astype(np.float32)
+        dec = dmr.DMRDecoder()
+        found = []
+        for i in range(0, len(soft), 100):
+            found += dec.process(soft[i : i + 100])
+        assert len(found) >= 2
+        kinds = [b.kind for b in found]
+        assert "BS_DATA" in kinds and "BS_VOICE" in kinds
+        assert found[0].payload_bits.shape == (240,)
+
+    def test_noise_only(self, rng):
+        dec = dmr.DMRDecoder()
+        assert dec.process(rng.normal(0, 2, 2000).astype(np.float32)) == []
+
+
+class TestFLEX:
+    def test_roundtrip(self):
+        bits = flex.encode_frame(123456, "TEST PAGE")
+        audio = flex.modulate_flex(bits)
+        dec = flex.FlexDecoder(48_000)
+        msgs = dec.process_audio(audio)
+        assert msgs and msgs[0].capcode == 123456
+        assert msgs[0].content.startswith("TEST PAGE")
+
+    def test_noise_only(self, rng):
+        dec = flex.FlexDecoder(48_000)
+        assert dec.process_audio(rng.normal(0, 1, 48_000).astype(np.float32)) == []
+
+
+class TestEncoders:
+    def test_available_formats(self):
+        fmts = available_formats()
+        assert "pcm16" in fmts and "f32" in fmts
+
+    def test_passthrough(self):
+        enc = make_encoder("pcm16")
+        out = enc.encode(np.asarray([0.0, 0.5, -0.5], np.float32))
+        pcm = np.frombuffer(out, np.int16)
+        assert list(pcm) == [0, 16383, -16383]
+        enc2 = make_encoder("f32")
+        assert len(enc2.encode(np.zeros(10, np.float32))) == 40
+
+
+class TestNamers:
+    def test_frequency_names(self):
+        assert namers.frequency_name(90.3e6) == "FM 90.3"
+        assert "Marine" in namers.frequency_name(156.8e6)
+        assert "(ch 16)" in namers.frequency_name(156.8e6)
+        assert "800 MHz Trunking" in namers.frequency_name(851.0125e6)
+
+    def test_mode_hint(self):
+        assert namers.mode_hint(90.3e6) == "wbfm"
+        assert namers.mode_hint(155.0e6) == "nbfm"
+        assert namers.mode_hint(852.0e6) == "p25"
+
+    def test_device_nickname(self):
+        assert namers.device_nickname("Generic RTL2832U OEM", "00001234") == "RTL 1234"
+        assert namers.device_nickname("Fake SDR 0") == "Fake"

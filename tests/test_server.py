@@ -239,3 +239,35 @@ class TestWebSockets:
         evt = harness.run(evt)
         assert evt["entity"] == "channel" and evt["change"] == "created"
         client.delete(f"/captures/{cid}")
+
+
+class TestMcp:
+    def test_mcp_rpc_surface(self, harness, client):
+        base = harness.base.rsplit("/api/v1", 1)[0]
+        with httpx.Client(base_url=base, timeout=30) as mc:
+            r = mc.post(
+                "/mcp",
+                json={"jsonrpc": "2.0", "id": 1, "method": "initialize"},
+            )
+            assert r.json()["result"]["serverInfo"]["name"] == "wavecap-tpu"
+            r = mc.post(
+                "/mcp", json={"jsonrpc": "2.0", "id": 2, "method": "tools/list"}
+            )
+            tools = {t["name"] for t in r.json()["result"]["tools"]}
+            assert {"list_devices", "create_capture", "tune_channel"} <= tools
+            r = mc.post(
+                "/mcp",
+                json={
+                    "jsonrpc": "2.0",
+                    "id": 3,
+                    "method": "tools/call",
+                    "params": {"name": "list_devices", "arguments": {}},
+                },
+            )
+            content = json.loads(r.json()["result"]["content"][0]["text"])
+            assert content[0]["driver"] == "fake"
+            # unknown method -> JSON-RPC error
+            r = mc.post(
+                "/mcp", json={"jsonrpc": "2.0", "id": 4, "method": "bogus"}
+            )
+            assert r.json()["error"]["code"] == -32601

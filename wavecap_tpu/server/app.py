@@ -517,16 +517,22 @@ def build_router(state: AppState) -> Router:
     async def ws_audio(req: Request, ws: WebSocket) -> None:
         cap, ch = state.find_channel(req.params["chid"])
         fmt = req.query.get("format", "pcm16")
+        from .encoders import available_formats, make_encoder
+
+        if fmt not in available_formats():
+            await ws.send_json({"error": f"format {fmt} unavailable"})
+            return
+        encoder = make_encoder(fmt, state.config.stream.audio_rate)
         sub = ch.audio.subscribe(maxsize=16)
         try:
             while not ws.closed:
                 audio = await _sub_get(sub, ws)
-                if fmt == "f32":
-                    await ws.send_bytes(pack_f32(audio))
-                else:
-                    await ws.send_bytes(pack_pcm16(audio).tobytes())
+                data = encoder.encode(audio)
+                if data:
+                    await ws.send_bytes(data)
         finally:
             sub.close()
+            encoder.close()
 
     @r.websocket(v1 + "/stream/state")
     async def ws_state(req: Request, ws: WebSocket) -> None:
@@ -615,6 +621,17 @@ def build_router(state: AppState) -> Router:
         finally:
             for sub in subs:
                 sub.close()
+
+    # ---- MCP ----
+    from .mcp import mount_mcp
+
+    mount_mcp(r, state, api_key=state.config.server.api_key)
+
+    @r.get(v1 + "/stream/formats")
+    async def formats(req: Request) -> Response:
+        from .encoders import available_formats
+
+        return Response.json({"formats": available_formats()})
 
     # ---- health root ----
     @r.get(v1 + "/health")

@@ -1,0 +1,122 @@
+"""Recovery policy state machine, uhubctl parsing, RadioReference parsing,
+talkgroup CSV import."""
+
+import pytest
+
+from wavecap_tpu.devices.recovery import (
+    RecoveryPolicy,
+    ServiceRecovery,
+    UsbPowerCycler,
+)
+from wavecap_tpu.utils.radioreference import parse_talkgroups_response
+from wavecap_tpu.trunking.config import load_talkgroups_csv
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 1000.0
+
+    def __call__(self):
+        return self.t
+
+
+class TestServiceRecovery:
+    def make(self, runner_rc=0):
+        calls = []
+
+        def runner(cmd, timeout=30.0):
+            calls.append(cmd)
+            return runner_rc, "ok"
+
+        clock = FakeClock()
+        svc = ServiceRecovery(
+            RecoveryPolicy(cooldown_s=60, max_per_hour=3), runner, clock
+        )
+        svc._calls = calls
+        svc._clock = clock
+        return svc
+
+    def test_restart_and_cooldown(self):
+        svc = self.make()
+        assert svc.restart_service()["ok"]
+        assert svc._calls[0][:2] == ["systemctl", "restart"]
+        denied = svc.restart_service()
+        assert not denied["ok"] and denied["reason"] == "cooldown"
+        svc._clock.t += 61
+        assert svc.restart_service()["ok"]
+
+    def test_hourly_cap(self):
+        svc = self.make()
+        for _ in range(3):
+            assert svc.restart_service()["ok"]
+            svc._clock.t += 61
+        denied = svc.restart_service()
+        assert denied["reason"] == "hourly cap"
+        svc._clock.t += 3600
+        assert svc.restart_service()["ok"]
+
+    def test_fallback_to_service_cmd(self):
+        calls = []
+
+        def runner(cmd, timeout=30.0):
+            calls.append(cmd)
+            return (1 if cmd[0] == "systemctl" else 0), ""
+
+        svc = ServiceRecovery(runner=runner, clock=FakeClock())
+        assert svc.restart_service()["ok"]
+        assert calls[1][0] == "service"
+
+
+class TestUhubctl:
+    def test_parse_hub_listing(self):
+        output = (
+            "Current status for hub 1-1 [dead:beef]\n"
+            "  Port 1: 0503 power highspeed enable connect\n"
+            "  Port 2: 0100 power\n"
+            "Current status for hub 2-1 [cafe:f00d]\n"
+            "  Port 1: 0100 power\n"
+        )
+        cyc = UsbPowerCycler(runner=lambda cmd, timeout=30.0: (0, output))
+        hubs = cyc.list_hubs()
+        assert len(hubs) == 2
+        assert hubs[0]["hub"] == "1-1"
+        assert len(hubs[0]["ports"]) == 2
+
+    def test_power_cycle_invokes_uhubctl(self):
+        calls = []
+        cyc = UsbPowerCycler(
+            runner=lambda cmd, timeout=30.0: (calls.append(cmd) or 0, "")
+        )
+        assert cyc.power_cycle("1-1", "2")["ok"]
+        assert "-a" in calls[0] and "cycle" in calls[0]
+
+
+class TestRadioReference:
+    def test_parse_soap_response(self):
+        xml = """
+        <response><item>
+          <tgDec>1001</tgDec><tgAlpha>PD Dispatch</tgAlpha><tgCat>Law</tgCat>
+        </item><item>
+          <tgDec>2002</tgDec><tgDescr>Fire Ops</tgDescr>
+        </item><item><bogus>x</bogus></item></response>
+        """
+        tgs = parse_talkgroups_response(xml)
+        assert tgs[1001].name == "PD Dispatch"
+        assert tgs[1001].category == "Law"
+        assert tgs[2002].name == "Fire Ops"
+        assert len(tgs) == 2
+
+
+class TestTalkgroupCsv:
+    def test_radioreference_csv(self, tmp_path):
+        p = tmp_path / "tg.csv"
+        p.write_text(
+            "Decimal,Hex,Alpha Tag,Mode,Description,Tag,Category\n"
+            "101,65,PD-1,D,Police Dispatch 1,Law Dispatch,City\n"
+            "202,CA,FD-1,D,Fire Dispatch,Fire Dispatch,City\n"
+            "bad,,X,,,,\n"
+        )
+        tgs = load_talkgroups_csv(p)
+        assert tgs[101].name == "PD-1"
+        assert tgs[202].tgid == 202
+        assert len(tgs) == 2

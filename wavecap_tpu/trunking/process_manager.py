@@ -1,0 +1,216 @@
+"""Process-per-device trunking manager (reference ``trunking/process_manager.py:262``).
+
+Groups trunking systems by device, spawns one worker process per group
+(``multiprocessing``), RPCs over a command pipe with timeouts, pumps the
+event pipe into callbacks, and restarts dead workers (liveness loop,
+reference ``_WorkerHandle`` :252 and the liveness tests at
+``tests/unit/test_trunking_worker_liveness.py``).
+
+Process creation is injectable (``process_factory``) so liveness and
+grouping logic is testable with fake process handles — the reference's
+"multi-node without a cluster" strategy (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import multiprocessing as mp
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class WorkerHandle:
+    key: str  # device group key
+    process: Any
+    cmd_conn: Any
+    evt_conn: Any
+    worker_cfg: dict
+    last_seen: float = field(default_factory=time.time)
+    restarts: int = 0
+    _rpc_ids: Any = field(default_factory=lambda: itertools.count(1))
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def alive(self) -> bool:
+        return self.process is not None and self.process.is_alive()
+
+    def rpc(self, cmd: str, timeout: float = 5.0, **kwargs) -> Any:
+        rid = next(self._rpc_ids)
+        with self._lock:
+            self.cmd_conn.send({"id": rid, "cmd": cmd, **kwargs})
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if self.cmd_conn.poll(0.1):
+                    msg = self.cmd_conn.recv()
+                    if msg.get("id") == rid:
+                        if "error" in msg:
+                            raise RuntimeError(msg["error"])
+                        return msg.get("result")
+        raise TimeoutError(f"worker {self.key} rpc {cmd!r} timed out")
+
+
+def _default_process_factory(target, args) -> Any:
+    ctx = mp.get_context("spawn")
+    p = ctx.Process(target=target, args=args, daemon=True)
+    p.start()
+    return p
+
+
+class TrunkingProcessManager:
+    """Spawn + supervise one trunking worker per device group."""
+
+    LIVENESS_INTERVAL = 2.0
+    MAX_RESTARTS = 5
+
+    def __init__(
+        self,
+        state_dir=None,
+        driver: str = "fake",
+        process_factory: Callable | None = None,
+        pipe_factory: Callable | None = None,
+    ):
+        self.state_dir = str(state_dir) if state_dir else None
+        self.driver = driver
+        self.process_factory = process_factory or _default_process_factory
+        self.pipe_factory = pipe_factory or (lambda: mp.get_context("spawn").Pipe())
+        self.workers: dict[str, WorkerHandle] = {}
+        self.system_configs: list[dict] = []
+        self.on_event: Callable[[str, dict], None] | None = None
+        self.latest_status: dict[str, list] = {}
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._lock = threading.RLock()
+
+    # -- grouping ----------------------------------------------------------
+
+    @staticmethod
+    def group_key(sys_cfg: dict) -> str:
+        return str(sys_cfg.get("device_id") or sys_cfg.get("deviceId") or "default")
+
+    def group_systems(self) -> dict[str, list[dict]]:
+        groups: dict[str, list[dict]] = {}
+        for cfg in self.system_configs:
+            groups.setdefault(self.group_key(cfg), []).append(cfg)
+        return groups
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def add_system(self, sys_cfg: dict) -> None:
+        self.system_configs.append(sys_cfg)
+
+    def start(self) -> None:
+        self._stop.clear()
+        for key, systems in self.group_systems().items():
+            if key not in self.workers:
+                self._spawn(key, systems)
+        t = threading.Thread(target=self._liveness_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def _spawn(self, key: str, systems: list[dict]) -> WorkerHandle:
+        from .process_worker import run_trunking_worker
+
+        cmd_parent, cmd_child = self.pipe_factory()
+        evt_parent, evt_child = self.pipe_factory()
+        worker_cfg = {
+            "driver": self.driver,
+            "state_dir": self.state_dir,
+            "systems": systems,
+            "auto_start": True,
+        }
+        proc = self.process_factory(
+            run_trunking_worker, (cmd_child, evt_child, worker_cfg)
+        )
+        handle = WorkerHandle(
+            key=key,
+            process=proc,
+            cmd_conn=cmd_parent,
+            evt_conn=evt_parent,
+            worker_cfg=worker_cfg,
+        )
+        with self._lock:
+            self.workers[key] = handle
+        pump = threading.Thread(
+            target=self._event_pump, args=(handle,), daemon=True
+        )
+        pump.start()
+        self._threads.append(pump)
+        return handle
+
+    def _event_pump(self, handle: WorkerHandle) -> None:
+        while not self._stop.is_set() and self.workers.get(handle.key) is handle:
+            try:
+                if handle.evt_conn.poll(0.2):
+                    msg = handle.evt_conn.recv()
+                    handle.last_seen = time.time()
+                    if msg.get("type") == "status":
+                        self.latest_status[handle.key] = msg.get("systems", [])
+                    elif msg.get("type") == "event" and self.on_event:
+                        evt = msg.get("event", {})
+                        self.on_event(evt.get("type", "event"), evt)
+                    elif msg.get("type") == "worker_error":
+                        logger.error(
+                            "worker %s error:\n%s", handle.key, msg.get("traceback")
+                        )
+            except (EOFError, OSError):
+                return
+
+    def _liveness_loop(self) -> None:
+        while not self._stop.is_set():
+            time.sleep(self.LIVENESS_INTERVAL)
+            self.check_liveness()
+
+    def check_liveness(self) -> list[str]:
+        """Restart dead workers; returns the keys restarted."""
+        restarted = []
+        with self._lock:
+            items = list(self.workers.items())
+        for key, handle in items:
+            if handle.alive():
+                continue
+            if handle.restarts >= self.MAX_RESTARTS:
+                logger.error("worker %s exceeded restart cap", key)
+                continue
+            logger.warning("worker %s dead; restarting", key)
+            systems = self.group_systems().get(key, [])
+            new = self._spawn(key, systems)
+            new.restarts = handle.restarts + 1
+            restarted.append(key)
+        return restarted
+
+    # -- control -----------------------------------------------------------
+
+    def status(self) -> list[dict]:
+        out = []
+        for key, handle in self.workers.items():
+            out.append(
+                {
+                    "worker": key,
+                    "alive": handle.alive(),
+                    "restarts": handle.restarts,
+                    "systems": self.latest_status.get(key, []),
+                }
+            )
+        return out
+
+    def rpc(self, key: str, cmd: str, timeout: float = 5.0, **kwargs) -> Any:
+        return self.workers[key].rpc(cmd, timeout=timeout, **kwargs)
+
+    def stop_all(self) -> None:
+        self._stop.set()
+        for handle in list(self.workers.values()):
+            try:
+                if handle.alive():
+                    handle.rpc("shutdown", timeout=5.0)
+            except (TimeoutError, RuntimeError, OSError):
+                pass
+            if handle.process is not None and hasattr(handle.process, "join"):
+                handle.process.join(timeout=5)
+                if handle.alive() and hasattr(handle.process, "terminate"):
+                    handle.process.terminate()
+        self.workers.clear()

@@ -12,6 +12,9 @@ Remote-TPU quirks this is engineered around (axon relay):
     checksum computed INSIDE the jitted program;
   * every eager op is a separate remote compile and a session-wedge risk
     -> exactly two compiled programs (init, step), no eager math;
+  * complex64 host<->device transfer is UNIMPLEMENTED (complex math
+    inside jit is fine) -> IQ crosses the boundary as interleaved f32
+    and becomes complex inside the program;
   * sessions can wedge -> the main process re-spawns a worker subprocess
     up to 3 times and parses its JSON.
 
@@ -58,6 +61,7 @@ def worker() -> None:
         highpass_hz=300.0,
         enable_lowpass=True,
         lowpass_hz=3000.0,
+        filter_impl="fir",  # linear-phase FIR band shaping (TPU-fast path)
     )
     spec = get_demod("nbfm")
 
@@ -71,7 +75,8 @@ def worker() -> None:
         return hist, dstates, phases
 
     @jax.jit
-    def step(x, carry):
+    def step(x_f32, carry):
+        x = jax.lax.complex(x_f32[0::2], x_f32[1::2])
         hist, dstates, phases = carry
         chans, hist = chz.channelize(x, hist, ch)
         spectrum = ops.power_spectrum(x, 2048)
@@ -91,9 +96,7 @@ def worker() -> None:
 
     rng = np.random.default_rng(0)
     x = jax.device_put(
-        ((rng.standard_normal(n_block) + 1j * rng.standard_normal(n_block)) * 0.1).astype(
-            np.complex64
-        )
+        (rng.standard_normal(2 * n_block) * 0.1).astype(np.float32)
     )
 
     t0 = time.perf_counter()

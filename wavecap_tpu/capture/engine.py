@@ -228,7 +228,8 @@ class Capture:
         if new_cfg != self._pipe_cfg:
             self._pipe_cfg = new_cfg
             self._jit_step = pl.jit_capture_step(new_cfg)
-            self._dev_state = pl.pipeline_init(new_cfg)
+            self._init_state = pl.jit_pipeline_init(new_cfg)
+            self._dev_state = self._init_state()
 
     def _build_control(self) -> Any:
         assert self._pipe_cfg is not None
@@ -409,7 +410,7 @@ class Capture:
                     self.overflow_count += 1
                     buf = np.empty(0, np.complex64)
                     if self._pipe_cfg is not None:
-                        self._dev_state = pl.pipeline_init(self._pipe_cfg)
+                        self._dev_state = self._init_state()
                     continue
                 buf = np.concatenate([buf, samples]) if buf.size else samples
                 while buf.size >= self.block_size:
@@ -433,7 +434,8 @@ class Capture:
             state = self._dev_state
             channels = list(self.channels.values())
         assert jit_step is not None
-        out, state = jit_step(jnp.asarray(block), state, ctl)
+        block_f32 = np.ascontiguousarray(block).view(np.float32)
+        out, state = jit_step(jnp.asarray(block_f32), state, ctl)
         with self._lock:
             self._dev_state = state
 

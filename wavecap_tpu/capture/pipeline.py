@@ -304,4 +304,17 @@ def _p25_step(chans, state: P25BankState, assign, cfg: CapturePipelineConfig):
 
 
 def jit_capture_step(cfg: CapturePipelineConfig):
-    return jax.jit(partial(capture_step, cfg=cfg))
+    """Jitted step taking interleaved-f32 IQ (complex64 host<->device
+    transfer is unimplemented on some TPU runtimes; complex math inside
+    the program is fine, so the boundary crossing is planar)."""
+
+    def step_f32(x_f32, state, ctl):
+        x = jax.lax.complex(x_f32[0::2], x_f32[1::2])
+        return capture_step(x, state, ctl, cfg)
+
+    return jax.jit(step_f32)
+
+
+def jit_pipeline_init(cfg: CapturePipelineConfig):
+    """State built on-device inside one program (no eager complex buffers)."""
+    return jax.jit(lambda: pipeline_init(cfg))

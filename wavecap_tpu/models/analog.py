@@ -24,6 +24,7 @@ NamedTuple pytree created by ``<mode>_init(cfg)``.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -140,6 +141,9 @@ class NbfmConfig:
     enable_noise_reduction: bool = False
     noise_reduction_db: float = 12.0
     target_rms: float = 0.18
+    filter_impl: str = "iir"  # "iir" (scipy-parity biquad scans) | "fir"
+    # "fir": voice band shaping as one linear-phase FIR (conv -> MXU/VPU
+    # friendly, no log-depth scans) — the TPU-fast path for dense banks.
 
 
 class NbfmState(NamedTuple):
@@ -150,7 +154,33 @@ class NbfmState(NamedTuple):
     notch_z: tuple
 
 
+@lru_cache(maxsize=32)
+def _voice_band_fir(audio_rate: int, low_hz: float, high_hz: float, taps: int = 127):
+    """Linear-phase bandpass covering the voice filters' passband."""
+    from scipy import signal as _sps
+    import numpy as _np
+
+    nyq = audio_rate / 2.0
+    lo = max(low_hz, 1.0) / nyq
+    hi = min(high_hz, nyq * 0.95) / nyq
+    h = _sps.firwin(taps, [lo, hi], pass_zero=False, window=("kaiser", 6.0))
+    return h.astype(_np.float32)
+
+
 def nbfm_init(cfg: NbfmConfig) -> NbfmState:
+    if cfg.filter_impl == "fir":
+        taps = _voice_band_fir(
+            cfg.audio_rate,
+            cfg.highpass_hz if cfg.enable_highpass else 10.0,
+            cfg.lowpass_hz if cfg.enable_lowpass else cfg.audio_rate * 0.45,
+        )
+        return NbfmState(
+            disc_prev=ops.fm_discriminator_init(),
+            deemph=ops.onepole_init(),
+            hp_z=ops.fir_init(len(taps), jnp.float32),
+            lp_z=jnp.zeros((0,), jnp.float32),
+            notch_z=_notch_states(len(cfg.notch_frequencies)),
+        )
     return NbfmState(
         disc_prev=ops.fm_discriminator_init(),
         deemph=ops.onepole_init(),
@@ -180,11 +210,21 @@ def nbfm_demod(iq: jnp.ndarray, state: NbfmState, cfg: NbfmConfig):
     if cfg.enable_deemphasis:
         audio, deemph = ops.deemphasis(audio, ar, cfg.deemphasis_tau, deemph)
     hp_z = state.hp_z
-    if cfg.enable_highpass and cfg.highpass_hz > 0:
-        audio, hp_z = iir_ops.highpass(audio, ar, cfg.highpass_hz, hp_z)
     lp_z = state.lp_z
-    if cfg.enable_lowpass and 0 < cfg.lowpass_hz < ar / 2:
-        audio, lp_z = iir_ops.lowpass(audio, ar, cfg.lowpass_hz, lp_z)
+    if cfg.filter_impl == "fir" and (cfg.enable_highpass or cfg.enable_lowpass):
+        taps = jnp.asarray(
+            _voice_band_fir(
+                ar,
+                cfg.highpass_hz if cfg.enable_highpass else 10.0,
+                cfg.lowpass_hz if cfg.enable_lowpass else ar * 0.45,
+            )
+        )
+        audio, hp_z = ops.fir_filter(audio, taps, hp_z)
+    else:
+        if cfg.enable_highpass and cfg.highpass_hz > 0:
+            audio, hp_z = iir_ops.highpass(audio, ar, cfg.highpass_hz, hp_z)
+        if cfg.enable_lowpass and 0 < cfg.lowpass_hz < ar / 2:
+            audio, lp_z = iir_ops.lowpass(audio, ar, cfg.lowpass_hz, lp_z)
     audio, notch_z = _apply_notches(audio, ar, cfg.notch_frequencies, state.notch_z)
     if cfg.enable_noise_reduction:
         audio = noise_ops.spectral_noise_reduction(audio, cfg.noise_reduction_db)

@@ -268,3 +268,26 @@ class TestClip:
         rssi = jnp.asarray([-50.0, -90.0])
         out = np.asarray(ops.squelch_gate(audio, rssi, -70.0))
         assert out[0].sum() == 100 and out[1].sum() == 0
+
+
+class TestFastAtan2:
+    def test_accuracy(self, rng):
+        from wavecap_tpu.ops.demod import fast_atan2
+
+        y = rng.standard_normal(20000).astype(np.float32)
+        x = rng.standard_normal(20000).astype(np.float32)
+        got = np.asarray(fast_atan2(jnp.asarray(y), jnp.asarray(x)))
+        ref = np.arctan2(y, x)
+        assert np.abs(got - ref).max() < 3e-4
+
+    def test_discriminator_fast_matches_exact(self):
+        fs, n = 48_000, 24_000
+        t = np.arange(n) / fs
+        iq = np.exp(1j * 2 * np.pi * 4000 * np.cumsum(np.sin(2 * np.pi * 5 * t)) / fs).astype(np.complex64)
+        a_ex, _ = ops.quadrature_demod(jnp.asarray(iq), fs, ops.fm_discriminator_init())
+        a_fa, _ = ops.quadrature_demod(
+            jnp.asarray(iq), fs, ops.fm_discriminator_init(), atan_impl="fast"
+        )
+        from tests.conftest import snr_db
+
+        assert snr_db(np.asarray(a_ex), np.asarray(a_fa)) > 70

@@ -144,6 +144,7 @@ class NbfmConfig:
     filter_impl: str = "iir"  # "iir" (scipy-parity biquad scans) | "fir"
     # "fir": voice band shaping as one linear-phase FIR (conv -> MXU/VPU
     # friendly, no log-depth scans) — the TPU-fast path for dense banks.
+    fast_discriminator: bool = False  # polynomial atan2 (~1e-4 rad)
 
 
 class NbfmState(NamedTuple):
@@ -202,7 +203,11 @@ def nbfm_demod(iq: jnp.ndarray, state: NbfmState, cfg: NbfmConfig):
     if cfg.enable_noise_blanker:
         iq = noise_ops.noise_blanker(iq, cfg.noise_blanker_threshold_db)
     fm, disc_prev = ops.quadrature_demod(
-        iq, cfg.sample_rate, state.disc_prev, max_deviation_hz=cfg.max_deviation_hz
+        iq,
+        cfg.sample_rate,
+        state.disc_prev,
+        max_deviation_hz=cfg.max_deviation_hz,
+        atan_impl="fast" if cfg.fast_discriminator else "exact",
     )
     audio = ops.resample_poly(fm, cfg.sample_rate, ar)
 

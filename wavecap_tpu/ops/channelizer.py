@@ -62,6 +62,19 @@ class ChannelizerConfig:
     channel_bandwidth: float = 25_000.0
     taps_per_channel: int = 9
     cutoff_scale: float = 0.5
+    # Cross-arm DFT implementation: "fft" (XLA FFT), "matmul" (MXU
+    # matmuls against cos/sin matrices), or "auto" (matmul for
+    # non-power-of-2 M <= 2048, where XLA falls back to Bluestein and is
+    # ~10x slower than the systolic array on TPU).
+    dft_impl: str = "auto"
+
+    def _use_matmul_dft(self) -> bool:
+        if self.dft_impl == "matmul":
+            return True
+        if self.dft_impl == "fft":
+            return False
+        m = self.channel_count
+        return m <= 2048 and (m & (m - 1)) != 0
 
     @property
     def channel_count(self) -> int:
@@ -112,31 +125,46 @@ def channelize(x: jnp.ndarray, state: jnp.ndarray, cfg: ChannelizerConfig):
     r_steps = n // m  # output steps per parity
 
     proto = design_prototype(m, t, cfg.cutoff_scale)
-    arms = jnp.asarray(proto.reshape(t, m))  # arms[m_tap, k] = h[k + m_tap*M]
+    # Column-reversed arms fold the per-window sample reversal into the
+    # (tiny, host-side) taps, so no lane-axis flip of the big array is
+    # needed (reversing the minor dimension is layout-hostile on TPU):
+    # with w[j, c] = x_ext[offset + jM + c] (a pure reshape),
+    #   u~[r, c] = sum_m arms[m_tap, M-1-c] * w[r + T-1-m_tap, c]
+    # and y = DFT_fwd(u~) * exp(-2pi i c / M) equals the flipped-window
+    # inverse-DFT formulation (substitute c = M-1-k in the k-sum).
+    arms_rev = jnp.asarray(proto.reshape(t, m)[:, ::-1].copy())
+    twiddle = np.exp(-2j * np.pi * np.arange(m) / m).astype(np.complex64)
 
     x_ext = jnp.concatenate([state, x])  # length MT + N
 
     def parity_stack(offset: int) -> jnp.ndarray:
-        # V[j, k] = x_ext[offset + (j+1)*M - k - (M-1) + (M-1)] ... i.e. the
-        # reshape+flip trick: row j covers x_ext[offset+jM : offset+(j+1)M]
-        # flipped, so V[j, k] = x_ext[offset + (j+1)M - 1 - k].
         seg = jax.lax.dynamic_slice_in_dim(x_ext, offset, (r_steps + t - 1) * m)
-        v = jnp.flip(seg.reshape(r_steps + t - 1, m), axis=1)
-        # u[r, k] = sum_m arms[m, k] * V[r + (T-1) - m, k]
+        w = seg.reshape(r_steps + t - 1, m)
         u = jnp.zeros((r_steps, m), x.dtype)
         for m_tap in range(t):
-            u = u + v[t - 1 - m_tap : t - 1 - m_tap + r_steps, :] * arms[m_tap][None, :]
+            u = u + w[t - 1 - m_tap : t - 1 - m_tap + r_steps, :] * arms_rev[m_tap][None, :]
         return u
 
     # Even steps s=2r use windows ending at L + rM; odd at L + rM + M/2.
-    # Row j of parity_stack(offset) ends at offset + (j+1)M - 1; matching
-    # x_ext index L + (j - (T-1))M  requires offset = L - TM + 1 = 1 for
-    # even (L = MT) and 1 + M/2 for odd.
+    # Row j of parity_stack(offset) covers x_ext[offset+jM : offset+(j+1)M];
+    # matching window-end L + (j-(T-1))M requires offset = 1 for even
+    # (L = MT) and 1 + M/2 for odd.
     u_even = parity_stack(1)
     u_odd = parity_stack(1 + m // 2)
 
-    y_even = jnp.fft.ifft(u_even, axis=-1) * m
-    y_odd = jnp.fft.ifft(u_odd, axis=-1) * m
+    if cfg._use_matmul_dft():
+        from .planar import planar_matmul_dft
+
+        def dft_fwd(u):
+            yr, yi = planar_matmul_dft(u.real, u.imag, m, inverse=False)
+            return jax.lax.complex(yr, yi)
+    else:
+        def dft_fwd(u):
+            return jnp.fft.fft(u, axis=-1)
+
+    tw = jnp.asarray(twiddle)
+    y_even = dft_fwd(u_even) * tw
+    y_odd = dft_fwd(u_odd) * tw
     sign = jnp.asarray(np.where(np.arange(m) % 2 == 0, 1.0, -1.0), np.float32)
     y_odd = y_odd * sign
 

@@ -14,11 +14,32 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def fast_atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial atan2 approximation (max error ~1e-4 rad, ~-80 dB).
+
+    XLA's exact ``atan2`` lowers to a long transcendental sequence that
+    dominates dense discriminator banks on the VPU; this 7th-order
+    minimax polynomial with quadrant folding is several times cheaper
+    and far below the FM noise floor for voice work.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    a = lo / jnp.maximum(hi, 1e-30)
+    s = a * a
+    r = ((-0.0464964749 * s + 0.15931422) * s - 0.327622764) * s * a + a
+    r = jnp.where(ay > ax, np.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, np.float32(np.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
 def quadrature_demod(
     iq: jnp.ndarray,
     sample_rate: float,
     prev_sample: jnp.ndarray,
     max_deviation_hz: float = 75_000.0,
+    atan_impl: str = "exact",
 ):
     """FM discriminator: ``angle(x[n]·conj(x[n-1])) · fs/(2π·dev)``.
 
@@ -33,7 +54,8 @@ def quadrature_demod(
     prod = x * jnp.conj(prev)
     scale = np.float32(sample_rate / (2.0 * np.pi * max_deviation_hz))
     # First-ever sample: prev==0 -> prod==0 -> angle 0, matches reference.
-    audio = jnp.arctan2(prod.imag, prod.real) * scale
+    atan = fast_atan2 if atan_impl == "fast" else jnp.arctan2
+    audio = atan(prod.imag, prod.real) * scale
     return audio.astype(jnp.float32), x[..., -1]
 
 

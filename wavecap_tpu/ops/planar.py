@@ -114,7 +114,11 @@ def planar_channelize(re, im, state, cfg: ChannelizerConfig):
     r_steps = n // m
 
     proto = design_prototype(m, t, cfg.cutoff_scale)
-    arms = jnp.asarray(proto.reshape(t, m))
+    # Flip-free formulation (see ops/channelizer.py): reversal folded into
+    # the taps; forward DFT then a per-channel twiddle e^{-2pi i c / M}.
+    arms = jnp.asarray(proto.reshape(t, m)[:, ::-1].copy())
+    tw_c = jnp.asarray(np.cos(2 * np.pi * np.arange(m) / m).astype(np.float32))
+    tw_s = jnp.asarray((-np.sin(2 * np.pi * np.arange(m) / m)).astype(np.float32))
 
     hist_re, hist_im = state
     xr = jnp.concatenate([hist_re, re])
@@ -122,10 +126,10 @@ def planar_channelize(re, im, state, cfg: ChannelizerConfig):
 
     def parity_stack(x_ext, offset: int):
         seg = jax.lax.dynamic_slice_in_dim(x_ext, offset, (r_steps + t - 1) * m)
-        v = jnp.flip(seg.reshape(r_steps + t - 1, m), axis=1)
+        w = seg.reshape(r_steps + t - 1, m)
         u = jnp.zeros((r_steps, m), jnp.float32)
         for m_tap in range(t):
-            u = u + v[t - 1 - m_tap : t - 1 - m_tap + r_steps, :] * arms[m_tap][None, :]
+            u = u + w[t - 1 - m_tap : t - 1 - m_tap + r_steps, :] * arms[m_tap][None, :]
         return u
 
     ur_e = parity_stack(xr, 1)
@@ -133,9 +137,13 @@ def planar_channelize(re, im, state, cfg: ChannelizerConfig):
     ur_o = parity_stack(xr, 1 + m // 2)
     ui_o = parity_stack(xi, 1 + m // 2)
 
-    # unnormalized inverse DFT across arms == ifft * m
-    yr_e, yi_e = planar_matmul_dft(ur_e, ui_e, m, inverse=True)
-    yr_o, yi_o = planar_matmul_dft(ur_o, ui_o, m, inverse=True)
+    dr_e, di_e = planar_matmul_dft(ur_e, ui_e, m, inverse=False)
+    dr_o, di_o = planar_matmul_dft(ur_o, ui_o, m, inverse=False)
+    # twiddle (complex multiply by planes)
+    yr_e = dr_e * tw_c - di_e * tw_s
+    yi_e = dr_e * tw_s + di_e * tw_c
+    yr_o = dr_o * tw_c - di_o * tw_s
+    yi_o = dr_o * tw_s + di_o * tw_c
 
     sign = jnp.asarray(np.where(np.arange(m) % 2 == 0, 1.0, -1.0), np.float32)
     yr_o = yr_o * sign

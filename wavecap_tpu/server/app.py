@@ -633,6 +633,27 @@ def build_router(state: AppState) -> Router:
 
         return Response.json({"formats": available_formats()})
 
+    # ---- static frontend ----
+    static_dir = Path(__file__).parent / "static"
+
+    @r.get("/")
+    async def index(req: Request) -> Response:
+        f = static_dir / "index.html"
+        if not f.exists():
+            raise HttpError(404)
+        return Response(body=f.read_bytes(), content_type="text/html")
+
+    @r.get("/static/{name}")
+    async def static_file(req: Request) -> Response:
+        name = req.params["name"]
+        f = (static_dir / name).resolve()
+        if not str(f).startswith(str(static_dir.resolve())) or not f.exists():
+            raise HttpError(404)
+        ctype = {
+            ".html": "text/html", ".js": "text/javascript", ".css": "text/css",
+        }.get(f.suffix, "application/octet-stream")
+        return Response(body=f.read_bytes(), content_type=ctype)
+
     # ---- health root ----
     @r.get(v1 + "/health")
     async def health(req: Request) -> Response:

@@ -78,7 +78,7 @@ def worker() -> None:
     # Macro-batch: BLOCKS_PER_STEP dependent blocks per dispatch (a
     # lax.scan over the carried state), amortizing per-dispatch overhead —
     # remote-relay round trips are ~30 ms, far above the on-chip time.
-    BLOCKS_PER_STEP = 10 if on_accel else 1
+    BLOCKS_PER_STEP = 32 if on_accel else 1
 
     def one_block(carry, x):
         hist, dstates, phases = carry
@@ -100,8 +100,13 @@ def worker() -> None:
     @jax.jit
     def step(x_f32, carry):
         x = jax.lax.complex(x_f32[0::2], x_f32[1::2])
-        xs = jnp.broadcast_to(x, (BLOCKS_PER_STEP,) + x.shape)
-        carry, checksums = jax.lax.scan(one_block, carry, xs)
+
+        def body(c, _):
+            return one_block(c, x)  # same block each iter: avoids a
+            # (BLOCKS, N) materialization; the carry chain still forces
+            # sequential full computation
+
+        carry, checksums = jax.lax.scan(body, carry, None, length=BLOCKS_PER_STEP)
         return carry, jnp.sum(checksums).reshape(1)
 
     rng = np.random.default_rng(0)

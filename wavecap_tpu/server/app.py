@@ -67,6 +67,8 @@ class AppState:
         self._chan_ids = itertools.count(1)
         self.trunking.on_event = self._trunking_event
         self._trunking_event_subs: set = set()
+        self.scanners: dict = {}
+        self.attachments: dict = {}  # (channel_id, kind) -> attachment
 
     # -- id helpers --------------------------------------------------------
 
@@ -621,6 +623,130 @@ def build_router(state: AppState) -> Router:
         finally:
             for sub in subs:
                 sub.close()
+
+    # ---- scanners ----
+    @r.get(v1 + "/scanners")
+    async def scanners_list(req: Request) -> Response:
+        return Response.json([s_.status() for s_ in state.scanners.values()])
+
+    @r.post(v1 + "/scanners")
+    async def scanner_create(req: Request) -> Response:
+        from wavecap_tpu.capture.scanner import (
+            ScanEntry,
+            ScanMode,
+            ScannerConfig,
+            ScannerService,
+        )
+
+        body = req.json()
+        cap = state.get_capture(body.get("captureId", ""))
+        chid = body.get("channelId", "")
+        if chid not in cap.channels:
+            raise HttpError(404, f"channel {chid} not in capture")
+        try:
+            entries = [
+                ScanEntry(
+                    frequency_hz=float(e["frequencyHz"]),
+                    name=e.get("name", ""),
+                    priority=int(e.get("priority", 5)),
+                )
+                for e in body.get("entries", [])
+            ]
+            cfg = ScannerConfig(
+                entries=entries,
+                mode=ScanMode(body.get("mode", "sequential")),
+                dwell_s=float(body.get("dwellS", 0.5)),
+                hold_s=float(body.get("holdS", 2.0)),
+                squelch_db=float(body.get("squelchDb", -60.0)),
+            )
+        except (KeyError, ValueError) as e:
+            raise HttpError(422, str(e))
+        svc = ScannerService(cap, chid, cfg)
+        state.scanners[svc.id] = svc
+        if body.get("autoStart", True):
+            svc.start()
+        return Response.json(svc.status(), status=201)
+
+    @r.get(v1 + "/scanners/{sid}")
+    async def scanner_get(req: Request) -> Response:
+        svc = state.scanners.get(req.params["sid"])
+        if svc is None:
+            raise HttpError(404)
+        return Response.json(svc.status())
+
+    @r.post(v1 + "/scanners/{sid}/start")
+    async def scanner_start(req: Request) -> Response:
+        svc = state.scanners.get(req.params["sid"])
+        if svc is None:
+            raise HttpError(404)
+        svc.start()
+        return Response.json(svc.status())
+
+    @r.post(v1 + "/scanners/{sid}/stop")
+    async def scanner_stop(req: Request) -> Response:
+        svc = state.scanners.get(req.params["sid"])
+        if svc is None:
+            raise HttpError(404)
+        await asyncio.to_thread(svc.stop)
+        return Response.json(svc.status())
+
+    @r.post(v1 + "/scanners/{sid}/lockout")
+    async def scanner_lockout(req: Request) -> Response:
+        svc = state.scanners.get(req.params["sid"])
+        if svc is None:
+            raise HttpError(404)
+        body = req.json()
+        svc.lockout(float(body["frequencyHz"]), bool(body.get("locked", True)))
+        return Response.json(svc.status())
+
+    @r.delete(v1 + "/scanners/{sid}")
+    async def scanner_delete(req: Request) -> Response:
+        svc = state.scanners.pop(req.params["sid"], None)
+        if svc:
+            await asyncio.to_thread(svc.stop)
+        return Response.json({"ok": True})
+
+    # ---- channel attachments (POCSAG / FLEX / RDS decoders) ----
+    @r.post(v1 + "/channels/{chid}/attachments")
+    async def attachment_create(req: Request) -> Response:
+        from wavecap_tpu.capture.attachments import ATTACHMENT_KINDS
+
+        cap, ch = state.find_channel(req.params["chid"])
+        kind = req.json().get("kind", "")
+        cls = ATTACHMENT_KINDS.get(kind)
+        if cls is None:
+            raise HttpError(422, f"unknown attachment kind {kind!r}")
+        key = (ch.id, kind)
+        if key in state.attachments:
+            raise HttpError(409, "attachment exists")
+        att = cls(ch, audio_rate=state.config.stream.audio_rate)
+        state.attachments[key] = att
+        return Response.json(att.status(), status=201)
+
+    @r.get(v1 + "/channels/{chid}/attachments")
+    async def attachments_list(req: Request) -> Response:
+        cap, ch = state.find_channel(req.params["chid"])
+        return Response.json(
+            [a.status() for (cid, _), a in state.attachments.items() if cid == ch.id]
+        )
+
+    @r.get(v1 + "/channels/{chid}/messages")
+    async def channel_messages(req: Request) -> Response:
+        cap, ch = state.find_channel(req.params["chid"])
+        out = []
+        for (cid, kind), a in state.attachments.items():
+            if cid == ch.id:
+                out += [{"decoder": kind, **m} for m in list(a.messages)]
+        out.sort(key=lambda m: m.get("time", 0))
+        return Response.json(out[-int(req.query.get("limit", "100")):])
+
+    @r.delete(v1 + "/channels/{chid}/attachments/{kind}")
+    async def attachment_delete(req: Request) -> Response:
+        cap, ch = state.find_channel(req.params["chid"])
+        att = state.attachments.pop((ch.id, req.params["kind"]), None)
+        if att:
+            await asyncio.to_thread(att.stop)
+        return Response.json({"ok": True})
 
     # ---- MCP ----
     from .mcp import mount_mcp

@@ -84,6 +84,7 @@ class VoiceRecorder:
                 if ldu is None:
                     continue
                 self.last_activity = now
+                self._handle_metadata(frame.duid, ldu)
                 for cw in ldu.imbe_codewords:
                     self._imbe.append(np.asarray(cw, np.uint8))
                     if self.call:
@@ -94,6 +95,29 @@ class VoiceRecorder:
                     self.audio.publish(pcm)
             elif frame.duid in (pf.DUID.TDU, pf.DUID.TDULC):
                 self.last_activity = 0.0  # terminator: end promptly
+
+    def _handle_metadata(self, duid, ldu) -> None:
+        """LDU1 link control / LDU2 encryption sync -> call metadata."""
+        from wavecap_tpu.decoders.p25_voice import (
+            decode_ess_hexbits,
+            decode_lc_hexbits,
+        )
+
+        if self.call is None:
+            return
+        if duid == pf.DUID.LDU1 and len(ldu.lc_bits) >= 240:
+            lc = decode_lc_hexbits(ldu.lc_bits)
+            if lc is not None and lc.errors < 20:
+                if lc.source_id:
+                    self.call.source_id = lc.source_id
+                if lc.lcf == 0x00 and lc.tgid:
+                    self.call.tgid = lc.tgid
+                if lc.emergency:
+                    self.call.emergency = True
+        elif duid == pf.DUID.LDU2 and len(ldu.lc_bits) >= 240:
+            ess = decode_ess_hexbits(ldu.lc_bits)
+            if ess is not None and ess.errors < 20 and ess.encrypted:
+                self.call.encrypted = True
 
     def finalize(
         self, recording_dir: Path | None, min_duration_s: float, now: float

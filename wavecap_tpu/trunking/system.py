@@ -32,6 +32,7 @@ from wavecap_tpu.capture import CaptureConfig, CaptureManager, ChannelSpec
 from wavecap_tpu.decoders.p25_tsbk import ChannelIdentifier, iden_from_parsed
 from .config import HuntMode, TrunkingSystemConfig
 from .control import ControlChannelMonitor
+from .events import CallSignature, DuplicateDetector
 from .recorder import CallInfo, RecorderPool, VoiceRecorder
 
 logger = logging.getLogger(__name__)
@@ -72,6 +73,7 @@ class TrunkingSystem:
         self.monitor: ControlChannelMonitor | None = None
         self.pool: RecorderPool | None = None
         self.active_calls: dict[int, CallInfo] = {}  # tgid -> call
+        self.duplicates = DuplicateDetector(window_s=3.0)
         self.call_history: deque = deque(maxlen=self.CALL_HISTORY)
         self.events = deque(maxlen=500)  # (time, type, payload) for the API/WS
         self.message_log: deque = deque(maxlen=500)
@@ -294,6 +296,10 @@ class TrunkingSystem:
         existing = self.pool.for_tgid(tgid)
         if existing is not None:
             existing.last_activity = now  # grant update extends the call
+            return
+        if self.duplicates.is_duplicate(
+            CallSignature(tgid=tgid, frequency_hz=freq), now
+        ):
             return
         half = self.config.sample_rate / 2
         off = freq - self.capture.config.center_hz

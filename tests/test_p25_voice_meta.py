@@ -110,3 +110,50 @@ class TestCallBookkeeping:
         ended = t.sweep(now=20.0)
         assert len(ended) == 1 and ended[0].updates == 1
         assert 1 not in t.events
+
+
+class TestFrameLevelDecode:
+    def test_tdulc_roundtrip(self):
+        from wavecap_tpu.decoders import p25_frames as pf
+        from wavecap_tpu.decoders.p25_voice import make_group_lc_bits
+
+        lc_bits = make_group_lc_bits(tgid=1234, source_id=777_777)
+        payload = pf.encode_tdulc_payload(lc_bits)
+        payload_dibits = pf.bits_to_dibits(payload)
+        head = np.concatenate(
+            [pf.FRAME_SYNC_DIBITS, pf.encode_nid(0x293, pf.DUID.TDULC)]
+        )
+        frame = np.concatenate(
+            [
+                pf.insert_status_dibits(head, 0),
+                pf.insert_status_dibits(payload_dibits, 57),
+            ]
+        )
+        frame = np.pad(frame, (0, max(0, 216 - len(frame))))
+        out = pf.decode_tdulc(frame)
+        assert out is not None
+        nid, lc = out
+        assert nid.duid == pf.DUID.TDULC and nid.nac == 0x293
+        assert lc.tgid == 1234 and lc.source_id == 777_777
+
+    def test_hdu_roundtrip_frame(self):
+        from wavecap_tpu.decoders import p25_frames as pf
+        from wavecap_tpu.decoders.p25_voice import encode_hdu_payload
+
+        payload_bits = encode_hdu_payload(tgid=888, algid=0x80, kid=0x55AA)
+        payload_dibits = pf.bits_to_dibits(payload_bits)
+        head = np.concatenate(
+            [pf.FRAME_SYNC_DIBITS, pf.encode_nid(0x123, pf.DUID.HDU)]
+        )
+        frame = np.concatenate(
+            [
+                pf.insert_status_dibits(head, 0),
+                pf.insert_status_dibits(payload_dibits, 57),
+            ]
+        )
+        frame = np.pad(frame, (0, max(0, 396 - len(frame))))
+        out = pf.decode_hdu(frame)
+        assert out is not None
+        nid, fields = out
+        assert nid.duid == pf.DUID.HDU
+        assert fields.tgid == 888 and fields.kid == 0x55AA

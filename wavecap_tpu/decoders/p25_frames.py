@@ -313,6 +313,71 @@ def decode_ldu(frame_dibits: np.ndarray) -> LDUFrame | None:
 
 
 # ---------------------------------------------------------------------------
+# HDU / TDU / TDULC frames
+# ---------------------------------------------------------------------------
+
+
+def decode_hdu(frame_dibits: np.ndarray):
+    """HDU frame (from sync) -> (NID, HduFields) or None."""
+    from .p25_voice import decode_hdu_payload
+
+    d = np.asarray(frame_dibits, np.uint8)
+    if len(d) < 396:
+        return None
+    nid = decode_nid(d[SYNC_LEN : SYNC_LEN + NID_LEN])
+    if nid is None:
+        return None
+    payload = remove_status_dibits(d[57:396], frame_offset=57)
+    fields = decode_hdu_payload(dibits_to_bits(payload))
+    return nid, fields
+
+
+def decode_tdulc(frame_dibits: np.ndarray):
+    """TDULC frame -> (NID, LinkControl) or None.
+
+    Payload: 12 Golay(24,12) words carrying 24 hexbits (LC + RS parity).
+    """
+    from .fec import golay as golay_mod
+    from .p25_voice import parse_link_control, _int_to_bits
+
+    d = np.asarray(frame_dibits, np.uint8)
+    if len(d) < 216:
+        return None
+    nid = decode_nid(d[SYNC_LEN : SYNC_LEN + NID_LEN])
+    if nid is None:
+        return None
+    payload = remove_status_dibits(d[57:216], frame_offset=57)
+    bits = dibits_to_bits(payload)
+    hexbits = []
+    errs = 0
+    for i in range(12):
+        if 24 * (i + 1) > len(bits):
+            break
+        data12, n = golay_mod.decode(bits[24 * i : 24 * (i + 1)])
+        errs += 4 if n < 0 else n
+        hexbits += [(data12 >> 6) & 0x3F, data12 & 0x3F]
+    if len(hexbits) < 12:
+        return None
+    lc_bits = np.concatenate([_int_to_bits(h, 6) for h in hexbits[:12]])
+    return nid, parse_link_control(lc_bits, errs)
+
+
+def encode_tdulc_payload(lc_bits72: np.ndarray) -> np.ndarray:
+    """72-bit LC -> 288 coded payload bits (RS parity zeros; tests)."""
+    from .fec import golay as golay_mod
+    from .p25_voice import _bits_to_int
+
+    hexbits = [
+        _bits_to_int(lc_bits72[6 * i : 6 * (i + 1)]) for i in range(12)
+    ] + [0] * 12
+    out = []
+    for i in range(12):
+        data12 = (hexbits[2 * i] << 6) | hexbits[2 * i + 1]
+        out.append(golay_mod.encode(data12))
+    return np.concatenate(out)
+
+
+# ---------------------------------------------------------------------------
 # Synthesis (tests / encoders)
 # ---------------------------------------------------------------------------
 

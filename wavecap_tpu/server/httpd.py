@@ -369,6 +369,10 @@ class HttpServer:
         await writer.drain()
         req.params = params
         ws = WebSocket(reader, writer)
+        # Stream handlers are send-only; drain incoming frames in the
+        # background so client keepalive pings get ponged (recv() answers
+        # them) even while the handler blocks on data production.
+        drain = asyncio.create_task(self._ws_drain(ws))
         try:
             await fn(req, ws)
         except (ConnectionError, asyncio.CancelledError):
@@ -376,4 +380,14 @@ class HttpServer:
         except Exception:  # pragma: no cover
             logger.exception("ws handler error for %s", req.path)
         finally:
+            drain.cancel()
             await ws.close()
+
+    @staticmethod
+    async def _ws_drain(ws: "WebSocket") -> None:
+        try:
+            while not ws.closed:
+                if await ws.recv() is None:
+                    return
+        except (ConnectionError, asyncio.CancelledError):
+            pass

@@ -328,3 +328,35 @@ class TestScannerAndAttachments:
             f"/channels/{ch['id']}/attachments/pocsag"
         ).json()["ok"]
         client.delete(f"/captures/{cid}")
+
+
+class TestMiscEndpoints:
+    def test_frequency_identify(self, client):
+        r = client.get("/frequencies/identify?hz=90300000")
+        assert r.json()["name"] == "FM 90.3"
+        assert r.json()["modeHint"] == "wbfm"
+        assert client.get("/frequencies/identify").status_code == 422
+
+    def test_recipes_listing(self, client):
+        r = client.get("/recipes")
+        assert r.status_code == 200
+        # repo ships presets/recipes; when cwd is repo root they appear
+        assert isinstance(r.json(), list)
+
+    def test_metrics_history(self, client):
+        r = client.post("/captures", json={"centerHz": 155e6, "sampleRate": 800_000})
+        cid = r.json()["id"]
+        ch = client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 155.02e6},
+        ).json()
+        client.post(f"/captures/{cid}/start")
+        for _ in range(120):
+            st = client.get(f"/captures/{cid}").json()
+            if st["blocksProcessed"] >= 2:
+                break
+            time.sleep(0.25)
+        m = client.get(f"/channels/{ch['id']}/metrics?history=1").json()
+        assert "history" in m and len(m["history"]) >= 1
+        client.post(f"/captures/{cid}/stop")
+        client.delete(f"/captures/{cid}")

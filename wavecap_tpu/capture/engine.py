@@ -76,7 +76,16 @@ class ChannelHandle:
         self.audio = FanOut(maxsize=32)
         self.symbols = FanOut(maxsize=32)  # P25 soft-symbol batches
         self.rssi_db: float = -200.0
+        self.rssi_history: list = []  # (time, rssi) ring, ~5 min at 5 Hz
         self.state = "active"
+
+    def record_rssi(self, rssi: float, now: float) -> None:
+        self.rssi_db = rssi
+        h = self.rssi_history
+        if not h or now - h[-1][0] >= 1.0:
+            h.append((round(now, 1), round(rssi, 1)))
+            if len(h) > 300:
+                del h[: len(h) - 300]
 
     @property
     def id(self) -> str:
@@ -449,7 +458,7 @@ class Capture:
                 grp = out.get("p25")
                 if grp is None:
                     continue
-                ch.rssi_db = float(grp["rssi"][ch.slot])
+                ch.record_rssi(float(grp["rssi"][ch.slot]), time.time())
                 ch.symbols.publish(
                     {
                         "soft": np.asarray(grp["soft"][ch.slot]),
@@ -465,7 +474,7 @@ class Capture:
             if grp is None:
                 continue
             audio = np.asarray(grp["audio"][ch.slot])
-            ch.rssi_db = float(grp["rssi"][ch.slot])
+            ch.record_rssi(float(grp["rssi"][ch.slot]), time.time())
             ch.audio.publish(audio)
 
         self.blocks_processed += 1

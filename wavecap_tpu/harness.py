@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import asyncio
 import json
+import os
 import sys
 import time
 from dataclasses import asdict, dataclass
@@ -115,11 +116,12 @@ async def run_harness(args) -> HarnessReport:
             t0 = time.perf_counter()
             pcm_chunks: list[bytes] = []
             uri = f"ws://127.0.0.1:{server.port}/api/v1/stream/channels/{ch['id']}"
+            first_timeout = float(os.environ.get("WAVECAP_WS_TIMEOUT", "600"))
             async with ws_client.connect(uri, open_timeout=120) as ws:
                 need = int(args.duration * 48_000) * 2
                 got = 0
                 while got < need:
-                    data = await asyncio.wait_for(ws.recv(), timeout=120)
+                    data = await asyncio.wait_for(ws.recv(), timeout=first_timeout)
                     pcm_chunks.append(data)
                     got += len(data)
             wall = time.perf_counter() - t0

@@ -70,6 +70,7 @@ def _conv_valid_direct(
             window_strides=(stride,),
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST,  # TPU convs default to bf16
         )
         return out[0, 0, :]
 

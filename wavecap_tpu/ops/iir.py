@@ -103,13 +103,23 @@ def _biquad_scan(x, b0, b1, b2, a1, a2, z0):
     Ae = jnp.broadcast_to(A, x.shape[:-1] + (n, 2, 2))
     be = (x[..., None] * Bv)[..., None]  # (..., n, 2, 1)
 
+    # TPU matmuls default to bf16; the 2x2 recurrence products need full
+    # f32 or poles near 1 explode (NaN) within a block.
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
     def combine(l, r):
         Al, bl = l
         Ar, br = r
-        return Ar @ Al, Ar @ bl + br
+        return mm(Ar, Al), mm(Ar, bl) + br
 
     Ap, bp = jax.lax.associative_scan(combine, (Ae, be), axis=-3)
-    s = jnp.einsum("...nij,...j->...ni", Ap, z0) + bp[..., 0]  # s[n], n=0..N-1
+    s = (
+        jnp.einsum(
+            "...nij,...j->...ni", Ap, z0, precision=jax.lax.Precision.HIGHEST
+        )
+        + bp[..., 0]
+    )  # s[n], n=0..N-1
     s_prev = jnp.concatenate(
         [jnp.broadcast_to(z0, x.shape[:-1] + (1, 2)), s[..., :-1, :]], axis=-2
     )

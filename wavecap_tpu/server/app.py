@@ -320,13 +320,52 @@ def build_router(state: AppState) -> Router:
     @r.get(v1 + "/channels/{chid}/metrics")
     async def channel_metrics(req: Request) -> Response:
         cap, ch = state.find_channel(req.params["chid"])
+        out = {
+            "id": ch.id,
+            "rssiDb": round(ch.rssi_db, 1),
+            "audioSubscribers": ch.audio.count,
+        }
+        if req.query.get("history"):
+            out["history"] = [
+                {"time": t, "rssiDb": v} for t, v in ch.rssi_history
+            ]
+        return Response.json(out)
+
+    # ---- frequency identify / recipes ----
+    @r.get(v1 + "/frequencies/identify")
+    async def freq_identify(req: Request) -> Response:
+        from wavecap_tpu.utils import namers
+
+        try:
+            hz = float(req.query["hz"])
+        except (KeyError, ValueError):
+            raise HttpError(422, "hz query parameter required")
+        band = namers.band_for(hz)
         return Response.json(
             {
-                "id": ch.id,
-                "rssiDb": round(ch.rssi_db, 1),
-                "audioSubscribers": ch.audio.count,
+                "frequencyHz": hz,
+                "name": namers.frequency_name(hz),
+                "band": band.name if band else None,
+                "modeHint": namers.mode_hint(hz),
             }
         )
+
+    @r.get(v1 + "/recipes")
+    async def recipes(req: Request) -> Response:
+        import yaml as _yaml
+        from pathlib import Path as _P
+
+        out = []
+        for d in (_P("config/recipes"), _P("config/presets")):
+            if not d.is_dir():
+                continue
+            for f in sorted(d.glob("*.yaml")):
+                try:
+                    data = _yaml.safe_load(f.read_text()) or {}
+                except Exception:
+                    continue
+                out.append({"id": f.stem, "source": d.name, **data})
+        return Response.json(out)
 
     # ---- config / system ----
     @r.get(v1 + "/config")
@@ -340,7 +379,17 @@ def build_router(state: AppState) -> Router:
         path = state.config.config_paths[0] if state.config.config_paths else None
         new_cfg = config_mod.load_config(path)
         state.config = new_cfg
-        return Response.json({"ok": True, "paths": new_cfg.config_paths})
+        applied = False
+        if (req.json() or {}).get("apply"):
+            # reference semantics: restart captures from YAML (api.py:743)
+            await asyncio.to_thread(state.captures.stop_all)
+            for cid in list(state.captures.captures):
+                state.captures.remove_capture(cid)
+            await asyncio.to_thread(state.apply_config)
+            applied = True
+        return Response.json(
+            {"ok": True, "paths": new_cfg.config_paths, "applied": applied}
+        )
 
     @r.get(v1 + "/system/metrics")
     async def sys_metrics(req: Request) -> Response:

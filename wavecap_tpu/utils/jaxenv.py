@@ -12,12 +12,16 @@ import os
 
 
 def ensure_platform() -> None:
-    plat = os.environ.get("JAX_PLATFORMS")
-    if not plat:
-        return
     try:
         import jax
 
-        jax.config.update("jax_platforms", plat)
+        plat = os.environ.get("JAX_PLATFORMS")
+        if plat:
+            jax.config.update("jax_platforms", plat)
+        # persistent compile cache: remote-TPU compiles take minutes
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # pragma: no cover - jax not installed / already used
         pass

@@ -49,7 +49,11 @@ def worker() -> None:
 
     fs = 10_000_000.0 if on_accel else 1_000_000.0
     bw = 12_500.0
-    ch = chz.ChannelizerConfig(sample_rate=fs, channel_bandwidth=bw)
+    ch = chz.ChannelizerConfig(
+        sample_rate=fs,
+        channel_bandwidth=bw,
+        dft_impl=os.environ.get("WAVECAP_BENCH_DFT", "auto"),
+    )
     m = ch.channel_count  # 800 on accel
     chan_rate = int(ch.channel_rate)  # 25 kHz
     n_block = m * (2500 if on_accel else 500)  # 0.2 s of IQ

@@ -360,3 +360,36 @@ class TestMiscEndpoints:
         assert "history" in m and len(m["history"]) >= 1
         client.post(f"/captures/{cid}/stop")
         client.delete(f"/captures/{cid}")
+
+
+class TestTrunkingWorkerMode:
+    def test_per_device_mode_boots_workers(self, tmp_path):
+        cfg = config_from_dict(
+            {
+                "server": {"host": "127.0.0.1", "port": 0},
+                "device": {"driver": "fake"},
+                "trunking_workers": {"mode": "per_device"},
+                "trunking_systems": [
+                    {
+                        "id": "w1",
+                        "control_channels": [851.2e6],
+                        "sample_rate": 800_000,
+                        "auto_start": False,
+                    }
+                ],
+            }
+        )
+        h = ServerHarness(cfg).start()
+        try:
+            with httpx.Client(base_url=h.base, timeout=60) as c:
+                for _ in range(120):
+                    workers = c.get("/trunking/workers").json()
+                    if workers and workers[0]["systems"]:
+                        break
+                    time.sleep(0.5)
+                assert workers and workers[0]["alive"]
+                assert workers[0]["systems"][0]["id"] == "w1"
+                systems = c.get("/trunking/systems").json()
+                assert any(s["id"] == "w1" for s in systems)
+        finally:
+            h.stop()

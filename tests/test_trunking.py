@@ -242,3 +242,37 @@ class TestTrunkingIntegration:
             assert st["systemId"] == 0x123 and st["siteId"] == 7
         finally:
             tm.stop_all()
+
+
+class TestControlChannelScan:
+    def test_scan_mode_prefers_strongest(self, tmp_path):
+        import numpy as np
+        from wavecap_tpu.trunking.config import HuntMode
+
+        sys_ = make_system(
+            tmp_path,
+        )
+        sys_.config.control_channels = [851.0e6, 852.0e6, 853.0e6]
+        sys_.config.hunt_mode = HuntMode.SCAN
+        sys_.config.hunt_timeout_s = 0.0
+        sys_._cc_power = {851.0e6: -80.0, 852.0e6: -40.0, 853.0e6: -60.0}
+
+        class Mon:
+            synced = False
+
+            def reset(self):
+                pass
+
+        class Spec:
+            def get_nowait(self):
+                return None
+
+        sys_.monitor = Mon()
+        sys_._spectrum_sub = Spec()
+        sys_.cc_index = 0
+        sys_.cc_lock_time = 0.0
+        sys_.last_tsbk_time = 0.0
+        sys_._check_hunt()
+        assert sys_.config.control_channels[sys_.cc_index] == 852.0e6
+        # retunes the cc channel
+        assert any(c[0] == "cc" for c in sys_.capture.retunes)

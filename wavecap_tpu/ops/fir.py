@@ -70,7 +70,10 @@ def _conv_valid_direct(
             window_strides=(stride,),
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST,  # TPU convs default to bf16
+            # TPU convs default to bf16; HIGH = 3-pass bf16 (~f32 accuracy)
+            precision=jax.lax.Precision.HIGHEST
+            if __import__("os").environ.get("WAVECAP_CONV_PRECISION") == "highest"
+            else jax.lax.Precision.HIGH,
         )
         return out[0, 0, :]
 

@@ -56,9 +56,15 @@ def planar_matmul_dft(re, im, m: int, inverse: bool = False):
     f32 precision forced: TPU matmuls default to bf16, which would cost
     ~40 dB of DFT accuracy.
     """
+    import os
+
     c, s = dft_matrices(m, inverse)
     cj, sj = jnp.asarray(c), jnp.asarray(s)
-    hi = jax.lax.Precision.HIGHEST
+    hi = (
+        jax.lax.Precision.HIGHEST
+        if os.environ.get("WAVECAP_DFT_PRECISION", "high") == "highest"
+        else jax.lax.Precision.HIGH
+    )
     yr = jnp.matmul(re, cj, precision=hi) - jnp.matmul(im, sj, precision=hi)
     yi = jnp.matmul(re, sj, precision=hi) + jnp.matmul(im, cj, precision=hi)
     return yr, yi

@@ -63,6 +63,16 @@ class AppState:
         self.driver = create_device_driver(cfg)
         self.captures = CaptureManager(self.driver, max_captures=cfg.limits.max_captures)
         self.trunking = TrunkingManager(self.captures)
+        # process-per-device mode (reference trunking_workers config,
+        # state.py:78-86): systems run in worker processes; the in-process
+        # manager still serves ad-hoc REST-created systems.
+        self.trunking_workers = None
+        if cfg.trunking_workers.mode == "per_device":
+            from wavecap_tpu.trunking.process_manager import TrunkingProcessManager
+
+            self.trunking_workers = TrunkingProcessManager(
+                driver=cfg.device.driver
+            )
         self.started_at = time.time()
         self._chan_ids = itertools.count(1)
         self.trunking.on_event = self._trunking_event
@@ -126,12 +136,19 @@ class AppState:
             if spec.auto_start:
                 cap.start()
         for tdict in self.config.trunking_systems:
-            cfg = TrunkingSystemConfig.from_dict(tdict)
-            self.trunking.create_system(cfg)
-            if tdict.get("auto_start", True):
-                self.trunking.get(cfg.id).start()
+            if self.trunking_workers is not None:
+                self.trunking_workers.add_system(tdict)
+            else:
+                cfg = TrunkingSystemConfig.from_dict(tdict)
+                self.trunking.create_system(cfg)
+                if tdict.get("auto_start", True):
+                    self.trunking.get(cfg.id).start()
+        if self.trunking_workers is not None and self.config.trunking_systems:
+            self.trunking_workers.start()
 
     def shutdown(self) -> None:
+        if self.trunking_workers is not None:
+            self.trunking_workers.stop_all()
         self.trunking.stop_all()
         self.captures.stop_all()
 
@@ -431,7 +448,17 @@ def build_router(state: AppState) -> Router:
     # ---- trunking ----
     @r.get(v1 + "/trunking/systems")
     async def tk_systems(req: Request) -> Response:
-        return Response.json(state.trunking.status())
+        out = state.trunking.status()
+        if state.trunking_workers is not None:
+            for w in state.trunking_workers.status():
+                out += w.get("systems") or []
+        return Response.json(out)
+
+    @r.get(v1 + "/trunking/workers")
+    async def tk_workers(req: Request) -> Response:
+        if state.trunking_workers is None:
+            return Response.json([])
+        return Response.json(state.trunking_workers.status())
 
     @r.post(v1 + "/trunking/systems")
     async def tk_create(req: Request) -> Response:

@@ -165,6 +165,8 @@ class TrunkingSystem:
                 on_sync_lost=self._on_sync_lost,
             )
             self._cc_sub = self._cc_channel.symbols.subscribe()
+            self._spectrum_sub = self.capture.spectrum_subs.subscribe(maxsize=2)
+            self._cc_power: dict[float, float] = {}
             self._voice_subs = {
                 vid: self.capture.channels[vid].symbols.subscribe()
                 for vid in voice_ids
@@ -228,21 +230,49 @@ class TrunkingSystem:
     def _on_sync_lost(self) -> None:
         self._emit("control_lost", {})
 
+    def _measure_control_channels(self) -> None:
+        """Per-CC power from the capture spectrum (reference cc_scanner.py)."""
+        if self.capture is None:
+            return
+        spec = self._spectrum_sub.get_nowait()
+        if spec is None:
+            return
+        frame = spec[-1] if getattr(spec, "ndim", 1) == 2 else spec
+        nfft = len(frame)
+        fs = self.capture.config.sample_rate
+        center = self.capture.config.center_hz
+        for f in self.config.control_channels:
+            b = int(round((f - center) / (fs / nfft))) + nfft // 2
+            if 2 <= b < nfft - 2:
+                import numpy as _np
+
+                self._cc_power[f] = float(_np.max(frame[b - 2 : b + 3]))
+
     def _check_hunt(self) -> None:
         if self.config.hunt_mode == HuntMode.FIXED:
             return
+        self._measure_control_channels()
         now = time.time()
         last = max(self.last_tsbk_time, self.cc_lock_time)
         if self.monitor and self.monitor.synced:
             return
         if now - last < self.config.hunt_timeout_s or not self.capture:
             return
-        # advance to the next configured control channel
+        # advance: strongest measured CC first (SCAN), else round-robin
         n = len(self.config.control_channels)
         if n <= 1:
             self.cc_lock_time = now
             return
-        self.cc_index = (self.cc_index + 1) % n
+        if self.config.hunt_mode == HuntMode.SCAN and self._cc_power:
+            current = self.config.control_channels[self.cc_index]
+            ranked = sorted(
+                self.config.control_channels,
+                key=lambda f: -self._cc_power.get(f, -999.0),
+            )
+            nxt = next((f for f in ranked if f != current), ranked[0])
+            self.cc_index = self.config.control_channels.index(nxt)
+        else:
+            self.cc_index = (self.cc_index + 1) % n
         freq = self.config.control_channels[self.cc_index]
         self.capture.update_channel("cc", frequency_hz=freq)
         if self.monitor:

@@ -53,6 +53,11 @@ class DeviceSection:
 
 
 @dataclass
+class TrunkingWorkersConfig:
+    mode: str = "in_process"  # in_process | per_device
+
+
+@dataclass
 class RecoveryConfig:
     watchdog_timeout_s: float = 30.0
     startup_timeout_s: float = 45.0
@@ -87,6 +92,9 @@ class AppConfig:
     limits: LimitsConfig = field(default_factory=LimitsConfig)
     device: DeviceSection = field(default_factory=DeviceSection)
     recovery: RecoveryConfig = field(default_factory=RecoveryConfig)
+    trunking_workers: TrunkingWorkersConfig = field(
+        default_factory=TrunkingWorkersConfig
+    )
     captures: list = field(default_factory=list)
     trunking_systems: list = field(default_factory=list)  # raw dicts
     presets: dict = field(default_factory=dict)
@@ -164,6 +172,7 @@ def config_from_dict(d: dict, paths: list[str] | None = None) -> AppConfig:
 
     return AppConfig(
         server=sect(ServerConfig, "server"),
+        trunking_workers=sect(TrunkingWorkersConfig, "trunking_workers"),
         stream=sect(StreamConfig, "stream"),
         limits=sect(LimitsConfig, "limits"),
         device=sect(DeviceSection, "device"),

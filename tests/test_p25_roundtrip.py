@@ -191,3 +191,37 @@ class TestFramer:
                 if frame.duid == pf.DUID.TSDU and frame.nac == 0x293:
                     found += 1
         assert found >= 1
+
+
+class TestSoftDecision:
+    def test_soft_beats_hard_at_low_snr(self):
+        """At the sensitivity edge, soft-metric trellis recovers more TSBKs."""
+        rng = np.random.default_rng(21)
+        dibits, _ = make_control_channel_dibits(n_frames=1)
+        frame = dibits[:360]
+        soft_clean = pf.DIBIT_SYMBOLS[frame].astype(np.float32)
+        hard_wins = soft_wins = 0
+        for trial in range(30):
+            noisy = soft_clean + rng.normal(0, 1.25, len(frame)).astype(np.float32)
+            d = np.where(
+                noisy >= 0,
+                np.where(np.abs(noisy) >= 2, 1, 0),
+                np.where(np.abs(noisy) >= 2, 3, 2),
+            ).astype(np.uint8)
+            payload_d = pf.remove_status_dibits(d[57:], 57)
+            payload_s = pf.remove_status_dibits(noisy[57:], 57)
+            hard = pf.decode_tsbk_payload(payload_d)
+            soft = pf.decode_tsbk_payload(payload_d, payload_s)
+            hard_wins += sum(b.crc_valid for b in hard)
+            soft_wins += sum(b.crc_valid for b in soft)
+        assert soft_wins >= hard_wins
+        assert soft_wins > 0
+
+    def test_soft_equals_hard_when_clean(self):
+        dibits, expected = make_control_channel_dibits(n_frames=1)
+        frame = dibits[:360]
+        soft = pf.DIBIT_SYMBOLS[frame].astype(np.float32)
+        payload_d = pf.remove_status_dibits(frame[57:], 57)
+        payload_s = pf.remove_status_dibits(soft[57:], 57)
+        blocks = pf.decode_tsbk_payload(payload_d, payload_s)
+        assert all(b.crc_valid for b in blocks) and len(blocks) == 3

@@ -153,7 +153,8 @@ def cmd_decode_iq(args) -> int:
             if frame.duid == pf.DUID.TSDU:
                 stats["tsdu"] += 1
                 payload = pf.remove_status_dibits(frame.dibits[57:], 57)
-                for b in pf.decode_tsbk_payload(payload):
+                soft_payload = pf.remove_status_dibits(frame.soft[57:], 57)
+                for b in pf.decode_tsbk_payload(payload, soft_payload):
                     stats["tsbk"] += 1
                     if b.crc_valid:
                         stats["tsbk_crc_ok"] += 1

@@ -108,3 +108,39 @@ def viterbi_decode_bits(bits196: np.ndarray) -> tuple[np.ndarray, int]:
     out[0::2] = (dibits >> 1) & 1
     out[1::2] = dibits & 1
     return out, err
+
+
+# Constellation symbol values for each dibit (P25 C4FM levels)
+_DIBIT_VALUES = np.array([1.0, 3.0, -1.0, -3.0], np.float32)
+# (16, 2): symbol pair for each output nibble
+_NIBBLE_SYMBOLS = _DIBIT_VALUES[_NIBBLE_DIBITS]
+
+
+def viterbi_decode_soft(soft_pairs: np.ndarray) -> tuple[np.ndarray, float]:
+    """Soft-decision Viterbi over received symbol pairs.
+
+    ``soft_pairs``: (S, 2) float soft symbols (C4FM scale, ±1/±3) — the
+    two transmitted symbols per trellis step.  Euclidean branch metrics
+    squeeze ~1.5-2 dB more out of marginal signals than hard slicing.
+    Returns (S-1 input dibits, best path metric).
+    """
+    rx = np.asarray(soft_pairs, np.float32)
+    s_steps = rx.shape[0]
+    # nibble_cost[t, nib] = ||rx[t] - symbols(nib)||^2
+    diff = rx[:, None, :] - _NIBBLE_SYMBOLS[None, :, :]
+    nibble_cost = np.sum(diff * diff, axis=2)  # (S, 16)
+
+    metrics = np.full(4, np.inf, np.float32)
+    metrics[0] = 0.0
+    backptr = np.zeros((s_steps, 4), np.uint8)
+    for t in range(s_steps):
+        cost = nibble_cost[t][OUTPUT_NIBBLE]  # (state, inp)
+        cand = metrics[:, None] + cost
+        backptr[t] = np.argmin(cand, axis=0)
+        metrics = cand[backptr[t], np.arange(4)]
+    end_state = int(np.argmin(metrics))
+    states = np.empty(s_steps + 1, np.uint8)
+    states[s_steps] = end_state
+    for t in range(s_steps - 1, -1, -1):
+        states[t] = backptr[t, states[t + 1]]
+    return states[1:-1].copy(), float(metrics[end_state])

@@ -124,7 +124,7 @@ def remove_status_dibits(dibits: np.ndarray, frame_offset: int) -> np.ndarray:
     """
     idx = np.arange(len(dibits)) + frame_offset
     keep = (idx + 1) % STATUS_INTERVAL != 0
-    return np.asarray(dibits, np.uint8)[keep]
+    return np.asarray(dibits)[keep]  # dtype-preserving (dibits or soft)
 
 
 def insert_status_dibits(
@@ -216,17 +216,43 @@ class TSDUFrame:
     tsbk_blocks: list
 
 
-def decode_tsbk_payload(payload_dibits: np.ndarray) -> list:
-    """Decode up to 3 TSBKs from status-stripped TSDU payload dibits."""
+# dibit-level deinterleave (2 bits move together in the 196-bit pattern)
+_DEINT_DIBITS = np.array([_DEINT[2 * j] // 2 for j in range(98)], np.int32)
+
+
+def decode_tsbk_payload(
+    payload_dibits: np.ndarray, payload_soft: np.ndarray | None = None
+) -> list:
+    """Decode up to 3 TSBKs from status-stripped TSDU payload dibits.
+
+    With ``payload_soft`` (aligned soft symbols), trellis decoding uses
+    Euclidean soft metrics and falls back to hard decisions if the CRC
+    fails — worth ~1.5-2 dB at the sensitivity edge.
+    """
     blocks = []
     d = np.asarray(payload_dibits, np.uint8)
+    soft = None if payload_soft is None else np.asarray(payload_soft, np.float32)
     for i in range(3):
         chunk = d[i * 98 : (i + 1) * 98]
         if len(chunk) < 98:
             break
         bits = dibits_to_bits(chunk)
         deint = deinterleave_196(bits)
-        decoded, err = trellis.viterbi_decode_bits(deint)
+        decoded = None
+        err = 0
+        if soft is not None and len(soft) >= (i + 1) * 98:
+            soft_chunk = soft[i * 98 : (i + 1) * 98]
+            soft_deint = np.empty(98, np.float32)
+            soft_deint[_DEINT_DIBITS] = soft_chunk
+            sd, serr = trellis.viterbi_decode_soft(soft_deint.reshape(49, 2))
+            cand = np.empty(96, np.uint8)
+            cand[0::2] = (sd >> 1) & 1
+            cand[1::2] = sd & 1
+            if crc.tsbk_crc_check(cand):
+                decoded = np.concatenate([cand, np.zeros(2, np.uint8)])
+                err = int(serr)
+        if decoded is None:
+            decoded, err = trellis.viterbi_decode_bits(deint)
         ok = crc.tsbk_crc_check(decoded[:96])
         b = decoded
         block = TSBKBlock(
@@ -244,7 +270,9 @@ def decode_tsbk_payload(payload_dibits: np.ndarray) -> list:
     return blocks
 
 
-def decode_tsdu(frame_dibits: np.ndarray) -> TSDUFrame | None:
+def decode_tsdu(
+    frame_dibits: np.ndarray, frame_soft: np.ndarray | None = None
+) -> TSDUFrame | None:
     """Full TSDU frame (starting at sync) -> NID + TSBKs."""
     d = np.asarray(frame_dibits, np.uint8)
     if len(d) < SYNC_LEN + NID_LEN + 98:
@@ -253,7 +281,12 @@ def decode_tsdu(frame_dibits: np.ndarray) -> TSDUFrame | None:
     if nid is None:
         return None
     payload = remove_status_dibits(d[57:], frame_offset=57)
-    return TSDUFrame(nid=nid, tsbk_blocks=decode_tsbk_payload(payload))
+    soft = (
+        remove_status_dibits(frame_soft[57:], frame_offset=57)
+        if frame_soft is not None
+        else None
+    )
+    return TSDUFrame(nid=nid, tsbk_blocks=decode_tsbk_payload(payload, soft))
 
 
 # ---------------------------------------------------------------------------

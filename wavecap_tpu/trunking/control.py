@@ -81,7 +81,8 @@ class ControlChannelMonitor:
                 continue
             self.stats.tsdu_frames += 1
             payload = pf.remove_status_dibits(frame.dibits[57:], 57)
-            for block in pf.decode_tsbk_payload(payload):
+            soft_payload = pf.remove_status_dibits(frame.soft[57:], 57)
+            for block in pf.decode_tsbk_payload(payload, soft_payload):
                 self.stats.tsbk_total += 1
                 if not block.crc_valid:
                     continue

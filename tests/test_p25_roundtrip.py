@@ -225,3 +225,70 @@ class TestSoftDecision:
         payload_s = pf.remove_status_dibits(soft[57:], 57)
         blocks = pf.decode_tsbk_payload(payload_d, payload_s)
         assert all(b.crc_valid for b in blocks) and len(blocks) == 3
+
+
+class TestPDU:
+    """Packet Data Unit decode (beyond the reference, which only
+    classifies DUID 0xC — reference ``decoders/p25.py:1413,2255``)."""
+
+    def test_bit_level_roundtrip(self):
+        data = bytes(range(64))
+        payload = pf.encode_pdu(sap=0x04, llid=0x123456, data=data)
+        f = pf.decode_pdu(payload)
+        assert f.header.crc_valid and f.crc32_valid
+        assert f.header.sap == 0x04 and f.header.llid == 0x123456
+        assert f.data == data
+
+    def test_pad_and_sizes(self):
+        for n in (0, 1, 11, 12, 13, 100):
+            data = bytes((i * 7) & 0xFF for i in range(n))
+            f = pf.decode_pdu(pf.encode_pdu(sap=1, llid=9, data=data))
+            assert f.crc32_valid and f.data == data, n
+
+    def test_corrupt_data_fails_crc32(self):
+        payload = pf.encode_pdu(sap=1, llid=9, data=bytes(24))
+        bad = payload.copy()
+        bad[150] ^= 2  # inside a data block
+        f = pf.decode_pdu(bad)
+        # single dibit error is trellis-corrected; many errors break CRC32
+        many = payload.copy()
+        many[120:160] ^= 1
+        f2 = pf.decode_pdu(many)
+        assert f.crc32_valid
+        assert not f2.crc32_valid
+
+    def test_through_modem(self):
+        """Variable-length PDU through C4FM + framer (dynamic frame length)."""
+        fs = 48_000
+        data = b"LRRP-style payload \x01\x02\x03\x04" * 3
+        payload = pf.encode_pdu(sap=0x04, llid=0xBEEF, data=data)
+        frame = pf.build_pdu_frame(0x293, payload)
+        rng = np.random.default_rng(9)
+        stream = np.concatenate(
+            [
+                rng.integers(0, 4, 50).astype(np.uint8),
+                frame,
+                rng.integers(0, 4, 300).astype(np.uint8),
+            ]
+        )
+        iq = modulate_c4fm(stream, fs)
+        iq = np.concatenate([np.ones(2000, np.complex64), iq, np.ones(2000, np.complex64)])
+        cfg = C4fmConfig(sample_rate=fs)
+        state = c4fm_init(cfg)
+        framer = P25Framer()
+        got = []
+        block = 4800
+        for i in range(len(iq) // block):
+            soft, _, state = c4fm_demodulate(
+                jnp.asarray(iq[i * block : (i + 1) * block]), state, cfg
+            )
+            for fr in framer.process(np.asarray(soft)):
+                if fr.duid != pf.DUID.PDU:
+                    continue
+                pl = pf.remove_status_dibits(fr.dibits[57:], 57)
+                sl = pf.remove_status_dibits(fr.soft[57:], 57)
+                got.append(pf.decode_pdu(pl, sl))
+        assert got, "no PDU frame recovered"
+        f = got[0]
+        assert f.header.crc_valid and f.crc32_valid
+        assert f.data == data

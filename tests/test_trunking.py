@@ -276,3 +276,29 @@ class TestControlChannelScan:
         assert sys_.config.control_channels[sys_.cc_index] == 852.0e6
         # retunes the cc channel
         assert any(c[0] == "cc" for c in sys_.capture.retunes)
+
+
+class TestLrrpLocation:
+    def test_pdu_lrrp_attaches_location_to_call(self):
+        """LRRP GPS in a PDU on the voice channel -> call.source_location
+        (reference trunking/system.py:3112-3146)."""
+        from wavecap_tpu.decoders.lrrp import encode_location_report
+        from wavecap_tpu.trunking.recorder import CallInfo, VoiceRecorder
+
+        rec = VoiceRecorder(0, "voice0")
+        call = CallInfo(tgid=42, source_id=777, frequency_hz=851e6, start_time=0.0)
+        rec.assign(call)
+        got = []
+        rec.on_location = got.append
+
+        lrrp_bytes = encode_location_report(47.6062, -122.3321)
+        payload = pf.encode_pdu(sap=0x04, llid=777, data=lrrp_bytes)
+        frame = pf.build_pdu_frame(0x293, payload)
+        soft = pf.DIBIT_SYMBOLS[frame].astype(np.float32)
+        rec.process_symbols(soft, now=1.0)
+
+        assert got and got[0].radio_id == 777
+        assert abs(got[0].latitude - 47.6062) < 1e-4
+        assert abs(got[0].longitude - (-122.3321)) < 1e-4
+        assert call.source_location is not None
+        assert abs(call.source_location["latitude"] - 47.6062) < 1e-4

@@ -161,6 +161,23 @@ def cmd_decode_iq(args) -> int:
                         messages.append(tsbk.parse_tsbk(b.opcode, b.mfid, b.data))
             elif frame.duid in (pf.DUID.LDU1, pf.DUID.LDU2):
                 stats["ldu"] += 1
+            elif frame.duid == pf.DUID.PDU:
+                payload = pf.remove_status_dibits(frame.dibits[57:], 57)
+                soft_payload = pf.remove_status_dibits(frame.soft[57:], 57)
+                pdu = pf.decode_pdu(payload, soft_payload)
+                if pdu is not None:
+                    stats["pdu"] = stats.get("pdu", 0) + 1
+                    if pdu.header.crc_valid and pdu.crc32_valid:
+                        stats["pdu_crc_ok"] = stats.get("pdu_crc_ok", 0) + 1
+                        messages.append(
+                            {
+                                "type": "PDU",
+                                "sap": pdu.header.sap,
+                                "llid": pdu.header.llid,
+                                "fmt": pdu.header.fmt,
+                                "data_hex": pdu.data.hex(),
+                            }
+                        )
     dt = time.perf_counter() - t0
     stats["sync_count"] = framer.sync_count
     stats["crc_rate"] = round(

@@ -22,6 +22,9 @@ from .p25_frames import (
     SYNC_LEN,
     SYNC_SYMBOLS,
     decode_nid,
+    decode_pdu_header,
+    pdu_body_onair_dibits,
+    remove_status_dibits,
 )
 
 
@@ -95,6 +98,23 @@ class P25Framer:
                 self._buf = self._buf[off + 1 :]
                 continue
             body = FRAME_BODY_DIBITS.get(nid.duid, 0)
+            if nid.duid == DUID.PDU:
+                # variable length: decode the trellis-coded header inline to
+                # learn blocks_to_follow (header = first 98 payload dibits)
+                hdr_body = pdu_body_onair_dibits(0)
+                if n - off < SYNC_LEN + NID_LEN + hdr_body:
+                    self._buf = self._buf[off:]
+                    break
+                hdr_soft = remove_status_dibits(
+                    self._buf[off + 57 : off + 57 + hdr_body] * scale, 57
+                )
+                hdr = decode_pdu_header(
+                    self._soft_to_dibits(hdr_soft), hdr_soft
+                )
+                if hdr.crc_valid:
+                    body = pdu_body_onair_dibits(hdr.blocks_to_follow)
+                else:
+                    body = hdr_body  # header-only; downstream sees bad CRC
             total = SYNC_LEN + NID_LEN + body
             if n - off < total:
                 self._buf = self._buf[off:]

@@ -444,3 +444,199 @@ def build_tsdu_frame(nac: int, tsbk_dibit_blocks: list) -> np.ndarray:
     assert len(head_with_status) == 57
     body_with_status = insert_status_dibits(payload, 57)
     return np.concatenate([head_with_status, body_with_status]).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# PDU (Packet Data Unit, DUID 0xC) — TIA-102.BAAA-A data header/blocks.
+#
+# The reference only *classifies* PDU frames (reference ``decoders/p25.py:1413,
+# 2255`` maps DUID 0xC to a fixed display length); here the header and
+# unconfirmed / Alternate-MBT data blocks are fully decoded: each 98-dibit
+# block is deinterleaved and 1/2-rate-trellis decoded exactly like a TSBK,
+# the header carries a TSBK-style CRC16, and the assembled packet carries a
+# trailing CRC32.  Confirmed data (3/4-rate trellis) is out of scope for
+# both this framework and the reference.
+# ---------------------------------------------------------------------------
+
+PDU_FMT_UNCONFIRMED = 0b10101
+PDU_FMT_CONFIRMED = 0b10110
+PDU_FMT_AMBT = 0b10111  # Alternate Multi-Block Trunking control
+
+PDU_SAP_TRUNKING = 0x3D
+
+
+@dataclass
+class PDUHeader:
+    ack_needed: bool
+    outbound: bool
+    fmt: int
+    sap: int
+    mfid: int
+    llid: int
+    full_message: bool
+    blocks_to_follow: int
+    pad_count: int
+    ns: int
+    fsnf: int
+    data_header_offset: int
+    crc_valid: bool
+    opcode: int | None = None  # AMBT only (octet 7 low 6 bits)
+
+
+@dataclass
+class PDUFrame:
+    header: PDUHeader
+    data: bytes  # assembled payload octets (pad + CRC32 stripped)
+    crc32_valid: bool
+    block_crc_ok: int  # decoded blocks (all trellis paths complete)
+    block_total: int
+
+
+def _decode_trellis_chunk(
+    chunk_dibits: np.ndarray, chunk_soft: np.ndarray | None
+) -> np.ndarray:
+    """98 on-air dibits -> 96 decoded bits (soft metrics when available)."""
+    if chunk_soft is not None:
+        soft_deint = np.empty(98, np.float32)
+        soft_deint[_DEINT_DIBITS] = np.asarray(chunk_soft, np.float32)
+        sd, _ = trellis.viterbi_decode_soft(soft_deint.reshape(49, 2))
+        out = np.empty(96, np.uint8)
+        out[0::2] = (sd >> 1) & 1
+        out[1::2] = sd & 1
+        return out
+    deint = deinterleave_196(dibits_to_bits(chunk_dibits))
+    decoded, _ = trellis.viterbi_decode_bits(deint)
+    return decoded[:96]
+
+
+def decode_pdu_header(
+    header_dibits: np.ndarray, header_soft: np.ndarray | None = None
+) -> PDUHeader:
+    """98 status-stripped dibits -> decoded PDU data header."""
+    bits = _decode_trellis_chunk(np.asarray(header_dibits, np.uint8), header_soft)
+    ok = crc.tsbk_crc_check(bits)
+    fmt = bits_to_int(bits, 3, 5)
+    return PDUHeader(
+        ack_needed=bool(bits[1]),
+        outbound=bool(bits[2]),
+        fmt=fmt,
+        sap=bits_to_int(bits, 10, 6),
+        mfid=bits_to_int(bits, 16, 8),
+        llid=bits_to_int(bits, 24, 24),
+        full_message=bool(bits[48]),
+        blocks_to_follow=bits_to_int(bits, 49, 7),
+        pad_count=bits_to_int(bits, 59, 5),
+        ns=bits_to_int(bits, 65, 3),
+        fsnf=bits_to_int(bits, 68, 4),
+        data_header_offset=bits_to_int(bits, 74, 6),
+        crc_valid=ok,
+        opcode=bits_to_int(bits, 58, 6) if fmt == PDU_FMT_AMBT else None,
+    )
+
+
+def decode_pdu(
+    payload_dibits: np.ndarray, payload_soft: np.ndarray | None = None
+) -> PDUFrame | None:
+    """Status-stripped PDU payload (header + N data blocks) -> PDUFrame."""
+    d = np.asarray(payload_dibits, np.uint8)
+    if len(d) < 98:
+        return None
+    soft = None if payload_soft is None else np.asarray(payload_soft, np.float32)
+    hdr = decode_pdu_header(d[:98], soft[:98] if soft is not None else None)
+    n_blocks = min(hdr.blocks_to_follow, (len(d) - 98) // 98)
+    data_bits: list[np.ndarray] = []
+    for i in range(n_blocks):
+        sl = slice(98 * (i + 1), 98 * (i + 2))
+        data_bits.append(_decode_trellis_chunk(d[sl], soft[sl] if soft is not None else None))
+    crc32_ok = False
+    payload = b""
+    if data_bits:
+        allbits = np.concatenate(data_bits)
+        if len(allbits) >= 32:
+            crc32_ok = crc.crc32_p25(allbits[:-32]) == bits_to_int(
+                allbits, len(allbits) - 32, 32
+            )
+        octets = np.packbits(allbits).tobytes()
+        # strip trailing CRC32 (4 octets) and pad (AMBT has no pad field —
+        # the opcode occupies those header bits)
+        pad = hdr.pad_count if hdr.fmt != PDU_FMT_AMBT else 0
+        payload = octets[: max(0, len(octets) - 4 - pad)]
+    return PDUFrame(
+        header=hdr,
+        data=payload,
+        crc32_valid=crc32_ok,
+        block_crc_ok=n_blocks,
+        block_total=hdr.blocks_to_follow,
+    )
+
+
+def pdu_body_onair_dibits(blocks_to_follow: int) -> int:
+    """On-air body length (incl. statuses) after sync+NID for a PDU with N
+    data blocks: payload is 98*(1+N) dibits starting at frame position 57."""
+    payload = 98 * (1 + blocks_to_follow)
+    # statuses at absolute frame positions where (pos+1) % 36 == 0
+    length = payload
+    while True:
+        n_status = (57 + length) // STATUS_INTERVAL - 57 // STATUS_INTERVAL
+        need = payload + n_status
+        if need == length:
+            return length
+        length = need
+
+
+def encode_pdu(
+    sap: int,
+    llid: int,
+    data: bytes,
+    fmt: int = PDU_FMT_UNCONFIRMED,
+    mfid: int = 0,
+    outbound: bool = True,
+    opcode: int = 0,
+) -> np.ndarray:
+    """Build status-stripped PDU payload dibits (header + unconfirmed blocks)."""
+    total_bits = len(data) * 8 + 32  # data + CRC32
+    n_blocks = (total_bits + 95) // 96
+    pad = (n_blocks * 96 - total_bits) // 8
+    hdr = np.zeros(80, np.uint8)
+    hdr[1] = 0  # A/N
+    hdr[2] = 1 if outbound else 0
+    for i in range(5):
+        hdr[3 + i] = (fmt >> (4 - i)) & 1
+    for i in range(6):
+        hdr[10 + i] = (sap >> (5 - i)) & 1
+    for i in range(8):
+        hdr[16 + i] = (mfid >> (7 - i)) & 1
+    for i in range(24):
+        hdr[24 + i] = (llid >> (23 - i)) & 1
+    hdr[48] = 1  # full message
+    for i in range(7):
+        hdr[49 + i] = (n_blocks >> (6 - i)) & 1
+    if fmt == PDU_FMT_AMBT:
+        for i in range(6):
+            hdr[58 + i] = (opcode >> (5 - i)) & 1
+    else:
+        for i in range(5):
+            hdr[59 + i] = (pad >> (4 - i)) & 1
+    header96 = np.concatenate([hdr, crc.tsbk_crc_encode(hdr)])
+    chunks = [bits_to_dibits(interleave_196(trellis.encode_bits(header96)))]
+    data_bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    # pad sits between data and the trailing CRC32; the CRC covers data+pad
+    pre = np.concatenate([data_bits, np.zeros(pad * 8, np.uint8)])
+    crc32 = crc.crc32_p25(pre)
+    crc_bits = np.array([(crc32 >> (31 - i)) & 1 for i in range(32)], np.uint8)
+    allbits = np.concatenate([pre, crc_bits])
+    for i in range(n_blocks):
+        block96 = allbits[96 * i : 96 * (i + 1)]
+        chunks.append(bits_to_dibits(interleave_196(trellis.encode_bits(block96))))
+    return np.concatenate(chunks)
+
+
+def build_pdu_frame(nac: int, payload_dibits: np.ndarray) -> np.ndarray:
+    """Assemble a complete on-air PDU frame: sync + NID + payload + statuses."""
+    head = insert_status_dibits(
+        np.concatenate([FRAME_SYNC_DIBITS, encode_nid(nac, DUID.PDU)]), 0
+    )
+    assert len(head) == 57
+    return np.concatenate(
+        [head, insert_status_dibits(np.asarray(payload_dibits, np.uint8), 57)]
+    ).astype(np.uint8)

@@ -45,6 +45,7 @@ class CallInfo:
     end_time: float | None = None
     imbe_frames: int = 0
     audio_seconds: float = 0.0
+    source_location: dict | None = None  # LRRP GPS (reference trunking/system.py:3112)
 
 
 class VoiceRecorder:
@@ -61,6 +62,7 @@ class VoiceRecorder:
         self._imbe: list[np.ndarray] = []
         self._pcm: list[np.ndarray] = []
         self.last_activity = 0.0
+        self.on_location = None  # Callable[[RadioLocation], None]
 
     @property
     def recording(self) -> bool:
@@ -93,8 +95,30 @@ class VoiceRecorder:
                 if pcm is not None and len(pcm):
                     self._pcm.append(pcm)
                     self.audio.publish(pcm)
+            elif frame.duid == pf.DUID.PDU:
+                self._handle_pdu(frame)
             elif frame.duid in (pf.DUID.TDU, pf.DUID.TDULC):
                 self.last_activity = 0.0  # terminator: end promptly
+
+    def _handle_pdu(self, frame) -> None:
+        """LRRP GPS reports ride in PDU data frames on the voice channel
+        (reference ``trunking/system.py:3112-3120``)."""
+        from dataclasses import asdict
+
+        from wavecap_tpu.decoders.lrrp import parse_lrrp
+
+        payload = pf.remove_status_dibits(frame.dibits[57:], 57)
+        soft = pf.remove_status_dibits(frame.soft[57:], 57)
+        pdu = pf.decode_pdu(payload, soft)
+        if pdu is None or not pdu.header.crc_valid or not pdu.data:
+            return
+        loc = parse_lrrp(pdu.data, radio_id=pdu.header.llid)
+        if loc is None:
+            return
+        if self.call is not None:
+            self.call.source_location = asdict(loc)
+        if self.on_location:
+            self.on_location(loc)
 
     def _handle_metadata(self, duid, ldu) -> None:
         """LDU1 link control / LDU2 encryption sync -> call metadata."""

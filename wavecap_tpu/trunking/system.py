@@ -73,6 +73,9 @@ class TrunkingSystem:
         self.monitor: ControlChannelMonitor | None = None
         self.pool: RecorderPool | None = None
         self.active_calls: dict[int, CallInfo] = {}  # tgid -> call
+        from wavecap_tpu.decoders.lrrp import LocationCache
+
+        self.locations = LocationCache()
         self.duplicates = DuplicateDetector(window_s=3.0)
         self.call_history: deque = deque(maxlen=self.CALL_HISTORY)
         self.events = deque(maxlen=500)  # (time, type, payload) for the API/WS
@@ -159,6 +162,8 @@ class TrunkingSystem:
                 )
                 voice_ids.append(vid)
             self.pool = RecorderPool(voice_ids)
+            for rec in self.pool.recorders:
+                rec.on_location = self.update_radio_location
             self.monitor = ControlChannelMonitor(
                 on_tsbk=self._handle_tsbk,
                 on_sync_acquired=self._on_sync,
@@ -407,6 +412,21 @@ class TrunkingSystem:
             except Exception:  # pragma: no cover
                 logger.exception("event callback failed")
 
+    def update_radio_location(self, location) -> None:
+        """Cache an LRRP GPS report and attach it to the unit's active call
+        (reference ``trunking/system.py:3112-3146``)."""
+        from dataclasses import asdict
+
+        self.locations.update(location)
+        for call in self.active_calls.values():
+            if call.source_id == location.radio_id:
+                call.source_location = asdict(location)
+        self._emit(
+            "radio_location",
+            {"unitId": location.radio_id, "latitude": location.latitude,
+             "longitude": location.longitude},
+        )
+
     def status(self) -> dict:
         mon = self.monitor.stats if self.monitor else None
         return {
@@ -439,6 +459,7 @@ class TrunkingSystem:
                     "sourceId": c.source_id,
                     "frequencyHz": c.frequency_hz,
                     "startTime": c.start_time,
+                    "sourceLocation": c.source_location,
                 }
                 for c in self.active_calls.values()
             ],

@@ -302,3 +302,28 @@ class TestLrrpLocation:
         assert abs(got[0].longitude - (-122.3321)) < 1e-4
         assert call.source_location is not None
         assert abs(call.source_location["latitude"] - 47.6062) < 1e-4
+
+
+class TestRsProtectedMetadata:
+    def test_recorder_recovers_lc_through_hexbit_burst(self):
+        """LDU1 with 5 obliterated LC code words (beyond the inner Hamming)
+        still yields tgid/source via outer RS(24,12) in the recorder."""
+        from wavecap_tpu.decoders.p25_voice import (
+            encode_lc_hexbits,
+            make_group_lc_bits,
+        )
+        from wavecap_tpu.trunking.recorder import CallInfo, VoiceRecorder
+
+        lc240 = encode_lc_hexbits(make_group_lc_bits(tgid=3141, source_id=271828))
+        lc240 = lc240.copy()
+        rng = np.random.default_rng(4)
+        for w in rng.choice(24, 5, replace=False):
+            lc240[10 * w : 10 * (w + 1)] ^= 1  # kills the Hamming word
+        frame = pf.build_ldu_frame(0x293, pf.DUID.LDU1, lc240)
+        rec = VoiceRecorder(0, "voice0")
+        call = CallInfo(tgid=0, source_id=0, frequency_hz=851e6, start_time=0.0)
+        rec.assign(call)
+        soft = pf.DIBIT_SYMBOLS[frame].astype(np.float32)
+        rec.process_symbols(soft, now=1.0)
+        assert call.tgid == 3141
+        assert call.source_id == 271828

@@ -143,6 +143,8 @@ def insert_status_dibits(
             out.append(int(d[i]))
             i += 1
         pos += 1
+    if (pos + 1) % STATUS_INTERVAL == 0:
+        out.append(status)  # frames end on a status slot (e.g. TSDU pos 359)
     return np.array(out, np.uint8)
 
 
@@ -391,18 +393,63 @@ def decode_tdulc(frame_dibits: np.ndarray):
         hexbits += [(data12 >> 6) & 0x3F, data12 & 0x3F]
     if len(hexbits) < 12:
         return None
+    if len(hexbits) == 24 and any(hexbits[12:]):
+        from .fec.rs import RS_24_12
+
+        rs = RS_24_12.decode(hexbits)
+        if rs is not None:
+            lc_bits = np.concatenate([_int_to_bits(int(h), 6) for h in rs[0]])
+            return nid, parse_link_control(lc_bits, errs + rs[1])
     lc_bits = np.concatenate([_int_to_bits(h, 6) for h in hexbits[:12]])
     return nid, parse_link_control(lc_bits, errs)
 
 
+def build_ldu_frame(
+    nac: int,
+    duid: DUID,
+    lc_bits240: np.ndarray,
+    imbe_codewords: list | None = None,
+    lsd_bits32: np.ndarray | None = None,
+) -> np.ndarray:
+    """Assemble a complete on-air LDU1/LDU2 frame (inverse of decode_ldu)."""
+    imbe = list(imbe_codewords or [])
+    while len(imbe) < 9:
+        imbe.append(np.zeros(144, np.uint8))
+    lc = np.asarray(lc_bits240, np.uint8)
+    assert len(lc) == 240
+    lsd = (
+        np.asarray(lsd_bits32, np.uint8)
+        if lsd_bits32 is not None
+        else np.zeros(32, np.uint8)
+    )
+    pieces, ii, li = [], 0, 0
+    for kind, width in _LDU_LAYOUT:
+        if kind == "imbe":
+            pieces.append(np.asarray(imbe[ii], np.uint8)[:144])
+            ii += 1
+        elif kind == "lc":
+            pieces.append(lc[li : li + width])
+            li += width
+        else:
+            pieces.append(lsd[:width])
+    bits = np.concatenate(pieces)
+    payload = bits_to_dibits(bits)
+    head = insert_status_dibits(
+        np.concatenate([FRAME_SYNC_DIBITS, encode_nid(nac, duid)]), 0
+    )
+    return np.concatenate(
+        [head, insert_status_dibits(payload, 57)]
+    ).astype(np.uint8)
+
+
 def encode_tdulc_payload(lc_bits72: np.ndarray) -> np.ndarray:
-    """72-bit LC -> 288 coded payload bits (RS parity zeros; tests)."""
+    """72-bit LC -> 288 coded payload bits with real RS(24,12) parity."""
     from .fec import golay as golay_mod
+    from .fec.rs import RS_24_12
     from .p25_voice import _bits_to_int
 
-    hexbits = [
-        _bits_to_int(lc_bits72[6 * i : 6 * (i + 1)]) for i in range(12)
-    ] + [0] * 12
+    data = [_bits_to_int(lc_bits72[6 * i : 6 * (i + 1)]) for i in range(12)]
+    hexbits = data + RS_24_12.encode(data)
     out = []
     for i in range(12):
         data12 = (hexbits[2 * i] << 6) | hexbits[2 * i + 1]

@@ -3,9 +3,10 @@
 Codecs for the hexbit-protected structures inside voice frames:
 
   * LDU1 link control: 24 hexbits, each in Hamming(10,6,3), carrying
-    LC(72 bits) + RS(24,12) parity (systematic — data recovered from the
-    first 12 hexbits; RS correction is a TODO, matching the reference's
-    no-RS behavior at ``decoders/p25_frames.py:1027``);
+    LC(72 bits) + RS(24,12) parity.  Unlike the reference (systematic
+    extraction only, reference ``decoders/p25_frames.py:1027``), the
+    outer RS code is actually decoded (fec/rs.py), correcting up to 6
+    hexbit symbols; zero-parity legacy streams fall back to systematic;
   * LDU2 encryption sync: same layout carrying MI(72)+ALGID(8)+KID(16);
   * HDU: 36 hexbits in shortened Golay(18,6,8) carrying
     MI(72)+MFID(8)+ALGID(8)+KID(16)+TGID(16) + RS(36,20) parity;
@@ -120,15 +121,27 @@ def decode_lc_hexbits(bits240: np.ndarray) -> LinkControl | None:
         else:
             errs += n
         hexbits.append(d)
+    from .fec.rs import RS_24_12
+
+    # zero parity marks a legacy/reference systematic stream: RS would
+    # miscorrect sparse data toward the all-zero codeword — skip it
+    rs = RS_24_12.decode(hexbits) if any(hexbits[12:]) else None
+    if rs is not None:
+        data, n_err = rs
+        lc_bits = np.concatenate([_int_to_bits(int(h), 6) for h in data])
+        # RS success is syndrome-verified: report only the RS symbol count
+        return parse_link_control(lc_bits, n_err)
+    # RS failure (or legacy zero-parity stream): systematic fallback
     lc_bits = np.concatenate([_int_to_bits(h, 6) for h in hexbits[:12]])
     return parse_link_control(lc_bits, errs)
 
 
 def encode_lc_hexbits(lc_bits72: np.ndarray) -> np.ndarray:
-    """72-bit LC -> 240 bits (RS parity left zero; systematic)."""
-    hexbits = [
-        _bits_to_int(lc_bits72[6 * i : 6 * (i + 1)]) for i in range(12)
-    ] + [0] * 12
+    """72-bit LC -> 240 bits with real RS(24,12) parity."""
+    from .fec.rs import RS_24_12
+
+    data = [_bits_to_int(lc_bits72[6 * i : 6 * (i + 1)]) for i in range(12)]
+    hexbits = data + RS_24_12.encode(data)
     return np.concatenate([hamming106_encode(h) for h in hexbits])
 
 
@@ -186,7 +199,13 @@ def decode_ess_hexbits(bits240: np.ndarray) -> EncryptionSync | None:
         d, n = hamming106_decode(b[10 * i : 10 * (i + 1)])
         errs += 3 if n < 0 else n
         hexbits.append(d)
-    bits96 = np.concatenate([_int_to_bits(h, 6) for h in hexbits[:16]])
+    from .fec.rs import RS_24_16
+
+    rs = RS_24_16.decode(hexbits) if any(hexbits[16:]) else None
+    if rs is not None:
+        hexbits = list(rs[0]) + hexbits[16:]
+        errs = rs[1]
+    bits96 = np.concatenate([_int_to_bits(int(h), 6) for h in hexbits[:16]])
     mi = bytes(_bits_to_int(bits96[8 * i : 8 * i + 8]) for i in range(9))
     algid = _bits_to_int(bits96[72:80])
     kid = _bits_to_int(bits96[80:96])
@@ -219,7 +238,13 @@ def decode_hdu_payload(bits648: np.ndarray) -> HduFields | None:
         d, n = golay186_decode(b[18 * i : 18 * (i + 1)])
         errs += 4 if n < 0 else n
         hexbits.append(d)
-    bits120 = np.concatenate([_int_to_bits(h, 6) for h in hexbits[:20]])
+    from .fec.rs import RS_36_20
+
+    rs = RS_36_20.decode(hexbits) if any(hexbits[20:]) else None
+    if rs is not None:
+        hexbits = list(rs[0]) + hexbits[20:]
+        errs = rs[1]
+    bits120 = np.concatenate([_int_to_bits(int(h), 6) for h in hexbits[:20]])
     mi = bytes(_bits_to_int(bits120[8 * i : 8 * i + 8]) for i in range(9))
     return HduFields(
         mi=mi,
@@ -241,5 +266,8 @@ def encode_hdu_payload(
     bits120[80:88] = _int_to_bits(algid, 8)
     bits120[88:104] = _int_to_bits(kid, 16)
     bits120[104:120] = _int_to_bits(tgid, 16)
-    hexbits = [_bits_to_int(bits120[6 * i : 6 * (i + 1)]) for i in range(20)] + [0] * 16
+    from .fec.rs import RS_36_20
+
+    data = [_bits_to_int(bits120[6 * i : 6 * (i + 1)]) for i in range(20)]
+    hexbits = data + RS_36_20.encode(data)
     return np.concatenate([golay186_encode(h) for h in hexbits])

@@ -352,7 +352,12 @@ class Capture:
             thread_dead = self._thread is not None and not self._thread.is_alive()
             stalled = False
             if self.state == "running" and self.blocks_processed == 0:
-                stalled = now - self._started_at > self.startup_timeout_s
+                # last_block_time doubles as a pre-dispatch heartbeat, so a
+                # long first compile extends the startup window
+                stalled = (
+                    now - max(self._started_at, self.last_block_time)
+                    > self.startup_timeout_s
+                )
             elif self.state == "running" and self.blocks_processed > 0:
                 stalled = now - self.last_block_time > self.watchdog_timeout_s
             if not (failed or thread_dead or stalled):
@@ -444,6 +449,10 @@ class Capture:
             channels = list(self.channels.values())
         assert jit_step is not None
         block_f32 = np.ascontiguousarray(block).view(np.float32)
+        # heartbeat BEFORE dispatch: a cold jit compile (tens of seconds on
+        # first block / after a mode-set change) must not trip the stall
+        # watchdog and trigger a pointless restart loop
+        self.last_block_time = time.time()
         out, state = jit_step(jnp.asarray(block_f32), state, ctl)
         with self._lock:
             self._dev_state = state

@@ -544,6 +544,28 @@ def build_router(state: AppState) -> Router:
             {"active": sys_.status()["activeCalls"], "history": hist}
         )
 
+    @r.get(v1 + "/trunking/systems/{sid}/locations")
+    async def tk_locations(req: Request) -> Response:
+        """LRRP GPS cache (from PDU frames on voice channels)."""
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+        return Response.json(
+            [
+                {
+                    "unitId": l.radio_id,
+                    "latitude": l.latitude,
+                    "longitude": l.longitude,
+                    "altitudeM": l.altitude_m,
+                    "speedKmh": l.speed_kmh,
+                    "headingDeg": l.heading_deg,
+                    "time": l.time,
+                }
+                for l in sys_.locations.all()
+            ]
+        )
+
     @r.get(v1 + "/trunking/systems/{sid}/messages")
     async def tk_messages(req: Request) -> Response:
         try:

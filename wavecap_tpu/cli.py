@@ -191,6 +191,131 @@ def cmd_decode_iq(args) -> int:
     return 0
 
 
+def cmd_decode_audio(args) -> int:
+    """P25 IQ file -> voice audio WAV (reference ``cli.py:409`` decode-audio).
+
+    Demodulates C4FM, frames LDUs, runs IMBE codeword FEC and — when a
+    vocoder library is present — synthesizes PCM.  Without one, the raw
+    codewords are persisted as ``.imbe`` next to the output."""
+    import jax.numpy as jnp
+    from scipy import signal as sps
+
+    from wavecap_tpu.decoders import p25_frames as pf
+    from wavecap_tpu.decoders.framer import P25Framer
+    from wavecap_tpu.decoders.voice import VoiceDecoder, vocoder_available
+    from wavecap_tpu.models.p25.c4fm import C4fmConfig, c4fm_init, c4fm_demodulate
+    from wavecap_tpu.utils.wavio import write_audio_wav
+
+    iq, rate = _read_iq(args.input, args.rate)
+    if rate is None:
+        raise SystemExit("--rate required for raw IQ files")
+    if rate != 48_000:
+        from math import gcd
+
+        g = gcd(int(rate), 48_000)
+        iq = sps.resample_poly(iq, 48_000 // g, int(rate) // g).astype(np.complex64)
+    cfg = C4fmConfig(sample_rate=48_000)
+    state = c4fm_init(cfg)
+    framer = P25Framer()
+    decoder = VoiceDecoder()
+    pcm_chunks: list[np.ndarray] = []
+    imbe_frames: list[np.ndarray] = []
+    block = 24_000
+    for i in range(len(iq) // block):
+        soft, _, state = c4fm_demodulate(
+            jnp.asarray(iq[i * block : (i + 1) * block]), state, cfg
+        )
+        for frame in framer.process(np.asarray(soft)):
+            if frame.duid not in (pf.DUID.LDU1, pf.DUID.LDU2):
+                continue
+            ldu = pf.decode_ldu(frame.dibits)
+            if ldu is None:
+                continue
+            imbe_frames.extend(np.asarray(cw, np.uint8) for cw in ldu.imbe_codewords)
+            pcm = decoder.decode_codewords(ldu.imbe_codewords)
+            if pcm is not None and len(pcm):
+                pcm_chunks.append(pcm)
+    if pcm_chunks:
+        audio = np.concatenate(pcm_chunks)
+        write_audio_wav(args.output, audio, 8000)
+        print(f"wrote {len(audio)/8000:.1f}s voice audio to {args.output}")
+    else:
+        out = Path(args.output).with_suffix(".imbe")
+        if imbe_frames:
+            np.packbits(np.concatenate(imbe_frames)).tofile(out)
+        print(
+            f"vocoder {'absent' if not vocoder_available() else 'produced no audio'}; "
+            f"{len(imbe_frames)} IMBE codewords -> {out}"
+        )
+    print(f"frames={framer.frame_count} syncs={framer.sync_count}")
+    return 0
+
+
+def cmd_trunking(args) -> int:
+    """Headless trunking with periodic stats (reference ``cli.py:864``)."""
+    from wavecap_tpu.capture import CaptureManager
+    from wavecap_tpu.server.app import create_device_driver
+    from wavecap_tpu.trunking import TrunkingManager, TrunkingSystemConfig
+    from wavecap_tpu.utils.config import load_config
+
+    cfg = load_config(args.config)
+    if args.driver:
+        cfg.device.driver = args.driver
+    if args.file:
+        cfg.device.driver = "file"
+        cfg.device.file_path = args.file
+    mgr = CaptureManager(create_device_driver(cfg))
+    tm = TrunkingManager(mgr, state_dir=Path(args.state_dir))
+    scfg = TrunkingSystemConfig.from_dict(
+        {
+            "id": args.id,
+            "name": args.id,
+            "control_channels": [float(f) for f in args.control],
+            "center_hz": args.center,
+            "sample_rate": int(args.rate),
+            "recording_dir": args.recordings,
+        }
+    )
+    sysm = tm.create_system(scfg)
+    sysm.start()
+    t0 = time.time()
+    try:
+        while args.duration <= 0 or time.time() - t0 < args.duration:
+            remaining = (
+                args.duration - (time.time() - t0) if args.duration > 0 else None
+            )
+            time.sleep(
+                args.stats_interval
+                if remaining is None
+                else max(0.2, min(args.stats_interval, remaining))
+            )
+            s = sysm.status()
+            print(
+                json.dumps(
+                    {
+                        "t": round(time.time() - t0, 1),
+                        "synced": s["synced"],
+                        "nac": s["nac"],
+                        "tsbk": s["tsbkCount"],
+                        "crcRate": s["tsbkCrcRate"],
+                        "calls": len(s["activeCalls"]),
+                    }
+                ),
+                flush=True,
+            )
+    except KeyboardInterrupt:
+        pass
+    finally:
+        tm.stop_all()
+    s = sysm.status()
+    print(json.dumps({"final": s}, default=str), flush=True)
+    # native reader threads may be blocked in a stream read; skip the
+    # interpreter teardown races they cause and exit cleanly now
+    import os
+
+    os._exit(0)
+
+
 def cmd_serve(args) -> int:
     from wavecap_tpu.server.__main__ import main as server_main
 
@@ -237,6 +362,25 @@ def main() -> int:
     s.add_argument("--offset", type=float, default=0.0)
     s.add_argument("--messages", default=None)
     s.set_defaults(fn=cmd_decode_iq)
+
+    s = sub.add_parser("decode-audio")
+    s.add_argument("--input", required=True)
+    s.add_argument("--rate", type=int, default=None)
+    s.add_argument("--output", required=True)
+    s.set_defaults(fn=cmd_decode_audio)
+
+    s = sub.add_parser("trunking")
+    s.add_argument("--id", default="cli")
+    s.add_argument("--driver", default=None)
+    s.add_argument("--file", default=None, help="wideband IQ WAV to replay")
+    s.add_argument("--control", nargs="+", required=True, help="control channel Hz")
+    s.add_argument("--center", type=float, required=True)
+    s.add_argument("--rate", type=float, default=2_400_000)
+    s.add_argument("--duration", type=float, default=0, help="0 = run until ^C")
+    s.add_argument("--stats-interval", type=float, default=5.0)
+    s.add_argument("--state-dir", default="/tmp/wavecap_trunking")
+    s.add_argument("--recordings", default=None)
+    s.set_defaults(fn=cmd_trunking)
 
     s = sub.add_parser("serve")
     s.add_argument("--port", type=int, default=None)

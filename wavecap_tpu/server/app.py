@@ -832,9 +832,14 @@ def build_router(state: AppState) -> Router:
     async def channel_messages(req: Request) -> Response:
         cap, ch = state.find_channel(req.params["chid"])
         out = []
+        aliases = state.config.pocsag_aliases
         for (cid, kind), a in state.attachments.items():
             if cid == ch.id:
-                out += [{"decoder": kind, **m} for m in list(a.messages)]
+                for m in list(a.messages):
+                    entry = {"decoder": kind, **m}
+                    if kind == "pocsag" and m.get("address") in aliases:
+                        entry["alias"] = aliases[m["address"]]
+                    out.append(entry)
         out.sort(key=lambda m: m.get("time", 0))
         return Response.json(out[-int(req.query.get("limit", "100")):])
 

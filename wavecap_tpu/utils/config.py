@@ -99,6 +99,7 @@ class AppConfig:
     trunking_systems: list = field(default_factory=list)  # raw dicts
     presets: dict = field(default_factory=dict)
     recipes: dict = field(default_factory=dict)
+    pocsag_aliases: dict = field(default_factory=dict)  # capcode -> name
     config_paths: list = field(default_factory=list)
 
 
@@ -181,6 +182,11 @@ def config_from_dict(d: dict, paths: list[str] | None = None) -> AppConfig:
         trunking_systems=list(d.get("trunking_systems") or d.get("trunkingSystems") or []),
         presets=dict(d.get("presets") or {}),
         recipes=dict(d.get("recipes") or {}),
+        pocsag_aliases={
+            int(k): str(v)
+            for k, v in (d.get("pocsag_aliases") or {}).items()
+            if str(k).lstrip("-").isdigit()
+        },
         config_paths=paths or [],
     )
 

@@ -200,6 +200,28 @@ class Capture:
             self._ctl_dirty = True
             return ch
 
+    def update_config(
+        self,
+        center_hz: float | None = None,
+        gain_db: float | None = None,
+        sample_rate: int | None = None,
+    ) -> None:
+        """Retune the capture (reference ``api.py`` update_capture): applies
+        new device settings, restarting the stream if it was running."""
+        was_running = self.state == "running"
+        if was_running:
+            self.stop()
+        if center_hz is not None:
+            self.config.center_hz = float(center_hz)
+        if gain_db is not None:
+            self.config.gain_db = float(gain_db)
+        if sample_rate is not None:
+            self.config.sample_rate = int(sample_rate)
+            self._pipe_cfg = None  # block size changes: full rebuild
+        self._ctl_dirty = True
+        if was_running:
+            self.start()
+
     # -- pipeline build ----------------------------------------------------
 
     def _narrow_modes(self) -> tuple:

@@ -277,6 +277,20 @@ def build_router(state: AppState) -> Router:
             }
         )
 
+    @r.patch(v1 + "/captures/{cid}")
+    async def capture_update(req: Request) -> Response:
+        """Retune a running capture (reference api.py update_capture)."""
+        cap = state.get_capture(req.params["cid"])
+        body = req.json()
+        await asyncio.to_thread(
+            cap.update_config,
+            center_hz=body.get("centerHz"),
+            gain_db=body.get("gainDb"),
+            sample_rate=body.get("sampleRate"),
+        )
+        STATE_BROADCASTER.publish("capture", cap.id, "updated", capture_json(cap))
+        return Response.json(capture_json(cap))
+
     # ---- channels ----
     @r.get(v1 + "/channels")
     async def channels_all(req: Request) -> Response:

@@ -142,6 +142,206 @@ class McpToolRegistry:
 
             return system_metrics()
 
+        _CAP = {
+            "type": "object",
+            "properties": {"captureId": {"type": "string"}},
+            "required": ["captureId"],
+        }
+        _CHAN = {
+            "type": "object",
+            "properties": {"channelId": {"type": "string"}},
+            "required": ["channelId"],
+        }
+        _SYS = {
+            "type": "object",
+            "properties": {"systemId": {"type": "string"}},
+            "required": ["systemId"],
+        }
+
+        @reg.tool("refresh_devices", "Re-enumerate SDR devices")
+        def refresh_devices(state, args):
+            return [
+                {"id": d.id, "driver": d.driver, "label": d.label}
+                for d in state.captures.list_devices()
+            ]
+
+        @reg.tool("get_device_health", "Driver/device health summary")
+        def get_device_health(state, args):
+            from wavecap_tpu.utils.observability import ERROR_TRACKER
+
+            return {
+                "devices": len(state.captures.list_devices()),
+                "captures": {
+                    c.id: {"state": c.state, "restarts": c.restart_count}
+                    for c in state.captures.captures.values()
+                },
+                "errorRates": ERROR_TRACKER.rates(),
+            }
+
+        @reg.tool("get_capture", "One capture's full status", _CAP)
+        def get_capture(state, args):
+            return state.get_capture(args["captureId"]).status()
+
+        @reg.tool("start_capture", "Start a capture", _CAP)
+        def start_capture(state, args):
+            cap = state.get_capture(args["captureId"])
+            cap.start()
+            return cap.status()
+
+        @reg.tool("stop_capture", "Stop a capture", _CAP)
+        def stop_capture(state, args):
+            cap = state.get_capture(args["captureId"])
+            cap.stop()
+            return cap.status()
+
+        @reg.tool(
+            "update_capture",
+            "Retune a capture (captureId, centerHz and/or gainDb)",
+            {
+                "type": "object",
+                "properties": {
+                    "captureId": {"type": "string"},
+                    "centerHz": {"type": "number"},
+                    "gainDb": {"type": "number"},
+                },
+                "required": ["captureId"],
+            },
+        )
+        def update_capture(state, args):
+            cap = state.get_capture(args["captureId"])
+            kw = {}
+            if "centerHz" in args:
+                kw["center_hz"] = float(args["centerHz"])
+            if "gainDb" in args:
+                kw["gain_db"] = float(args["gainDb"])
+            cap.update_config(**kw)
+            return cap.status()
+
+        @reg.tool("list_channels", "All channels across captures")
+        def list_channels(state, args):
+            out = []
+            for cap in state.captures.captures.values():
+                for ch in cap.channels.values():
+                    out.append(
+                        {
+                            "id": ch.id,
+                            "captureId": cap.id,
+                            "mode": ch.spec.mode,
+                            "frequencyHz": ch.spec.frequency_hz,
+                            "rssiDb": round(ch.rssi_db, 1),
+                        }
+                    )
+            return out
+
+        @reg.tool(
+            "update_channel",
+            "Update a channel (frequencyHz, squelchDb)",
+            {
+                "type": "object",
+                "properties": {
+                    "channelId": {"type": "string"},
+                    "frequencyHz": {"type": "number"},
+                    "squelchDb": {"type": "number"},
+                },
+                "required": ["channelId"],
+            },
+        )
+        def update_channel(state, args):
+            cap, ch = state.find_channel(args["channelId"])
+            kw = {}
+            if "frequencyHz" in args:
+                kw["frequency_hz"] = float(args["frequencyHz"])
+            if "squelchDb" in args:
+                kw["squelch_db"] = float(args["squelchDb"])
+            cap.update_channel(ch.id, **kw)
+            return {"id": ch.id, "frequencyHz": ch.spec.frequency_hz}
+
+        @reg.tool("delete_channel", "Remove a channel", _CHAN)
+        def delete_channel(state, args):
+            cap, ch = state.find_channel(args["channelId"])
+            cap.remove_channel(ch.id)
+            return {"ok": True}
+
+        @reg.tool("get_channel_metrics", "RSSI/state for one channel", _CHAN)
+        def get_channel_metrics(state, args):
+            cap, ch = state.find_channel(args["channelId"])
+            return {
+                "id": ch.id,
+                "rssiDb": round(ch.rssi_db, 1),
+                "state": ch.state,
+                "rssiHistory": [
+                    {"time": round(t, 1), "rssiDb": round(v, 1)}
+                    for (t, v) in ch.rssi_history[-60:]
+                ],
+            }
+
+        @reg.tool("start_trunking", "Start a trunking system", _SYS)
+        def start_trunking(state, args):
+            sysm = state.trunking.get(args["systemId"])
+            sysm.start()
+            return sysm.status()
+
+        @reg.tool("stop_trunking", "Stop a trunking system", _SYS)
+        def stop_trunking(state, args):
+            sysm = state.trunking.get(args["systemId"])
+            sysm.stop()
+            return sysm.status()
+
+        @reg.tool("get_active_calls", "Active calls on a trunking system", _SYS)
+        def get_active_calls(state, args):
+            return state.trunking.get(args["systemId"]).status()["activeCalls"]
+
+        @reg.tool("get_talkgroups", "Configured talkgroups for a system", _SYS)
+        def get_talkgroups(state, args):
+            sysm = state.trunking.get(args["systemId"])
+            return [
+                {
+                    "tgid": tg.tgid,
+                    "name": tg.name,
+                    "priority": tg.priority,
+                    "record": tg.record,
+                    "monitor": tg.monitor,
+                }
+                for tg in sysm.config.talkgroups.values()
+            ]
+
+        @reg.tool("get_recipes", "Configured channel recipes")
+        def get_recipes(state, args):
+            return state.config.recipes
+
+        @reg.tool(
+            "identify_frequency",
+            "Name/band/mode hint for a frequency (hz)",
+            {
+                "type": "object",
+                "properties": {"hz": {"type": "number"}},
+                "required": ["hz"],
+            },
+        )
+        def identify_frequency(state, args):
+            from wavecap_tpu.utils import namers
+
+            hz = float(args["hz"])
+            band = namers.band_for(hz)
+            return {
+                "frequencyHz": hz,
+                "name": namers.frequency_name(hz),
+                "band": band.name if band else None,
+                "modeHint": namers.mode_hint(hz),
+            }
+
+        @reg.tool("get_system_health", "Uptime, error rates, capture health")
+        def get_system_health(state, args):
+            from wavecap_tpu.utils.observability import ERROR_TRACKER
+
+            return {
+                "uptimeS": round(__import__("time").time() - state.started_at, 1),
+                "errorRates": ERROR_TRACKER.rates(),
+                "captures": {
+                    c.id: c.state for c in state.captures.captures.values()
+                },
+            }
+
 
 def mount_mcp(router: Router, state, api_key: str | None = None) -> McpToolRegistry:
     registry = McpToolRegistry(state)

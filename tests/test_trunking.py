@@ -327,3 +327,36 @@ class TestRsProtectedMetadata:
         rec.process_symbols(soft, now=1.0)
         assert call.tgid == 3141
         assert call.source_id == 271828
+
+
+class TestNetworkConfig:
+    def test_adjacent_sites_and_services_tracked(self, tmp_path):
+        """ADJ_STS/SYS_SRV broadcasts populate the network-config view
+        (reference trunking/network_config.py)."""
+        sys_ = make_system(tmp_path)
+        iden = tsbk.parse_tsbk(
+            0x3D, 0, tsbk.make_iden_up_data(identifier=1, base_freq_mhz=851.0)
+        )
+        sys_._handle_tsbk({**iden, "nac": 0x293}, None)
+        adj = tsbk.parse_tsbk(
+            tsbk.TSBKOpcode.ADJ_STS_BCAST,
+            0,
+            tsbk.make_adjacent_status_data(
+                system_id=0x2F5, rfss_id=2, site_id=9, band=1, channel_number=0x64
+            ),
+        )
+        sys_._handle_tsbk({**adj, "nac": 0x293}, None)
+        srv = tsbk.parse_tsbk(
+            tsbk.TSBKOpcode.SYS_SRV_BCAST, 0, tsbk.make_sys_srv_data(0xABCDEF)
+        )
+        sys_._handle_tsbk({**srv, "nac": 0x293}, None)
+
+        st = sys_.status()
+        assert len(st["adjacentSites"]) == 1
+        site = st["adjacentSites"][0]
+        assert site["systemId"] == 0x2F5 and site["siteId"] == 9
+        assert abs(site["frequencyHz"] - (851e6 + 0x64 * 12500)) < 1
+        assert st["services"]["services"] == 0xABCDEF
+        # repeated broadcast updates in place, no duplicates
+        sys_._handle_tsbk({**adj, "nac": 0x293}, None)
+        assert len(sys_.status()["adjacentSites"]) == 1

@@ -307,6 +307,28 @@ def make_rfss_status_data(
     )
 
 
+def make_adjacent_status_data(
+    system_id: int, rfss_id: int, site_id: int, band: int, channel_number: int,
+    lra: int = 0, service_class: int = 0x70,
+) -> bytes:
+    return bytes(
+        [
+            lra & 0xFF,
+            (system_id >> 8) & 0x0F,
+            system_id & 0xFF,
+            rfss_id & 0xFF,
+            site_id & 0xFF,
+            ((band & 0xF) << 4) | ((channel_number >> 8) & 0xF),
+            channel_number & 0xFF,
+            service_class & 0xFF,
+        ]
+    )
+
+
+def make_sys_srv_data(services: int) -> bytes:
+    return bytes([0]) + int(services).to_bytes(3, "big") + bytes(4)
+
+
 def iden_from_parsed(p: dict[str, Any]) -> ChannelIdentifier:
     return ChannelIdentifier(
         identifier=p["identifier"],

@@ -76,6 +76,8 @@ class TrunkingSystem:
         from wavecap_tpu.decoders.lrrp import LocationCache
 
         self.locations = LocationCache()
+        self.adjacent_sites: dict[str, dict] = {}
+        self.services: dict | None = None
         self.duplicates = DuplicateDetector(window_s=3.0)
         self.call_history: deque = deque(maxlen=self.CALL_HISTORY)
         self.events = deque(maxlen=500)  # (time, type, payload) for the API/WS
@@ -304,6 +306,23 @@ class TrunkingSystem:
         elif t == "NETWORK_STATUS":
             self.identity.wacn = parsed.get("wacn")
             self.identity.system_id = parsed.get("system_id")
+        elif t == "ADJACENT_STATUS":
+            # neighbor-site table (reference trunking/network_config.py
+            # AdjacentSite tracking): keyed by (rfss, site)
+            key = f"{parsed.get('rfss_id')}-{parsed.get('site_id')}"
+            self.adjacent_sites[key] = {
+                "systemId": parsed.get("system_id"),
+                "rfssId": parsed.get("rfss_id"),
+                "siteId": parsed.get("site_id"),
+                "frequencyHz": self.calculate_frequency(
+                    parsed.get("frequency_band", 0),
+                    parsed.get("channel_number", 0),
+                ),
+                "serviceClass": parsed.get("service_class"),
+                "lastSeen": self.last_tsbk_time,
+            }
+        elif t == "SYSTEM_SERVICE":
+            self.services = parsed
         elif t in ("GROUP_VOICE_GRANT", "GROUP_VOICE_GRANT_UPDATE"):
             self._handle_voice_grant(parsed)
 
@@ -452,6 +471,8 @@ class TrunkingSystem:
             "identifiers": {
                 k: asdict(v) for k, v in self.identifiers.items()
             },
+            "adjacentSites": list(self.adjacent_sites.values()),
+            "services": self.services,
             "activeCalls": [
                 {
                     "tgid": c.tgid,

@@ -360,3 +360,33 @@ class TestNetworkConfig:
         # repeated broadcast updates in place, no duplicates
         sys_._handle_tsbk({**adj, "nac": 0x293}, None)
         assert len(sys_.status()["adjacentSites"]) == 1
+
+    def test_hunt_roams_to_adjacent_site(self, tmp_path):
+        """With the configured CC dead, hunting includes learned
+        adjacent-site frequencies (reference network_config roaming)."""
+        from wavecap_tpu.trunking.config import HuntMode
+
+        sys_ = make_system(tmp_path, hunt_mode=HuntMode.HUNT, hunt_timeout_s=0.0)
+        iden = tsbk.parse_tsbk(
+            0x3D, 0, tsbk.make_iden_up_data(identifier=1, base_freq_mhz=851.0)
+        )
+        sys_._handle_tsbk({**iden, "nac": 0x293}, None)
+        adj = tsbk.parse_tsbk(
+            tsbk.TSBKOpcode.ADJ_STS_BCAST,
+            0,
+            tsbk.make_adjacent_status_data(
+                system_id=0x2F5, rfss_id=2, site_id=9, band=1, channel_number=0x40
+            ),
+        )
+        sys_._handle_tsbk({**adj, "nac": 0x293}, None)
+        adj_freq = 851e6 + 0x40 * 12500
+        sys_.monitor = None
+        sys_.last_tsbk_time = 0.0
+        sys_.cc_lock_time = 0.0
+        sys_._spectrum_sub = type("S", (), {"get_nowait": lambda s: None})()
+        seen = set()
+        for _ in range(4):
+            sys_._check_hunt()
+            if sys_.capture.retunes:
+                seen.add(sys_.capture.retunes[-1][1].get("frequency_hz"))
+        assert any(f and abs(f - adj_freq) < 1 for f in seen), seen

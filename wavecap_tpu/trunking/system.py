@@ -248,7 +248,10 @@ class TrunkingSystem:
         nfft = len(frame)
         fs = self.capture.config.sample_rate
         center = self.capture.config.center_hz
-        for f in self.config.control_channels:
+        adj = [
+            s["frequencyHz"] for s in self.adjacent_sites.values() if s.get("frequencyHz")
+        ]
+        for f in list(self.config.control_channels) + adj:
             b = int(round((f - center) / (fs / nfft))) + nfft // 2
             if 2 <= b < nfft - 2:
                 import numpy as _np
@@ -265,22 +268,33 @@ class TrunkingSystem:
             return
         if now - last < self.config.hunt_timeout_s or not self.capture:
             return
-        # advance: strongest measured CC first (SCAN), else round-robin
-        n = len(self.config.control_channels)
+        # candidates: configured CCs + learned adjacent-site CCs in band
+        # (reference roams via network_config adjacent sites)
+        candidates = list(self.config.control_channels)
+        half_bw = self.capture.config.sample_rate / 2
+        for site in self.adjacent_sites.values():
+            f = site.get("frequencyHz")
+            if (
+                f
+                and f not in candidates
+                and abs(f - self.capture.config.center_hz) < half_bw
+            ):
+                candidates.append(f)
+        n = len(candidates)
         if n <= 1:
             self.cc_lock_time = now
             return
+        self.cc_index %= n
         if self.config.hunt_mode == HuntMode.SCAN and self._cc_power:
-            current = self.config.control_channels[self.cc_index]
+            current = candidates[self.cc_index]
             ranked = sorted(
-                self.config.control_channels,
-                key=lambda f: -self._cc_power.get(f, -999.0),
+                candidates, key=lambda f: -self._cc_power.get(f, -999.0)
             )
             nxt = next((f for f in ranked if f != current), ranked[0])
-            self.cc_index = self.config.control_channels.index(nxt)
+            self.cc_index = candidates.index(nxt)
         else:
             self.cc_index = (self.cc_index + 1) % n
-        freq = self.config.control_channels[self.cc_index]
+        freq = candidates[self.cc_index]
         self.capture.update_channel("cc", frequency_hz=freq)
         if self.monitor:
             self.monitor.reset()

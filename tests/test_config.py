@@ -1,0 +1,117 @@
+"""Config system: base + .local overlay, camelCase fallbacks, reload route
+(reference test tier ``tests/test_config_overlay.py`` / ``test_config_reload.py``)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from wavecap_tpu.utils.config import config_from_dict, load_config
+
+
+class TestOverlay:
+    def test_local_overlay_wins_key_by_key(self, tmp_path):
+        base = tmp_path / "wavecap.yaml"
+        base.write_text(
+            "server:\n  port: 8087\n  host: 0.0.0.0\n"
+            "stream:\n  audio_rate: 48000\n"
+            "pocsag_aliases:\n  '100': Base Name\n"
+        )
+        (tmp_path / "wavecap.local.yaml").write_text(
+            "server:\n  port: 9000\n"
+            "pocsag_aliases:\n  '200': Local Name\n"
+        )
+        cfg = load_config(base)
+        assert cfg.server.port == 9000          # overlay wins
+        assert cfg.server.host == "0.0.0.0"     # base survives untouched keys
+        assert cfg.stream.audio_rate == 48000
+        # dict sections deep-merge
+        assert cfg.pocsag_aliases == {100: "Base Name", 200: "Local Name"}
+        assert len(cfg.config_paths) == 2
+
+    def test_no_overlay(self, tmp_path):
+        base = tmp_path / "only.yaml"
+        base.write_text("server:\n  port: 8500\n")
+        cfg = load_config(base)
+        assert cfg.server.port == 8500
+        assert len(cfg.config_paths) == 1
+
+    def test_camelcase_fallbacks(self):
+        cfg = config_from_dict(
+            {
+                "captures": [
+                    {
+                        "id": "c1",
+                        "centerHz": 100e6,
+                        "sampleRate": 1_000_000,
+                        "autoStart": False,
+                        "channels": [
+                            {"id": "ch", "frequencyHz": 100.1e6, "squelchDb": -60}
+                        ],
+                    }
+                ],
+                "trunkingSystems": [{"id": "t1"}],
+            }
+        )
+        cap = cfg.captures[0]
+        assert cap.center_hz == 100e6 and cap.sample_rate == 1_000_000
+        assert cap.auto_start is False
+        assert cap.channels[0].frequency_hz == 100.1e6
+        assert cfg.trunking_systems == [{"id": "t1"}]
+
+    def test_bad_alias_keys_ignored(self):
+        cfg = config_from_dict({"pocsag_aliases": {"abc": "X", "42": "Y"}})
+        assert cfg.pocsag_aliases == {42: "Y"}
+
+
+class TestConcurrentOperations:
+    """Channel CRUD racing the capture block loop (reference
+    ``tests/test_concurrent_operations.py`` tier)."""
+
+    def test_concurrent_channel_crud_while_running(self):
+        from wavecap_tpu.capture import CaptureConfig, CaptureManager, ChannelSpec
+        from wavecap_tpu.devices import FakeDriver
+
+        mgr = CaptureManager(FakeDriver())
+        cap = mgr.create_capture(
+            config=CaptureConfig(center_hz=100e6, sample_rate=960_000)
+        )
+        cap.create_channel(
+            ChannelSpec(id="keep", mode="nbfm", frequency_hz=100.05e6)
+        )
+        cap.start()
+        errors = []
+
+        def churn(tid):
+            try:
+                for i in range(8):
+                    cid = f"t{tid}_{i}"
+                    cap.create_channel(
+                        ChannelSpec(
+                            id=cid, mode="nbfm", frequency_hz=100.0e6 + tid * 1e4
+                        )
+                    )
+                    cap.update_channel(cid, frequency_hz=100.02e6 + i * 1e3)
+                    cap.remove_channel(cid)
+            except RuntimeError:
+                pass  # capacity exhaustion under contention is acceptable
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=churn, args=(t,)) for t in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        # wait for a few blocks post-churn: pipeline still healthy
+        import time
+
+        deadline = time.time() + 60
+        start_blocks = cap.blocks_processed
+        while time.time() < deadline and cap.blocks_processed < start_blocks + 3:
+            time.sleep(0.5)
+        assert not errors, errors
+        assert cap.state == "running"
+        assert cap.blocks_processed >= start_blocks + 3
+        assert "keep" in cap.channels
+        cap.stop()

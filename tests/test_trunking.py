@@ -390,3 +390,28 @@ class TestNetworkConfig:
             if sys_.capture.retunes:
                 seen.add(sys_.capture.retunes[-1][1].get("frequency_hz"))
         assert any(f and abs(f - adj_freq) < 1 for f in seen), seen
+
+    def test_tdma_identifier_and_grant_slot(self, tmp_path):
+        """IDEN_UP_TDMA: channel packs the timeslot; frequency uses the
+        carrier number and the call records its slot (reference
+        network_config FrequencyBand.is_tdma)."""
+        sys_ = make_system(tmp_path)
+        iden = tsbk.parse_tsbk(
+            tsbk.TSBKOpcode.IDEN_UP_TDMA,
+            0,
+            tsbk.make_iden_up_tdma_data(identifier=2, base_freq_mhz=851.0, channel_type=3),
+        )
+        sys_._handle_tsbk({**iden, "nac": 0x293}, None)
+        ident = sys_.identifiers[2]
+        assert ident.is_tdma and ident.slots_per_carrier == 2
+        # channel 21 = carrier 10, slot 1
+        assert abs(ident.frequency_hz(21) - (851e6 + 10 * ident.channel_spacing_khz * 1e3)) < 1
+        assert ident.slot(21) == 1
+        grant = tsbk.parse_tsbk(
+            0x00,
+            0,
+            tsbk.make_group_grant_data(tgid=77, source_id=5, band=2, channel_number=21),
+        )
+        sys_._handle_tsbk({**grant, "nac": 0x293}, None)
+        assert 77 in sys_.active_calls
+        assert sys_.active_calls[77].tdma_slot == 1

@@ -48,18 +48,32 @@ class TSBKOpcode(IntEnum):
 
 @dataclass
 class ChannelIdentifier:
-    """IDEN_UP channel-number -> frequency mapping (one per 4-bit band id)."""
+    """IDEN_UP channel-number -> frequency mapping (one per 4-bit band id).
+
+    TDMA bands (IDEN_UP_TDMA) pack the timeslot into the channel number:
+    carrier = channel // slots_per_carrier, slot = channel % slots
+    (reference ``trunking/network_config.py`` FrequencyBand.is_tdma).
+    """
 
     identifier: int
     bandwidth_khz: float
     tx_offset_mhz: float
     channel_spacing_khz: float
     base_freq_mhz: float
+    slots_per_carrier: int = 1
 
     def frequency_hz(self, channel_number: int) -> float:
+        carrier = channel_number // max(self.slots_per_carrier, 1)
         return (
-            self.base_freq_mhz + channel_number * self.channel_spacing_khz / 1000.0
+            self.base_freq_mhz + carrier * self.channel_spacing_khz / 1000.0
         ) * 1e6
+
+    def slot(self, channel_number: int) -> int:
+        return channel_number % max(self.slots_per_carrier, 1)
+
+    @property
+    def is_tdma(self) -> bool:
+        return self.slots_per_carrier > 1
 
 
 def parse_tsbk(opcode: int, mfid: int, data: bytes) -> dict[str, Any]:
@@ -307,6 +321,30 @@ def make_rfss_status_data(
     )
 
 
+def make_iden_up_tdma_data(
+    identifier: int,
+    base_freq_mhz: float,
+    channel_type: int = 3,  # 3 = Phase 2 H-DQPSK, 2 slots
+    channel_spacing_khz: float = 12.5,
+    tx_offset_mhz: float = 0.0,
+) -> bytes:
+    tx_off = int(round(abs(tx_offset_mhz) / 0.25))
+    spacing = int(round(channel_spacing_khz / 0.125))
+    base = int(round(base_freq_mhz / 5e-6))
+    return bytes(
+        [
+            ((identifier & 0xF) << 4) | (channel_type & 0xF),
+            (tx_off >> 6) & 0xFF,
+            ((tx_off & 0x3F) << 2) | ((spacing >> 8) & 0x03),
+            spacing & 0xFF,
+            (base >> 24) & 0xFF,
+            (base >> 16) & 0xFF,
+            (base >> 8) & 0xFF,
+            base & 0xFF,
+        ]
+    )
+
+
 def make_adjacent_status_data(
     system_id: int, rfss_id: int, site_id: int, band: int, channel_number: int,
     lra: int = 0, service_class: int = 0x70,
@@ -336,4 +374,5 @@ def iden_from_parsed(p: dict[str, Any]) -> ChannelIdentifier:
         tx_offset_mhz=p["tx_offset_mhz"],
         channel_spacing_khz=p["channel_spacing_khz"],
         base_freq_mhz=p["base_freq_mhz"],
+        slots_per_carrier=int(p.get("slots_per_carrier", 1)),
     )

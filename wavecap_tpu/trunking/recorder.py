@@ -46,6 +46,7 @@ class CallInfo:
     imbe_frames: int = 0
     audio_seconds: float = 0.0
     source_location: dict | None = None  # LRRP GPS (reference trunking/system.py:3112)
+    tdma_slot: int = 0  # Phase 2 timeslot (0 for FDMA)
 
 
 class VoiceRecorder:
@@ -174,6 +175,7 @@ class VoiceRecorder:
                 "startTime": call.start_time,
                 "endTime": call.end_time,
                 "imbeFrames": call.imbe_frames,
+                "tdmaSlot": call.tdma_slot,
                 "audioSeconds": call.audio_seconds,
                 "emergency": call.emergency,
                 "encrypted": call.encrypted,

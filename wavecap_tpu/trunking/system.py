@@ -139,6 +139,8 @@ class TrunkingSystem:
                 self.state = "failed"
                 self.error = "no control channels configured"
                 return
+            from .config import TrunkingProtocol
+
             cap_cfg = CaptureConfig(
                 center_hz=cfg.effective_center_hz(),
                 sample_rate=cfg.sample_rate,
@@ -146,6 +148,11 @@ class TrunkingSystem:
                 narrow_capacity=0,
                 wide_capacity=0,
                 p25_capacity=1 + cfg.max_voice_channels,
+                # Phase 2 TDMA control+voice are CQPSK (H-DQPSK); Phase 1
+                # defaults to C4FM (reference system.py:437 vocoder select)
+                p25_modulation=(
+                    "cqpsk" if cfg.protocol == TrunkingProtocol.P25_PHASE2 else "c4fm"
+                ),
             )
             self.capture = self.capture_manager.create_capture(
                 device_id=cfg.device_id, config=cap_cfg
@@ -355,11 +362,13 @@ class TrunkingSystem:
         tg = self.config.talkgroup(tgid)
         if not tg.monitor:
             return
-        freq = self.calculate_frequency(
-            parsed.get("frequency_band", 0), parsed.get("channel_number", 0)
-        )
+        band = parsed.get("frequency_band", 0)
+        chan = parsed.get("channel_number", 0)
+        freq = self.calculate_frequency(band, chan)
         if freq is None:
             return
+        ident = self.identifiers.get(band)
+        tdma_slot = ident.slot(chan) if ident is not None else 0
         now = time.time()
         existing = self.pool.for_tgid(tgid)
         if existing is not None:
@@ -387,6 +396,7 @@ class TrunkingSystem:
             talkgroup_name=tg.name,
             emergency=bool(parsed.get("emergency")),
             encrypted=bool(parsed.get("encrypted")),
+            tdma_slot=tdma_slot,
         )
         self.capture.update_channel(rec.channel_id, frequency_hz=freq)
         rec.assign(call)
@@ -495,6 +505,7 @@ class TrunkingSystem:
                     "frequencyHz": c.frequency_hz,
                     "startTime": c.start_time,
                     "sourceLocation": c.source_location,
+                    "tdmaSlot": c.tdma_slot,
                 }
                 for c in self.active_calls.values()
             ],

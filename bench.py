@@ -82,7 +82,7 @@ def worker() -> None:
     # Macro-batch: BLOCKS_PER_STEP dependent blocks per dispatch (a
     # lax.scan over the carried state), amortizing per-dispatch overhead —
     # remote-relay round trips are ~30 ms, far above the on-chip time.
-    BLOCKS_PER_STEP = 32 if on_accel else 1
+    BLOCKS_PER_STEP = int(os.environ.get("WAVECAP_BENCH_BLOCKS", "32" if on_accel else "1"))
 
     def one_block(carry, x):
         hist, dstates, phases = carry

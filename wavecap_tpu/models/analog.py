@@ -82,6 +82,7 @@ class WbfmState(NamedTuple):
     mpx_z: jnp.ndarray
     hp_z: jnp.ndarray
     notch_z: tuple
+    rs_tail: jnp.ndarray = jnp.zeros((0,), jnp.float32)
 
 
 def wbfm_init(cfg: WbfmConfig) -> WbfmState:
@@ -91,6 +92,7 @@ def wbfm_init(cfg: WbfmConfig) -> WbfmState:
         mpx_z=ops.sos_init(iir_ops.n_sections("low", 5)),
         hp_z=ops.sos_init(iir_ops.n_sections("high", 5)),
         notch_z=_notch_states(len(cfg.notch_frequencies)),
+        rs_tail=ops.resample_stream_init(cfg.sample_rate, cfg.audio_rate),
     )
 
 
@@ -100,7 +102,7 @@ def wbfm_demod(iq: jnp.ndarray, state: WbfmState, cfg: WbfmConfig):
     if cfg.enable_noise_blanker:
         iq = noise_ops.noise_blanker(iq, cfg.noise_blanker_threshold_db)
     fm, disc_prev = ops.quadrature_demod(iq, cfg.sample_rate, state.disc_prev)
-    audio = ops.resample_poly(fm, cfg.sample_rate, ar)
+    audio, rs_tail = ops.resample_poly_stream(fm, cfg.sample_rate, ar, state.rs_tail)
 
     deemph = state.deemph
     if cfg.enable_deemphasis:
@@ -116,7 +118,7 @@ def wbfm_demod(iq: jnp.ndarray, state: WbfmState, cfg: WbfmConfig):
         audio = noise_ops.spectral_noise_reduction(audio, cfg.noise_reduction_db)
     audio = ops.rms_normalize(audio, cfg.target_rms)
     audio = ops.soft_clip(audio)
-    return audio, WbfmState(disc_prev, deemph, mpx_z, hp_z, notch_z)
+    return audio, WbfmState(disc_prev, deemph, mpx_z, hp_z, notch_z, rs_tail)
 
 
 # ---------------------------------------------------------------------------
@@ -153,6 +155,7 @@ class NbfmState(NamedTuple):
     hp_z: jnp.ndarray
     lp_z: jnp.ndarray
     notch_z: tuple
+    rs_tail: jnp.ndarray = jnp.zeros((0,), jnp.float32)
 
 
 @lru_cache(maxsize=32)
@@ -181,6 +184,7 @@ def nbfm_init(cfg: NbfmConfig) -> NbfmState:
             hp_z=ops.fir_init(len(taps), jnp.float32),
             lp_z=jnp.zeros((0,), jnp.float32),
             notch_z=_notch_states(len(cfg.notch_frequencies)),
+            rs_tail=ops.resample_stream_init(cfg.sample_rate, cfg.audio_rate),
         )
     return NbfmState(
         disc_prev=ops.fm_discriminator_init(),
@@ -188,6 +192,7 @@ def nbfm_init(cfg: NbfmConfig) -> NbfmState:
         hp_z=ops.sos_init(iir_ops.n_sections("high", 5)),
         lp_z=ops.sos_init(iir_ops.n_sections("low", 5)),
         notch_z=_notch_states(len(cfg.notch_frequencies)),
+        rs_tail=ops.resample_stream_init(cfg.sample_rate, cfg.audio_rate),
     )
 
 
@@ -209,7 +214,7 @@ def nbfm_demod(iq: jnp.ndarray, state: NbfmState, cfg: NbfmConfig):
         max_deviation_hz=cfg.max_deviation_hz,
         atan_impl="fast" if cfg.fast_discriminator else "exact",
     )
-    audio = ops.resample_poly(fm, cfg.sample_rate, ar)
+    audio, rs_tail = ops.resample_poly_stream(fm, cfg.sample_rate, ar, state.rs_tail)
 
     deemph = state.deemph
     if cfg.enable_deemphasis:
@@ -235,7 +240,7 @@ def nbfm_demod(iq: jnp.ndarray, state: NbfmState, cfg: NbfmConfig):
         audio = noise_ops.spectral_noise_reduction(audio, cfg.noise_reduction_db)
     audio = ops.rms_normalize(audio, cfg.target_rms)
     audio = ops.soft_clip(audio)
-    return audio, NbfmState(disc_prev, deemph, hp_z, lp_z, notch_z)
+    return audio, NbfmState(disc_prev, deemph, hp_z, lp_z, notch_z, rs_tail)
 
 
 # ---------------------------------------------------------------------------
@@ -263,6 +268,7 @@ class AmState(NamedTuple):
     lp_z: jnp.ndarray
     agc: ops.AgcState
     notch_z: tuple
+    rs_tail: jnp.ndarray = jnp.zeros((0,), jnp.float32)
 
 
 def am_init(cfg: AmConfig) -> AmState:
@@ -271,6 +277,7 @@ def am_init(cfg: AmConfig) -> AmState:
         lp_z=ops.sos_init(iir_ops.n_sections("low", 5)),
         agc=ops.agc_init(),
         notch_z=_notch_states(len(cfg.notch_frequencies)),
+        rs_tail=ops.resample_stream_init(cfg.sample_rate, cfg.audio_rate),
     )
 
 
@@ -280,7 +287,7 @@ def am_demod(iq: jnp.ndarray, state: AmState, cfg: AmConfig):
     audio = ops.am_envelope(iq)
     if cfg.enable_noise_blanker:
         audio = noise_ops.noise_blanker(audio, cfg.noise_blanker_threshold_db)
-    audio = ops.resample_poly(audio, cfg.sample_rate, ar)
+    audio, rs_tail = ops.resample_poly_stream(audio, cfg.sample_rate, ar, state.rs_tail)
 
     hp_z = state.hp_z
     if cfg.enable_highpass and cfg.highpass_hz > 0:
@@ -294,7 +301,7 @@ def am_demod(iq: jnp.ndarray, state: AmState, cfg: AmConfig):
         audio, agc = ops.apply_agc(audio, ar, agc, target_db=cfg.agc_target_db)
     else:
         audio = ops.soft_clip(audio)
-    return audio, AmState(hp_z, lp_z, agc, notch_z)
+    return audio, AmState(hp_z, lp_z, agc, notch_z, rs_tail)
 
 
 # ---------------------------------------------------------------------------
@@ -323,6 +330,7 @@ class SsbState(NamedTuple):
     bp_z: jnp.ndarray
     agc: ops.AgcState
     notch_z: tuple
+    rs_tail: jnp.ndarray = jnp.zeros((0,), jnp.float32)
 
 
 def ssb_init(cfg: SsbConfig) -> SsbState:
@@ -331,6 +339,7 @@ def ssb_init(cfg: SsbConfig) -> SsbState:
         bp_z=ops.sos_init(iir_ops.n_sections("band", 4)),
         agc=ops.agc_init(),
         notch_z=_notch_states(len(cfg.notch_frequencies)),
+        rs_tail=ops.resample_stream_init(cfg.sample_rate, cfg.audio_rate),
     )
 
 
@@ -342,7 +351,7 @@ def ssb_demod(iq: jnp.ndarray, state: SsbState, cfg: SsbConfig):
     audio = ops.ssb_product(shifted)
     if cfg.enable_noise_blanker:
         audio = noise_ops.noise_blanker(audio, cfg.noise_blanker_threshold_db)
-    audio = ops.resample_poly(audio, cfg.sample_rate, ar)
+    audio, rs_tail = ops.resample_poly_stream(audio, cfg.sample_rate, ar, state.rs_tail)
 
     bp_z = state.bp_z
     if cfg.enable_bandpass:
@@ -353,7 +362,7 @@ def ssb_demod(iq: jnp.ndarray, state: SsbState, cfg: SsbConfig):
         audio, agc = ops.apply_agc(audio, ar, agc, target_db=cfg.agc_target_db)
     else:
         audio = ops.soft_clip(audio)
-    return audio, SsbState(nco_phase, bp_z, agc, notch_z)
+    return audio, SsbState(nco_phase, bp_z, agc, notch_z, rs_tail)
 
 
 # ---------------------------------------------------------------------------
@@ -385,6 +394,7 @@ class SamState(NamedTuple):
     lp_z: jnp.ndarray
     agc: ops.AgcState
     notch_z: tuple
+    rs_tail: jnp.ndarray = jnp.zeros((0,), jnp.float32)
 
 
 def sam_init(cfg: SamConfig) -> SamState:
@@ -394,6 +404,7 @@ def sam_init(cfg: SamConfig) -> SamState:
         lp_z=ops.sos_init(iir_ops.n_sections("low", 5)),
         agc=ops.agc_init(),
         notch_z=_notch_states(len(cfg.notch_frequencies)),
+        rs_tail=ops.resample_stream_init(cfg.sample_rate, cfg.audio_rate),
     )
 
 
@@ -417,7 +428,7 @@ def sam_demod(iq: jnp.ndarray, state: SamState, cfg: SamConfig):
     audio = audio.astype(jnp.float32)
     if cfg.enable_noise_blanker:
         audio = noise_ops.noise_blanker(audio, cfg.noise_blanker_threshold_db)
-    audio = ops.resample_poly(audio, cfg.sample_rate, ar)
+    audio, rs_tail = ops.resample_poly_stream(audio, cfg.sample_rate, ar, state.rs_tail)
 
     hp_z = state.hp_z
     if cfg.enable_highpass and cfg.highpass_hz > 0:
@@ -431,4 +442,4 @@ def sam_demod(iq: jnp.ndarray, state: SamState, cfg: SamConfig):
         audio, agc = ops.apply_agc(audio, ar, agc, target_db=cfg.agc_target_db)
     else:
         audio = ops.soft_clip(audio)
-    return audio, SamState(pll_state, hp_z, lp_z, agc, notch_z)
+    return audio, SamState(pll_state, hp_z, lp_z, agc, notch_z, rs_tail)

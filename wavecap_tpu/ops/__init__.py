@@ -7,6 +7,8 @@ from .fir import (
     fir_init,
     conv_valid,
     resample_poly,
+    resample_poly_stream,
+    resample_stream_init,
     design_lowpass_fir,
     design_decimation_fir,
 )

@@ -182,6 +182,65 @@ def _resample_plan(in_rate: int, out_rate: int):
     return up, down, taps
 
 
+def resample_stream_init(
+    in_rate: int, out_rate: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Carry state (input tail) for ``resample_poly_stream``."""
+    if int(in_rate) == int(out_rate):
+        return jnp.zeros((0,), dtype)
+    up, down, taps_np = _resample_plan(in_rate, out_rate)
+    if up == 1:
+        return jnp.zeros((len(taps_np) - 1,), dtype)
+    ph_len = -(-len(taps_np) // up)
+    return jnp.zeros((ph_len - 1,), dtype)
+
+
+def resample_poly_stream(
+    x: jnp.ndarray, in_rate: int, out_rate: int, tail: jnp.ndarray
+):
+    """Streaming polyphase resample: segmentation-invariant.
+
+    Causal variant of :func:`resample_poly` — output is the same filter
+    but delayed by the filter's group delay instead of centered, so that
+    concatenating per-block outputs equals the one-shot result exactly
+    (minus the fixed delay).  Block length must be divisible by ``down``.
+    Returns ``(y, new_tail)``.
+    """
+    if int(in_rate) == int(out_rate):
+        return x, tail
+    up, down, taps_np = _resample_plan(in_rate, out_rate)
+    n = x.shape[-1]
+    if n % down != 0:
+        # block length not commensurate with the decimation: fall back to
+        # the centered one-shot resample (the reference's per-chunk
+        # behavior, reference dsp/fm.py:184) — continuous-phase streaming
+        # needs down | block for static output shapes
+        return resample_poly(x, in_rate, out_rate), tail
+    xin = jnp.concatenate([tail.astype(x.dtype), x], axis=-1)
+    if up == 1:
+        taps = jnp.asarray(taps_np)
+        y = _conv_valid_direct(xin, taps, stride=down)[..., : n // down]
+        return y, xin[..., -(len(taps_np) - 1) :]
+
+    t = len(taps_np)
+    ph_len = -(-t // up)
+    phases = np.zeros((up, ph_len), dtype=np.float32)
+    for p_ in range(up):
+        sub = taps_np[p_::up]
+        phases[p_, : len(sub)] = sub
+    L = ph_len - 1
+    n_out = n * up // down
+    m = np.arange(n_out)
+    p_idx = (m * down) % up
+    q_idx = (m * down - p_idx) // up + L
+    k = np.arange(ph_len)
+    gather_idx = jnp.asarray(q_idx[:, None] - k[None, :])
+    wins = xin[..., gather_idx]  # (..., n_out, ph_len)
+    coeffs = jnp.asarray(phases)[jnp.asarray(p_idx)]  # (n_out, ph_len)
+    y = jnp.einsum("...mk,mk->...m", wins, coeffs)
+    return y, xin[..., -L:]
+
+
 def resample_poly(x: jnp.ndarray, in_rate: int, out_rate: int) -> jnp.ndarray:
     """One-shot polyphase resample of a whole block (scipy-compatible).
 

@@ -76,3 +76,52 @@ class TestNamers:
     def test_device_nickname(self):
         assert namers.device_nickname("Generic RTL2832U OEM", "00001234") == "RTL 1234"
         assert namers.device_nickname("Fake SDR 0") == "Fake"
+
+
+class TestP25Attachment:
+    def test_conventional_p25_channel_decodes_tsbk(self):
+        """A p25-mode channel + 'p25' attachment surfaces TSBK messages
+        from the symbol fan-out (conventional, non-trunked decode)."""
+        import time as _t
+
+        import numpy as np
+
+        from wavecap_tpu.capture.attachments import P25Attachment
+        from wavecap_tpu.decoders import p25_frames as pf
+        from wavecap_tpu.decoders import p25_tsbk as tsbk
+        from wavecap_tpu.utils.broadcast import FanOut
+
+        class FakeChannel:
+            id = "chx"
+
+            def __init__(self):
+                self.symbols = FanOut(maxsize=16)
+                self.audio = FanOut(maxsize=16)
+
+        ch = FakeChannel()
+        att = P25Attachment(ch)
+        try:
+            rfss = pf.encode_tsbk_block(
+                tsbk.TSBKOpcode.RFSS_STS_BCAST,
+                tsbk.make_rfss_status_data(
+                    system_id=0x111, rfss_id=1, site_id=4, band=1, channel_number=2
+                ),
+            )
+            last = pf.encode_tsbk_block(
+                tsbk.TSBKOpcode.IDEN_UP,
+                tsbk.make_iden_up_data(identifier=1, base_freq_mhz=851.0),
+                last=True,
+            )
+            frame = pf.build_tsdu_frame(0x293, [rfss, rfss, last])
+            soft = pf.DIBIT_SYMBOLS[frame].astype(np.float32)
+            ch.symbols.publish({"soft": soft, "dibits": frame, "rssi": -40.0})
+            deadline = _t.time() + 10
+            while _t.time() < deadline and not att.messages:
+                _t.sleep(0.1)
+            assert att.messages, "no TSBK decoded by attachment"
+            msg = att.messages[0]
+            assert msg["type"] == "RFSS_STATUS" and msg["site_id"] == 4
+            st = att.status()
+            assert st["syncCount"] >= 1 and st["frames"].get("TSDU", 0) >= 1
+        finally:
+            att.stop()

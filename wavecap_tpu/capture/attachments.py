@@ -43,7 +43,10 @@ class ChannelAttachment:
                 time.sleep(0.05)
                 continue
             try:
-                for msg in self.process(np.asarray(chunk, np.float32)):
+                payload = (
+                    chunk if isinstance(chunk, dict) else np.asarray(chunk, np.float32)
+                )
+                for msg in self.process(payload):
                     self.messages.append(msg)
             except Exception:  # pragma: no cover
                 logger.exception("%s attachment error", self.kind)
@@ -145,8 +148,72 @@ class RdsAttachment(ChannelAttachment):
         return s
 
 
+class P25Attachment(ChannelAttachment):
+    """Conventional (non-trunked) P25 on a ``p25``-mode channel: consumes
+    the channel's soft-symbol fan-out, frames and decodes NID/TSBK/LC,
+    and — when a vocoder library is present — pushes decoded voice PCM to
+    the channel's audio fan-out so ``/stream/channels/{id}`` plays it
+    (reference decodes conventional P25 inside the channel path,
+    ``decoders/p25.py:1763``)."""
+
+    kind = "p25"
+
+    def __init__(self, channel, audio_rate: int = 48_000):
+        from wavecap_tpu.decoders.framer import P25Framer
+        from wavecap_tpu.decoders.voice import VoiceDecoder
+
+        self.framer = P25Framer()
+        self.voice = VoiceDecoder()
+        self.frame_counts: dict = {}
+        super().__init__(channel, audio_rate)
+        # symbols, not audio
+        self._sub.close()
+        self._sub = channel.symbols.subscribe(maxsize=64)
+
+    def process(self, payload) -> list:
+        from wavecap_tpu.decoders import p25_frames as pf
+        from wavecap_tpu.decoders import p25_tsbk as tsbk_mod
+
+        if isinstance(payload, dict):
+            soft = np.asarray(payload.get("soft"), np.float32)
+        else:
+            soft = np.asarray(payload, np.float32)
+        out = []
+        for frame in self.framer.process(soft):
+            name = frame.duid.name
+            self.frame_counts[name] = self.frame_counts.get(name, 0) + 1
+            if frame.duid == pf.DUID.TSDU:
+                payload_d = pf.remove_status_dibits(frame.dibits[57:], 57)
+                payload_s = pf.remove_status_dibits(frame.soft[57:], 57)
+                for b in pf.decode_tsbk_payload(payload_d, payload_s):
+                    if not b.crc_valid:
+                        continue
+                    parsed = tsbk_mod.parse_tsbk(b.opcode, b.mfid, b.data)
+                    out.append({"time": time.time(), "nac": frame.nac, **parsed})
+            elif frame.duid in (pf.DUID.LDU1, pf.DUID.LDU2):
+                ldu = pf.decode_ldu(frame.dibits)
+                if ldu is None:
+                    continue
+                pcm = self.voice.decode_codewords(ldu.imbe_codewords)
+                if pcm is not None and len(pcm):
+                    self.channel.audio.publish(pcm)
+        return out
+
+    def status(self) -> dict:
+        s = super().status()
+        s.update(
+            {
+                "syncCount": self.framer.sync_count,
+                "frames": dict(self.frame_counts),
+                "vocoder": self.voice.lib is not None,
+            }
+        )
+        return s
+
+
 ATTACHMENT_KINDS = {
     "pocsag": PocsagAttachment,
     "flex": FlexAttachment,
     "rds": RdsAttachment,
+    "p25": P25Attachment,
 }

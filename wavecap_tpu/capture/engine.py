@@ -479,33 +479,64 @@ class Capture:
         with self._lock:
             self._dev_state = state
 
-        # Fetch & fan out (host side)
+        # Fetch & fan out (host side): ONE device->host transfer of the
+        # packed buffer, then reslice using local shape metadata
+        import jax as _jax
+
+        unpacked = dict(out)
+        packed_dev = unpacked.pop("_packed", None)
+        if packed_dev is not None:
+            leaves, treedef = _jax.tree_util.tree_flatten(unpacked)
+            flat = np.asarray(packed_dev)
+            rebuilt = []
+            off = 0
+            for leaf in leaves:
+                n = int(np.prod(leaf.shape)) if leaf.shape else 1
+                arr = flat[off : off + n].reshape(leaf.shape)
+                if leaf.dtype == np.uint8 or str(leaf.dtype) == "uint8":
+                    arr = arr.astype(np.uint8)
+                rebuilt.append(arr)
+                off += n
+            out = _jax.tree_util.tree_unflatten(treedef, rebuilt)
         spectrum = np.asarray(out["spectrum"])
         self.spectrum_subs.publish(spectrum)
         if self.iq_subs.active:
             self.iq_subs.publish(block)
+        # fetch each group's arrays ONCE (device->host transfers are the
+        # expensive part on remote TPU runtimes), then slice on the host
+        fetched: dict = {}
+
+        def group_np(key, grp):
+            if key not in fetched:
+                fetched[key] = {k: np.asarray(v) for k, v in grp.items()}
+            return fetched[key]
+
         for ch in channels:
             if ch.mode_group == "p25":
                 grp = out.get("p25")
                 if grp is None:
                     continue
-                ch.record_rssi(float(grp["rssi"][ch.slot]), time.time())
+                g = group_np("p25", grp)
+                ch.record_rssi(float(g["rssi"][ch.slot]), time.time())
                 ch.symbols.publish(
                     {
-                        "soft": np.asarray(grp["soft"][ch.slot]),
-                        "dibits": np.asarray(grp["dibits"][ch.slot]),
+                        "soft": g["soft"][ch.slot],
+                        "dibits": g["dibits"][ch.slot],
                         "rssi": ch.rssi_db,
                     }
                 )
                 continue
             if ch.mode_group == "wide":
                 grp = out.get("wide")
+                key = "wide"
             else:
                 grp = out["banks"].get(ch.mode_group)
+                key = f"bank:{ch.mode_group}"
             if grp is None:
                 continue
-            audio = np.asarray(grp["audio"][ch.slot])
-            ch.record_rssi(float(grp["rssi"][ch.slot]), time.time())
+            g = group_np(key, grp)
+            audio = g["audio"][ch.slot]
+            ch.record_rssi(float(g["rssi"][ch.slot]), time.time())
             ch.audio.publish(audio)
 
         self.blocks_processed += 1

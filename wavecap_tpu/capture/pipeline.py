@@ -274,6 +274,14 @@ def capture_step(
         po, new_p25 = _p25_step(chans, state.p25, ctl.p25, cfg)
         out["p25"] = po
 
+    # Single-buffer output packing: remote TPU runtimes pay a full RPC
+    # roundtrip PER fetched array, so the host fetches out["_packed"] once
+    # and reslices it from the (local) shape/dtype metadata of the other
+    # leaves.  f32 covers every output dtype here (dibits are uint8).
+    out["_packed"] = jnp.concatenate(
+        [leaf.astype(jnp.float32).ravel() for leaf in jax.tree_util.tree_leaves(out)]
+    )
+
     return out, CaptureState(
         chan_state=new_chan_state, banks=new_banks, wide=new_wide, p25=new_p25
     )

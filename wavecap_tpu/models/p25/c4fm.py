@@ -90,6 +90,12 @@ class C4fmConfig:
     rrc_alpha: float = 0.2
     loop_bandwidth: float = 0.005  # fraction of symbol rate
     max_clock_ppm: float = 2000.0
+    # "scan": per-symbol Gardner loop (sequential lax.scan);
+    # "block": vectorized per-block phase search + block-rate PI tracking —
+    # ~2 orders of magnitude faster on TPU (no sequential gathers), at
+    # equal decode quality for continuous transmissions (clock drift within
+    # one 100-200 ms block is < 0.5 sample at max_clock_ppm)
+    timing_impl: str = "block"
 
     @property
     def sps(self) -> float:
@@ -156,6 +162,12 @@ def c4fm_demodulate(iq: jnp.ndarray, state: C4fmState, cfg: C4fmConfig):
     buf = jnp.concatenate([state.interp_tail, filt])
     n_sym = n_symbols_per_block(cfg, iq.shape[-1])
 
+    if cfg.timing_impl == "block":
+        return _demod_block_timing(
+            buf, filt, n_sym, state, cfg,
+            lpf_tail=lpf_tail, disc_prev=disc_prev, rrc_tail=rrc_tail,
+        )
+
     alpha, beta = _loop_gains(cfg)
     fmin = sps * (1 - cfg.max_clock_ppm * 1e-6)
     fmax = sps * (1 + cfg.max_clock_ppm * 1e-6)
@@ -220,6 +232,96 @@ def c4fm_demodulate(iq: jnp.ndarray, state: C4fmState, cfg: C4fmConfig):
         gain=gain,
         dc=dc,
         prev_soft=prev,
+    )
+    return soft, dibits, new_state
+
+
+def _demod_block_timing(buf, filt, n_sym, state, cfg, *, lpf_tail, disc_prev, rrc_tail):
+    """Vectorized timing recovery: search candidate fractional phases over
+    one symbol period around the carried position, pick the one maximizing
+    mean |symbol| (eye opening of the 4-level waveform), then gather all
+    symbol centers with one interpolated gather.  Replaces the per-symbol
+    Gardner scan for TPU throughput (reference's JIT symbol loop,
+    reference ``dsp/p25/c4fm.py:650``, is the same work sequentially)."""
+    sps = cfg.sps
+    fmin = sps * (1 - cfg.max_clock_ppm * 1e-6)
+    fmax = sps * (1 + cfg.max_clock_ppm * 1e-6)
+    freq = jnp.clip(state.freq, fmin, fmax)
+
+    n_cand = 25  # ~0.4-sample resolution over one symbol period
+    deltas = jnp.linspace(-sps / 2.0, sps / 2.0, n_cand)
+
+    m = jnp.arange(n_sym, dtype=jnp.float32)
+    base = state.pos + m * freq  # (n_sym,)
+    pos_cand = base[None, :] + deltas[:, None]  # (n_cand, n_sym)
+    # clamp into the buffer (pos drift beyond the edge only affects the
+    # first/last symbol of losing candidates)
+    pos_cand = jnp.clip(pos_cand, 0.0, buf.shape[-1] - 2.0)
+    i0 = jnp.floor(pos_cand).astype(jnp.int32)
+    frac = pos_cand - i0.astype(jnp.float32)
+    y = buf[i0] * (1.0 - frac) + buf[i0 + 1] * frac  # (n_cand, n_sym)
+
+    dc0 = state.dc * 0.9 + jnp.mean(filt) * 0.1
+    metric = jnp.mean(jnp.abs(y - dc0), axis=-1)
+    best = jnp.argmax(metric)
+    # parabolic refinement of the metric peak: the coarse grid is ~0.4
+    # samples; the fit recovers sub-0.1-sample phase
+    bm1 = jnp.clip(best - 1, 0, n_cand - 1)
+    bp1 = jnp.clip(best + 1, 0, n_cand - 1)
+    y0, y1, y2 = metric[bm1], metric[best], metric[bp1]
+    denom = y0 - 2.0 * y1 + y2
+    frac_peak = jnp.where(
+        jnp.abs(denom) > 1e-9, 0.5 * (y0 - y2) / denom, 0.0
+    )
+    frac_peak = jnp.clip(frac_peak, -1.0, 1.0)
+    step_sz = deltas[1] - deltas[0]
+    # gate on peak significance: dead air / constant input gives a flat
+    # metric whose argmax is meaningless — freeze timing instead of
+    # railing the loop toward -sps/2 every idle block
+    significant = metric[best] > 1.05 * jnp.mean(metric)
+    delta_best = jnp.where(
+        significant, deltas[best] + frac_peak * step_sz, 0.0
+    )
+    # re-gather at the refined phase
+    pos_f = jnp.clip(base + delta_best, 0.0, buf.shape[-1] - 2.0)
+    i0f = jnp.floor(pos_f).astype(jnp.int32)
+    ff = pos_f - i0f.astype(jnp.float32)
+    raw = buf[i0f] * (1.0 - ff) + buf[i0f + 1] * ff - dc0
+
+    # block-rate PI: the chosen offset is this block's phase error
+    alpha, beta = _loop_gains(cfg)
+    integ = jnp.clip(
+        state.integrator + beta * n_sym * 0.5 * (delta_best / sps),
+        fmin - sps,
+        fmax - sps,
+    )
+    freq_next = jnp.clip(sps + integ, fmin, fmax)
+
+    block_scale = 2.0 / jnp.maximum(jnp.mean(jnp.abs(raw)), 0.05)
+    gain = jnp.where(
+        state.gain < 0.01, block_scale, 0.95 * state.gain + 0.05 * block_scale
+    )
+    gain = jnp.clip(gain, 0.05, 40.0)
+    soft = raw * gain
+    dibits = soft_to_dibits(soft)
+
+    new_tail = buf[-INTERP_TAIL:]
+    pos_next = (
+        state.pos + delta_best + n_sym * freq_next - (buf.shape[-1] - INTERP_TAIL)
+    )
+    pos_next = jnp.where(pos_next < 4.0, pos_next + sps, pos_next)
+    pos_next = jnp.where(pos_next > INTERP_TAIL + sps, pos_next - sps, pos_next)
+    new_state = C4fmState(
+        lpf_tail=lpf_tail,
+        disc_prev=disc_prev,
+        rrc_tail=rrc_tail,
+        interp_tail=new_tail,
+        pos=pos_next,
+        freq=freq_next,
+        integrator=integ,
+        gain=gain,
+        dc=dc0,
+        prev_soft=raw[-1],
     )
     return soft, dibits, new_state
 

@@ -61,6 +61,7 @@ class CqpskConfig:
     rrc_alpha: float = 0.2  # reference uses 1.0 for Phase 2
     loop_bandwidth: float = 0.005
     max_clock_ppm: float = 2000.0
+    timing_impl: str = "block"  # "block" (vectorized, TPU-fast) | "scan"
 
     @property
     def sps(self) -> float:
@@ -138,8 +139,49 @@ def cqpsk_demodulate(iq: jnp.ndarray, state: CqpskState, cfg: CqpskConfig):
         pos_next = pos + freq + alpha * err
         return (pos_next, freq, integ, y), y
 
-    carry0 = (state.pos, freq0, state.integrator, state.prev_sym)
-    (pos, freq, integ, prev), syms = jax.lax.scan(step, carry0, None, length=n_sym)
+    if cfg.timing_impl == "block":
+        # vectorized per-block phase search (see c4fm._demod_block_timing):
+        # |y| dips between pi/4-DQPSK symbol instants (RRC transitions), so
+        # mean |y| over candidate phases peaks at the symbol centers
+        n_cand = 25
+        deltas = jnp.linspace(-sps / 2.0, sps / 2.0, n_cand)
+        m = jnp.arange(n_sym, dtype=jnp.float32)
+        base = state.pos + m * freq0
+        pos_cand = jnp.clip(
+            base[None, :] + deltas[:, None], 0.0, buf.shape[-1] - 2.0
+        )
+        i0 = jnp.floor(pos_cand).astype(jnp.int32)
+        frac = (pos_cand - i0.astype(jnp.float32)).astype(jnp.float32)
+        yc = buf[i0] * (1.0 - frac) + buf[i0 + 1] * frac
+        metric = jnp.mean(jnp.abs(yc), axis=-1)
+        best = jnp.argmax(metric)
+        bm1 = jnp.clip(best - 1, 0, n_cand - 1)
+        bp1 = jnp.clip(best + 1, 0, n_cand - 1)
+        y0m, y1m, y2m = metric[bm1], metric[best], metric[bp1]
+        denom2 = y0m - 2.0 * y1m + y2m
+        frac_peak = jnp.where(jnp.abs(denom2) > 1e-9, 0.5 * (y0m - y2m) / denom2, 0.0)
+        frac_peak = jnp.clip(frac_peak, -1.0, 1.0)
+        significant = metric[best] > 1.02 * jnp.mean(metric)
+        delta_best = jnp.where(
+            significant, deltas[best] + frac_peak * (deltas[1] - deltas[0]), 0.0
+        )
+        pos_f = jnp.clip(base + delta_best, 0.0, buf.shape[-1] - 2.0)
+        i0f = jnp.floor(pos_f).astype(jnp.int32)
+        ff = (pos_f - i0f.astype(jnp.float32)).astype(jnp.float32)
+        syms = buf[i0f] * (1.0 - ff) + buf[i0f + 1] * ff
+        integ = jnp.clip(
+            state.integrator + beta * n_sym * 0.5 * (delta_best / sps),
+            fmin - sps,
+            fmax - sps,
+        )
+        freq = jnp.clip(sps + integ, fmin, fmax)
+        pos = state.pos + delta_best + n_sym * freq
+        prev = syms[-1]
+    else:
+        carry0 = (state.pos, freq0, state.integrator, state.prev_sym)
+        (pos, freq, integ, prev), syms = jax.lax.scan(
+            step, carry0, None, length=n_sym
+        )
 
     # differential phase detection (includes the block-boundary carry)
     prev_syms = jnp.concatenate([state.prev_sym[None], syms[:-1]])

@@ -120,3 +120,82 @@ class TestPhase2Framing:
         d = np.array([0, 1, 2, 3], np.uint8)
         r4 = p2.rotate_dibits(d, 4)
         np.testing.assert_array_equal(r4, d)
+
+
+@pytest.mark.slow
+class TestCqpskCaptureIntegration:
+    def test_lsm_control_channel_through_capture(self):
+        """A cqpsk-modulation capture decodes an LSM control channel
+        end-to-end: device IQ -> channelizer -> CQPSK bank -> framer ->
+        TSBKs (the p25_modulation='cqpsk' switch, reference P25Modulation
+        select at ``decoders/p25.py:1755``)."""
+        import time
+
+        from scipy import signal as sps
+
+        from wavecap_tpu.capture import CaptureConfig, CaptureManager, ChannelSpec
+        from wavecap_tpu.devices import FakeDriver, FakeStation
+        from wavecap_tpu.decoders import p25_frames as pf
+        from wavecap_tpu.decoders import p25_tsbk as tsbk
+        from wavecap_tpu.decoders.framer import P25Framer
+        from wavecap_tpu.models.p25.cqpsk import modulate_cqpsk
+
+        rate, center, freq = 960_000, 851_500_000.0, 851_200_000.0
+        blocks = [
+            pf.encode_tsbk_block(
+                tsbk.TSBKOpcode.RFSS_STS_BCAST,
+                tsbk.make_rfss_status_data(
+                    system_id=0x2AA, rfss_id=1, site_id=6, band=1, channel_number=9
+                ),
+                last=True,
+            )
+        ] * 3
+        frame = pf.build_tsdu_frame(0x293, blocks[:1] * 3)
+        stream = np.concatenate([frame] * 12)
+        iq48 = modulate_cqpsk(stream, 48_000.0, 4800.0)
+        from math import gcd
+
+        g = gcd(rate, 48_000)
+        iq = sps.resample_poly(iq48, rate // g, 48_000 // g).astype(np.complex64)
+        t = np.arange(len(iq)) / rate
+        iq = (iq * np.exp(2j * np.pi * (freq - center) * t)).astype(np.complex64)
+
+        st = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        st.iq_loop = iq
+        mgr = CaptureManager(FakeDriver(stations=[st]))
+        cap = mgr.create_capture(
+            config=CaptureConfig(
+                center_hz=center,
+                sample_rate=rate,
+                block_seconds=0.1,
+                narrow_capacity=0,
+                wide_capacity=0,
+                p25_capacity=1,
+                p25_modulation="cqpsk",
+            )
+        )
+        ch = cap.create_channel(ChannelSpec(id="cc", mode="p25", frequency_hz=freq))
+        sub = ch.symbols.subscribe()
+        cap.start()
+        framer = P25Framer()
+        ok = 0
+        deadline = time.time() + 180
+        try:
+            while time.time() < deadline and ok == 0:
+                batch = sub.get_nowait()
+                if batch is None:
+                    time.sleep(0.1)
+                    continue
+                for f in framer.process(batch["soft"]):
+                    if f.duid != pf.DUID.TSDU:
+                        continue
+                    pl = pf.remove_status_dibits(f.dibits[57:], 57)
+                    for b in pf.decode_tsbk_payload(pl):
+                        if b.crc_valid:
+                            p = tsbk.parse_tsbk(b.opcode, b.mfid, b.data)
+                            if p.get("site_id") == 6:
+                                ok += 1
+        finally:
+            cap.stop()
+        assert framer.sync_count >= 1
+        assert ok >= 1, (framer.sync_count, framer.frame_count)

@@ -100,9 +100,27 @@ def cmd_demod(args) -> int:
         iq_j = jnp.asarray(iq)
     spec = models.get_demod(args.mode)
     cfg = models.make_config(args.mode, rate, audio_rate=args.audio_rate)
+    # fixed-size blocks through ONE jitted program: the compile is paid
+    # once (and cached across runs/file lengths), and streaming state
+    # carries across blocks exactly like the live capture path
+    import jax
+    from math import gcd
+
+    unit = (int(rate) // gcd(int(rate), int(args.audio_rate))) * 64
+    block = max(unit, (int(rate) // 5 // unit) * unit)  # ~0.2 s
+    step = jax.jit(spec.demod, static_argnums=2)
+    state = spec.init(cfg)
     t0 = time.perf_counter()
-    audio, _ = spec.demod(iq_j, spec.init(cfg), cfg)
-    audio = np.asarray(audio)
+    parts = []
+    n_blocks = len(iq_j) // block
+    for i in range(n_blocks):
+        y, state = step(iq_j[i * block : (i + 1) * block], state, cfg)
+        parts.append(np.asarray(y))
+    rem = len(iq_j) - n_blocks * block
+    if rem >= unit:
+        y, state = spec.demod(iq_j[n_blocks * block :][: (rem // unit) * unit], state, cfg)
+        parts.append(np.asarray(y))
+    audio = np.concatenate(parts) if parts else np.zeros(0, np.float32)
     dt = time.perf_counter() - t0
     write_audio_wav(args.output, audio, args.audio_rate)
     print(

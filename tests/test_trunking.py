@@ -415,3 +415,31 @@ class TestNetworkConfig:
         sys_._handle_tsbk({**grant, "nac": 0x293}, None)
         assert 77 in sys_.active_calls
         assert sys_.active_calls[77].tdma_slot == 1
+
+
+class TestPhase2Voice:
+    def test_recorder_collects_timeslot_bursts(self, tmp_path):
+        """A phase2-protocol recorder extracts its call's TDMA timeslot
+        bursts from superframes and persists them as .ambe."""
+        from wavecap_tpu.decoders.p25_phase2 import build_test_fragment
+        from wavecap_tpu.trunking.recorder import CallInfo, VoiceRecorder
+
+        rng = np.random.default_rng(2)
+        rec = VoiceRecorder(0, "voice0", protocol="p25_phase2")
+        call = CallInfo(tgid=9, source_id=1, frequency_hz=851e6, start_time=0.0,
+                        tdma_slot=1)
+        rec.assign(call)
+        frag = build_test_fragment()
+        from wavecap_tpu.decoders import p25_frames as pf
+
+        soft = pf.DIBIT_SYMBOLS[frag].astype(np.float32)
+        stream = np.concatenate(
+            [rng.integers(0, 4, 50).astype(np.uint8), frag, frag]
+        )
+        soft = pf.DIBIT_SYMBOLS[stream].astype(np.float32)
+        rec.process_symbols(soft, now=1.0)
+        assert call.imbe_frames >= 2  # two slot-1 bursts per superframe
+        out = rec.finalize(tmp_path, min_duration_s=0.0, now=2.0)
+        assert out is not None
+        ambe = list(tmp_path.glob("*.ambe"))
+        assert ambe and ambe[0].stat().st_size >= 2 * 180

@@ -52,12 +52,15 @@ class CallInfo:
 class VoiceRecorder:
     """One recorder slot.  States: idle -> recording -> idle."""
 
-    def __init__(self, recorder_id: int, channel_id: str):
+    def __init__(self, recorder_id: int, channel_id: str, protocol: str = "p25_phase1"):
         self.id = recorder_id
         self.channel_id = channel_id  # p25 channel in the trunking capture
+        self.protocol = protocol
         self.state = "idle"
         self.call: CallInfo | None = None
         self.framer = P25Framer()
+        self._p2 = None  # lazy Phase 2 superframe detector
+        self._ambe_bursts: list[np.ndarray] = []
         self.decoder = VoiceDecoder()
         self.audio = FanOut(maxsize=32)  # live PCM subscribers
         self._imbe: list[np.ndarray] = []
@@ -73,14 +76,20 @@ class VoiceRecorder:
         self.call = call
         self.state = "recording"
         self.framer.reset()
+        if self._p2 is not None:
+            self._p2.reset()
         self._imbe = []
         self._pcm = []
+        self._ambe_bursts = []
         self.last_activity = call.start_time
 
     def process_symbols(self, soft: np.ndarray, now: float | None = None) -> None:
         if not self.recording:
             return
         now = time.time() if now is None else now
+        if self.protocol == "p25_phase2":
+            self._process_phase2(soft, now)
+            return
         for frame in self.framer.process(soft):
             if frame.duid in (pf.DUID.LDU1, pf.DUID.LDU2):
                 ldu = pf.decode_ldu(frame.dibits)
@@ -100,6 +109,23 @@ class VoiceRecorder:
                 self._handle_pdu(frame)
             elif frame.duid in (pf.DUID.TDU, pf.DUID.TDULC):
                 self.last_activity = 0.0  # terminator: end promptly
+
+    def _process_phase2(self, soft: np.ndarray, now: float) -> None:
+        """Phase 2 TDMA voice: superframe fragments -> this call's timeslot
+        bursts, persisted as raw AMBE dibits (synthesis needs an AMBE+2
+        vocoder, reference selects VocoderType.AMBE2 at system.py:437)."""
+        from wavecap_tpu.decoders.p25_phase2 import P25P2SuperFrameDetector
+
+        if self._p2 is None:
+            self._p2 = P25P2SuperFrameDetector()
+        slot = self.call.tdma_slot if self.call else 0
+        for frag in self._p2.process(soft):
+            self.last_activity = now
+            for ts, burst in frag.bursts():
+                if ts == slot:
+                    self._ambe_bursts.append(np.asarray(burst, np.uint8))
+                    if self.call:
+                        self.call.imbe_frames += 1  # burst count for phase2
 
     def _handle_pdu(self, frame) -> None:
         """LRRP GPS reports ride in PDU data frames on the voice channel
@@ -157,7 +183,7 @@ class VoiceRecorder:
         call.audio_seconds = sum(len(p) for p in self._pcm) / 8000.0
         duration = call.end_time - call.start_time
         if recording_dir is not None and duration >= min_duration_s and (
-            self._imbe or self._pcm
+            self._imbe or self._pcm or self._ambe_bursts
         ):
             recording_dir.mkdir(parents=True, exist_ok=True)
             stamp = time.strftime("%Y%m%d_%H%M%S", time.localtime(call.start_time))
@@ -167,6 +193,11 @@ class VoiceRecorder:
             if self._imbe:
                 packed = np.concatenate([np.packbits(f) for f in self._imbe])
                 (Path(str(base) + ".imbe")).write_bytes(packed.tobytes())
+            if self._ambe_bursts:
+                # raw Phase 2 timeslot bursts (dibits) for offline AMBE decode
+                (Path(str(base) + ".ambe")).write_bytes(
+                    np.concatenate(self._ambe_bursts).tobytes()
+                )
             meta = {
                 "tgid": call.tgid,
                 "talkgroup": call.talkgroup_name,
@@ -176,6 +207,7 @@ class VoiceRecorder:
                 "endTime": call.end_time,
                 "imbeFrames": call.imbe_frames,
                 "tdmaSlot": call.tdma_slot,
+                "protocol": self.protocol,
                 "audioSeconds": call.audio_seconds,
                 "emergency": call.emergency,
                 "encrypted": call.encrypted,
@@ -190,8 +222,10 @@ class VoiceRecorder:
 class RecorderPool:
     """Fixed pool of recorders mapped to p25 slots (reference :354)."""
 
-    def __init__(self, channel_ids: list[str]):
-        self.recorders = [VoiceRecorder(i, cid) for i, cid in enumerate(channel_ids)]
+    def __init__(self, channel_ids: list[str], protocol: str = "p25_phase1"):
+        self.recorders = [
+            VoiceRecorder(i, cid, protocol) for i, cid in enumerate(channel_ids)
+        ]
 
     def available(self) -> VoiceRecorder | None:
         for r in self.recorders:

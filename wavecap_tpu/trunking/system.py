@@ -170,7 +170,7 @@ class TrunkingSystem:
                     )
                 )
                 voice_ids.append(vid)
-            self.pool = RecorderPool(voice_ids)
+            self.pool = RecorderPool(voice_ids, protocol=cfg.protocol.value)
             for rec in self.pool.recorders:
                 rec.on_location = self.update_radio_location
             self.monitor = ControlChannelMonitor(

@@ -942,6 +942,24 @@ class AppServer:
                     raise HttpError(401)
 
             self.http.middleware.append(auth)
+        limit = self.config.server.rate_limit_per_min
+        if limit > 0:
+            # per-IP sliding-minute limiter (reference slowapi 200/min,
+            # reference app.py:366); WS upgrades bypass middleware
+            buckets: dict[str, list] = {}
+
+            async def rate_limit(req: Request):
+                now = time.time()
+                q = buckets.setdefault(req.remote, [])
+                while q and now - q[0] > 60.0:
+                    q.pop(0)
+                if len(q) >= limit:
+                    raise HttpError(429, "rate limit exceeded")
+                q.append(now)
+                if len(buckets) > 10_000:  # bound memory under IP churn
+                    buckets.clear()
+
+            self.http.middleware.append(rate_limit)
 
     async def start(self) -> None:
         self.state.apply_config()

@@ -50,6 +50,7 @@ class Request:
     headers: dict
     body: bytes
     params: dict = field(default_factory=dict)
+    remote: str = ""  # client IP
 
     def json(self) -> Any:
         if not self.body:
@@ -261,11 +262,14 @@ class HttpServer:
     async def _handle_conn(
         self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
     ) -> None:
+        peer = writer.get_extra_info("peername")
+        remote = peer[0] if peer else ""
         try:
             while True:
                 req = await self._read_request(reader)
                 if req is None:
                     break
+                req.remote = remote
                 if req.headers.get("upgrade", "").lower() == "websocket":
                     await self._handle_ws(req, reader, writer)
                     return

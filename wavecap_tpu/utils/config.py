@@ -24,6 +24,7 @@ CONFIG_LOCAL_BASENAME = "wavecap.local.yaml"
 
 @dataclass
 class ServerConfig:
+    rate_limit_per_min: int = 200  # 0 disables (reference slowapi 200/min)
     host: str = "0.0.0.0"
     port: int = 8087
     api_key: str | None = None

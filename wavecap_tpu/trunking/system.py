@@ -144,7 +144,11 @@ class TrunkingSystem:
             cap_cfg = CaptureConfig(
                 center_hz=cfg.effective_center_hz(),
                 sample_rate=cfg.sample_rate,
-                block_seconds=0.1,  # shorter blocks: faster grant reaction
+                # 0.2 s blocks: remote-TPU per-dispatch overhead is fixed
+                # (~150 ms incl. the packed fetch), so 0.1 s blocks fall
+                # below realtime while 0.2 s runs at 1.3x; grant reaction
+                # stays well under the reference's ~0.5 s
+                block_seconds=0.2,
                 narrow_capacity=0,
                 wide_capacity=0,
                 p25_capacity=1 + cfg.max_voice_channels,

@@ -145,6 +145,15 @@ class Capture:
         m = ch.channel_count
         decim = max(1, int(cfg.sample_rate) // pl.WIDE_RATE)
         unit = int(np.lcm(m, decim))
+        if cfg.p25_capacity > 0:
+            # whole symbols per block: device samples n map to
+            # n*symbol_rate/fs symbols at the channelized rate — keep that
+            # integral or the demod slips a symbol every few blocks
+            # (channel rates like 50.526 kHz are not symbol-commensurate)
+            from math import gcd
+
+            for sym_rate in (4800, 6000):  # C4FM / Phase 2 H-DQPSK
+                unit = int(np.lcm(unit, cfg.sample_rate // gcd(int(cfg.sample_rate), sym_rate)))
         n = int(round(cfg.sample_rate * cfg.block_seconds))
         self.block_size = max(unit, (n // unit) * unit)
         self._channelizer = ch

@@ -174,10 +174,13 @@ def wide_init(cfg: WideSlotConfig) -> WideState:
 
 
 def p25_cfg_for(cfg: CapturePipelineConfig):
+    import os
+
     rate = int(cfg.channelizer().channel_rate)
+    timing = os.environ.get("WAVECAP_P25_TIMING", "block")
     if cfg.p25_modulation == "cqpsk":
-        return CqpskConfig(sample_rate=rate)
-    return C4fmConfig(sample_rate=rate)
+        return CqpskConfig(sample_rate=rate, timing_impl=timing)
+    return C4fmConfig(sample_rate=rate, timing_impl=timing)
 
 
 def _p25_fns(cfg: CapturePipelineConfig):

@@ -237,65 +237,82 @@ def c4fm_demodulate(iq: jnp.ndarray, state: C4fmState, cfg: C4fmConfig):
 
 
 def _demod_block_timing(buf, filt, n_sym, state, cfg, *, lpf_tail, disc_prev, rrc_tail):
-    """Vectorized timing recovery: search candidate fractional phases over
-    one symbol period around the carried position, pick the one maximizing
-    mean |symbol| (eye opening of the 4-level waveform), then gather all
-    symbol centers with one interpolated gather.  Replaces the per-symbol
-    Gardner scan for TPU throughput (reference's JIT symbol loop,
-    reference ``dsp/p25/c4fm.py:650``, is the same work sequentially)."""
+    """Vectorized timing recovery: Oerder-Meyr line for clock error + lock
+    detection, block-averaged Gardner discriminant for phase.
+
+    Squaring the RRC-filtered waveform raises a spectral line at the
+    symbol rate whose half-block phase drift measures the clock error
+    directly (no aliasing); the absolute phase comes from the SAME
+    Gardner error signal the sequential loop uses (reference
+    ``dsp/p25/c4fm.py:650``), but averaged over the whole block's symbols
+    and applied once with a measured S-curve slope — two extra gathers
+    instead of a per-symbol scan.
+    """
     sps = cfg.sps
     fmin = sps * (1 - cfg.max_clock_ppm * 1e-6)
     fmax = sps * (1 + cfg.max_clock_ppm * 1e-6)
-    freq = jnp.clip(state.freq, fmin, fmax)
+    freq = jnp.clip(
+        jnp.where(state.freq < 1.0, jnp.float32(sps), state.freq), fmin, fmax
+    )
 
-    n_cand = 25  # ~0.4-sample resolution over one symbol period
-    deltas = jnp.linspace(-sps / 2.0, sps / 2.0, n_cand)
-
-    m = jnp.arange(n_sym, dtype=jnp.float32)
-    base = state.pos + m * freq  # (n_sym,)
-    pos_cand = base[None, :] + deltas[:, None]  # (n_cand, n_sym)
-    # clamp into the buffer (pos drift beyond the edge only affects the
-    # first/last symbol of losing candidates)
-    pos_cand = jnp.clip(pos_cand, 0.0, buf.shape[-1] - 2.0)
-    i0 = jnp.floor(pos_cand).astype(jnp.int32)
-    frac = pos_cand - i0.astype(jnp.float32)
-    y = buf[i0] * (1.0 - frac) + buf[i0 + 1] * frac  # (n_cand, n_sym)
-
+    n = filt.shape[-1]
     dc0 = state.dc * 0.9 + jnp.mean(filt) * 0.1
-    metric = jnp.mean(jnp.abs(y - dc0), axis=-1)
-    best = jnp.argmax(metric)
-    # parabolic refinement of the metric peak: the coarse grid is ~0.4
-    # samples; the fit recovers sub-0.1-sample phase
-    bm1 = jnp.clip(best - 1, 0, n_cand - 1)
-    bp1 = jnp.clip(best + 1, 0, n_cand - 1)
-    y0, y1, y2 = metric[bm1], metric[best], metric[bp1]
-    denom = y0 - 2.0 * y1 + y2
-    frac_peak = jnp.where(
-        jnp.abs(denom) > 1e-9, 0.5 * (y0 - y2) / denom, 0.0
-    )
-    frac_peak = jnp.clip(frac_peak, -1.0, 1.0)
-    step_sz = deltas[1] - deltas[0]
-    # gate on peak significance: dead air / constant input gives a flat
-    # metric whose argmax is meaningless — freeze timing instead of
-    # railing the loop toward -sps/2 every idle block
-    significant = metric[best] > 1.05 * jnp.mean(metric)
-    delta_best = jnp.where(
-        significant, deltas[best] + frac_peak * step_sz, 0.0
-    )
-    # re-gather at the refined phase
-    pos_f = jnp.clip(base + delta_best, 0.0, buf.shape[-1] - 2.0)
-    i0f = jnp.floor(pos_f).astype(jnp.int32)
-    ff = pos_f - i0f.astype(jnp.float32)
-    raw = buf[i0f] * (1.0 - ff) + buf[i0f + 1] * ff - dc0
 
-    # block-rate PI: the chosen offset is this block's phase error
-    alpha, beta = _loop_gains(cfg)
+    # --- clock error + lock from the squared-signal spectral line
+    u = (filt - dc0) ** 2
+    idx = jnp.arange(n, dtype=jnp.float32)
+    w = jnp.exp(-2j * jnp.pi * idx / sps)
+    uw = u.astype(jnp.complex64) * w
+    half_n = n // 2
+    A1 = jnp.sum(uw[:half_n])
+    A2 = jnp.sum(uw[half_n:])
+    lock = jnp.abs(A1 + A2) / jnp.maximum(jnp.sum(jnp.abs(u)), 1e-9)
+    dphi = jnp.angle(A2 * jnp.conj(A1))
+    slope = (dphi / (2.0 * jnp.pi)) * sps * (sps / jnp.maximum(half_n, 1))
+    slope = jnp.clip(slope, -0.005, 0.005)
+
+    # --- phase from the block-averaged Gardner discriminant
+    m = jnp.arange(n_sym, dtype=jnp.float32)
+    base = state.pos + m * freq
+    hi = buf.shape[-1] - 2.0
+
+    def sample(pos):
+        pos = jnp.clip(pos, 0.0, hi)
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        fr = pos - i0.astype(jnp.float32)
+        return buf[i0] * (1.0 - fr) + buf[i0 + 1] * fr - dc0
+
+    def gardner(phase_off):
+        y = sample(base + phase_off)
+        ym = sample(base + phase_off - freq * 0.5)
+        g = jnp.mean((y[:-1] - y[1:]) * ym[1:])
+        return g / jnp.maximum(jnp.mean(y * y), 1e-6)
+
+    g0 = gardner(0.0)
+    g1 = gardner(0.5)
+    k = (g1 - g0) / 0.5  # S-curve slope (samples^-1)
+    delta = jnp.where(jnp.abs(k) > 1e-3, -g0 / k, 0.0)
+    delta = jnp.clip(delta, -sps / 2.0, sps / 2.0)
+    # second Newton step around the refined phase for convergence
+    g2 = gardner(delta)
+    delta2 = jnp.where(jnp.abs(k) > 1e-3, delta - g2 / k, delta)
+    delta = jnp.clip(delta2, -sps / 2.0, sps / 2.0)
+
+    # dead-air gate: no spectral line -> freeze timing
+    significant = lock > 0.005
+    delta = jnp.where(significant, delta, 0.0)
+    slope = jnp.where(significant, slope, 0.0)
+
     integ = jnp.clip(
-        state.integrator + beta * n_sym * 0.5 * (delta_best / sps),
+        state.integrator + 0.5 * slope + 0.05 * (delta / jnp.maximum(n_sym, 1)),
         fmin - sps,
         fmax - sps,
     )
     freq_next = jnp.clip(sps + integ, fmin, fmax)
+
+    # gather all symbols along the corrected ramp (phase applied in full)
+    ramp = delta + slope * (m - 0.5 * n_sym)
+    raw = sample(base + ramp)
 
     block_scale = 2.0 / jnp.maximum(jnp.mean(jnp.abs(raw)), 0.05)
     gain = jnp.where(
@@ -307,7 +324,7 @@ def _demod_block_timing(buf, filt, n_sym, state, cfg, *, lpf_tail, disc_prev, rr
 
     new_tail = buf[-INTERP_TAIL:]
     pos_next = (
-        state.pos + delta_best + n_sym * freq_next - (buf.shape[-1] - INTERP_TAIL)
+        state.pos + delta + n_sym * freq_next - (buf.shape[-1] - INTERP_TAIL)
     )
     pos_next = jnp.where(pos_next < 4.0, pos_next + sps, pos_next)
     pos_next = jnp.where(pos_next > INTERP_TAIL + sps, pos_next - sps, pos_next)

@@ -203,6 +203,15 @@ class Capture:
     def update_channel(self, channel_id: str, **kwargs) -> ChannelHandle:
         with self._lock:
             ch = self.channels[channel_id]
+            freq = kwargs.get("frequency_hz")
+            if freq is not None:
+                # Same span check as create_channel: channel_index wraps
+                # modulo bank size, so an out-of-span retune would silently
+                # alias onto a wrong in-band frequency.
+                off = float(freq) - self.config.center_hz
+                half = self.config.sample_rate / 2
+                if not (-half < off < half):
+                    raise ValueError(f"frequency {freq} outside capture span")
             for k, v in kwargs.items():
                 if v is not None and hasattr(ch.spec, k):
                     setattr(ch.spec, k, v)
@@ -226,6 +235,10 @@ class Capture:
             self.config.gain_db = float(gain_db)
         if sample_rate is not None:
             self.config.sample_rate = int(sample_rate)
+            # Recompute block geometry (block_size, channelizer bin spacing)
+            # for the new rate BEFORE the pipeline rebuild, or channel offsets
+            # map through stale bin spacing and P25 blocks slip symbols.
+            self._compute_block_size()
             self._pipe_cfg = None  # block size changes: full rebuild
         self._ctl_dirty = True
         if was_running:

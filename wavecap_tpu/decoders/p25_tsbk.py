@@ -176,13 +176,16 @@ def _parse_iden_up_vu(data: bytes, result: dict[str, Any], op: TSBKOpcode) -> No
     )
     ident = (data[0] >> 4) & 0xF
     bw_code = data[0] & 0xF
+    # Sign(1)+Magnitude(13): sign bit 1 = positive; magnitude is in units of
+    # channel spacing (offset_hz = mag * spacing * 125), per SDRTrunk /
+    # reference semantics — not fixed 0.25 MHz units.
     sign = 1.0 if (data[1] & 0x80) else -1.0
     tx_off = ((data[1] & 0x7F) << 6) | ((data[2] >> 2) & 0x3F)
     spacing = ((data[2] & 0x03) << 8) | data[3]
     base = int.from_bytes(data[4:8], "big")
     result["identifier"] = ident
     result["bandwidth_khz"] = {4: 6.25, 5: 12.5}.get(bw_code, 12.5)
-    result["tx_offset_mhz"] = sign * tx_off * 0.25
+    result["tx_offset_mhz"] = sign * tx_off * spacing * 125 * 1e-6
     result["channel_spacing_khz"] = spacing * 0.125
     result["base_freq_mhz"] = base * 5e-6  # 5 Hz units -> MHz
     return
@@ -192,7 +195,10 @@ def _parse_iden_up_tdma(data: bytes, result: dict[str, Any]) -> None:
     result["type"] = "IDENTIFIER_UPDATE_TDMA"
     ident = (data[0] >> 4) & 0xF
     channel_type = data[0] & 0xF
-    tx_off = ((data[1]) << 6) | ((data[2] >> 2) & 0x3F)
+    # Sign(1)+Magnitude(13) in units of channel spacing, like IDEN_UP_VU
+    # (sign bit 1 = positive) — not 14-bit two's complement.
+    sign = 1.0 if (data[1] & 0x80) else -1.0
+    tx_off = ((data[1] & 0x7F) << 6) | ((data[2] >> 2) & 0x3F)
     spacing = ((data[2] & 0x03) << 8) | data[3]
     base = int.from_bytes(data[4:8], "big")
     result["identifier"] = ident
@@ -201,7 +207,7 @@ def _parse_iden_up_tdma(data: bytes, result: dict[str, Any]) -> None:
         channel_type, 1
     )
     result["bandwidth_khz"] = 12.5 if channel_type in (0, 1, 2, 3, 5) else 6.25
-    result["tx_offset_mhz"] = (tx_off - (1 << 13) if tx_off & (1 << 13) else tx_off) * 0.25
+    result["tx_offset_mhz"] = sign * tx_off * spacing * 125 * 1e-6
     result["channel_spacing_khz"] = spacing * 0.125
     result["base_freq_mhz"] = base * 5e-6
 

@@ -945,7 +945,8 @@ class AppServer:
         limit = self.config.server.rate_limit_per_min
         if limit > 0:
             # per-IP sliding-minute limiter (reference slowapi 200/min,
-            # reference app.py:366); WS upgrades bypass middleware
+            # reference app.py:366); applies to WS upgrades too (httpd runs
+            # middleware before completing the handshake)
             buckets: dict[str, list] = {}
 
             async def rate_limit(req: Request):

@@ -354,6 +354,20 @@ class HttpServer:
     async def _handle_ws(
         self, req: Request, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
     ) -> None:
+        # Run the middleware chain (auth, rate limit) on the upgrade request
+        # before completing the handshake, same as plain HTTP requests.
+        try:
+            for mw in self.middleware:
+                await mw(req)
+        except HttpError as e:
+            body = json.dumps({"error": e.message}).encode()
+            writer.write(
+                f"HTTP/1.1 {e.status} X\r\nContent-Type: application/json\r\n"
+                f"Content-Length: {len(body)}\r\nConnection: close\r\n\r\n".encode()
+                + body
+            )
+            await writer.drain()
+            return
         fn, params = self.router.find_ws(req.path)
         key = req.headers.get("sec-websocket-key")
         if fn is None or not key:

@@ -64,7 +64,11 @@ class TrunkingSystem:
 
         self.identity = SystemIdentity()
         self.identifiers: dict[int, ChannelIdentifier] = {}
-        self.cc_index = 0  # index into config.control_channels
+        self.cc_index = 0  # index into the current hunt candidate list
+        # The frequency the cc channel is actually tuned to.  Hunt candidates
+        # include learned adjacent-site CCs beyond config.control_channels, so
+        # _on_sync/status must use this rather than re-indexing the config list.
+        self._cc_current_freq: float | None = None
         self.cc_locked: float | None = None
         self.cc_lock_time = 0.0
         self.last_tsbk_time = 0.0
@@ -161,7 +165,10 @@ class TrunkingSystem:
             self.capture = self.capture_manager.create_capture(
                 device_id=cfg.device_id, config=cap_cfg
             )
-            cc_freq = self.cc_locked or cfg.control_channels[self.cc_index]
+            cc_freq = self.cc_locked or cfg.control_channels[
+                self.cc_index % len(cfg.control_channels)
+            ]
+            self._cc_current_freq = cc_freq
             self._cc_channel = self.capture.create_channel(
                 ChannelSpec(id="cc", mode="p25", frequency_hz=cc_freq, name="control")
             )
@@ -239,7 +246,11 @@ class TrunkingSystem:
     # -- control-channel handling -----------------------------------------
 
     def _on_sync(self) -> None:
-        freq = self.config.control_channels[self.cc_index]
+        freq = self._cc_current_freq
+        if freq is None:
+            freq = self.config.control_channels[
+                self.cc_index % len(self.config.control_channels)
+            ]
         self.cc_locked = freq
         self.cc_lock_time = time.time()
         self._emit("control_locked", {"frequencyHz": freq})
@@ -306,6 +317,7 @@ class TrunkingSystem:
         else:
             self.cc_index = (self.cc_index + 1) % n
         freq = candidates[self.cc_index]
+        self._cc_current_freq = freq
         self.capture.update_channel("cc", frequency_hz=freq)
         if self.monitor:
             self.monitor.reset()
@@ -483,8 +495,11 @@ class TrunkingSystem:
             "error": self.error,
             "protocol": self.config.protocol.value,
             "controlChannelHz": self.cc_locked
+            or self._cc_current_freq
             or (
-                self.config.control_channels[self.cc_index]
+                self.config.control_channels[
+                    self.cc_index % len(self.config.control_channels)
+                ]
                 if self.config.control_channels
                 else None
             ),

@@ -1,0 +1,194 @@
+"""Native IMBE vocoder: FEC, quantization, synthesis, and the recorder
+voice path producing audible PCM (reference requires external mbelib /
+DSD-FME for this — decoders/mbelib_neo.py, decoders/imbe.py)."""
+
+import numpy as np
+import pytest
+
+from wavecap_tpu.decoders import imbe_vocoder as iv
+from wavecap_tpu.decoders import p25_frames as pf
+from wavecap_tpu.decoders.voice import (
+    VoiceDecoder,
+    golay23_decode,
+    golay23_encode,
+    hamming15_decode,
+    hamming15_encode,
+    imbe_fec_decode,
+    imbe_fec_encode,
+)
+
+
+def make_vowel(seconds=1.0, f0=120.0, fs=8000, level=0.3):
+    t = np.arange(int(seconds * fs)) / fs
+    sig = np.zeros_like(t)
+    for h in range(1, 25):
+        amp = np.exp(-(((h * f0 - 500) / 400) ** 2)) + 0.7 * np.exp(
+            -(((h * f0 - 1500) / 500) ** 2)
+        )
+        sig += amp * np.cos(2 * np.pi * h * f0 * t + h)
+    return (level / np.max(np.abs(sig))) * sig
+
+
+class TestFec:
+    def test_golay23_corrects_three_errors(self):
+        rng = np.random.default_rng(7)
+        for _ in range(100):
+            d = int(rng.integers(0, 1 << 12))
+            cw = golay23_encode(d)
+            for p in rng.choice(23, 3, replace=False):
+                cw ^= 1 << int(p)
+            dd, e = golay23_decode(cw)
+            assert dd == d and e == 3
+
+    def test_hamming15_corrects_one_error(self):
+        rng = np.random.default_rng(8)
+        for _ in range(100):
+            d = int(rng.integers(0, 1 << 11))
+            cw = hamming15_encode(d) ^ (1 << int(rng.integers(0, 15)))
+            dd, e = hamming15_decode(cw)
+            assert dd == d and e == 1
+
+    def test_codeword_roundtrip_clean_and_with_errors(self):
+        rng = np.random.default_rng(9)
+        for _ in range(25):
+            u = [int(rng.integers(0, 1 << w)) for w in iv.U_WIDTHS]
+            bits = imbe_fec_encode(u)
+            f = imbe_fec_decode(bits)
+            assert f is not None and f.u == u and f.errors == 0
+            # two errors anywhere in the golay-protected region (serial
+            # positions 0..91 through the 6x24 interleaver)
+            b2 = bits.copy()
+            for sp in rng.choice(92, 2, replace=False):
+                b2[(int(sp) % 6) * 24 + int(sp) // 6] ^= 1
+            f2 = imbe_fec_decode(b2)
+            assert f2 is not None and f2.u == u and f2.errors > 0
+
+
+class TestQuantization:
+    def test_params_roundtrip(self):
+        prev = iv.ImbeParams.initial()
+        for b0 in (20, 80, 150, 200):
+            w0 = iv.fundamental_from_b0(b0)
+            L = iv.harmonics_for(w0)
+            K = iv.bands_for(L)
+            p = iv.ImbeParams(
+                w0=w0,
+                L=L,
+                K=K,
+                voiced=np.array([iv.band_of(x, K) % 2 == 0 for x in range(1, L + 1)]),
+                log2M=np.linspace(-3, -7, L),
+            )
+            u = iv.encode_params(p, prev)
+            q = iv.decode_params(u, prev)
+            assert q.L == L and abs(q.w0 - w0) < 1e-9
+            assert np.array_equal(q.voiced, p.voiced)
+            assert float(np.max(np.abs(q.log2M - p.log2M))) < 2.0
+            prev = q
+
+    def test_bit_budget_exact(self):
+        for b0 in range(0, 208, 7):
+            L = iv.harmonics_for(iv.fundamental_from_b0(b0))
+            K = iv.bands_for(L)
+            g_bits, hoc_bits = iv.bit_allocation(L, K)
+            assert len(hoc_bits) == L - 6
+            assert sum(g_bits) + sum(hoc_bits) == 88 - 8 - 6 - K
+
+
+class TestSynthesis:
+    def test_speech_roundtrip_preserves_level_and_harmonics(self):
+        fs, f0 = 8000, 120.0
+        sig = make_vowel(f0=f0)
+        us = iv.ImbeEncoder().encode(sig)
+        assert len(us) >= 45
+        pcm = VoiceDecoder().decode_codewords([imbe_fec_encode(u) for u in us])
+        assert pcm is not None and len(pcm) == len(us) * 160
+        body = pcm[480:]
+        rms = float(np.sqrt(np.mean(body**2)))
+        target = float(np.sqrt(np.mean(sig**2)))
+        assert 0.5 * target < rms < 2.0 * target
+        spec = np.abs(np.fft.rfft(body * np.hanning(len(body))))
+        freqs = np.arange(len(spec)) * fs / len(body)
+        near = (
+            np.min(np.abs(freqs[:, None] - f0 * np.arange(1, 26)[None, :]), axis=1)
+            < 15
+        )
+        frac = float(np.sum(spec[near] ** 2) / np.sum(spec**2))
+        assert frac > 0.7
+
+    def test_silence_stays_silent(self):
+        us = iv.ImbeEncoder().encode(np.zeros(8000))
+        pcm = VoiceDecoder().decode_codewords([imbe_fec_encode(u) for u in us])
+        assert float(np.sqrt(np.mean(pcm**2))) < 1e-3
+
+    def test_frame_error_concealment_decays(self):
+        sig = make_vowel(seconds=0.5)
+        us = iv.ImbeEncoder().encode(sig)
+        dec = VoiceDecoder()
+        dec.decode_codewords([imbe_fec_encode(u) for u in us])
+        # garbage codewords conceal by decaying repeats, not screeching
+        noise = [np.random.default_rng(3).integers(0, 2, 144).astype(np.uint8)
+                 for _ in range(10)]
+        pcm = dec.decode_codewords(noise)
+        assert pcm is not None
+        first = float(np.sqrt(np.mean(pcm[:160] ** 2)))
+        last = float(np.sqrt(np.mean(pcm[-160:] ** 2)))
+        assert last <= first + 1e-6
+
+    def test_unvoiced_bands_produce_noise_not_tones(self):
+        prev = iv.ImbeParams.initial()
+        w0 = iv.fundamental_from_b0(100)
+        L = iv.harmonics_for(w0)
+        p = iv.ImbeParams(
+            w0=w0, L=L, K=iv.bands_for(L),
+            voiced=np.zeros(L, bool), log2M=np.full(L, -4.0),
+        )
+        syn = iv.ImbeSynthesizer()
+        out = np.concatenate([syn.synth(p) for _ in range(20)])
+        spec = np.abs(np.fft.rfft(out[320:]))
+        # noise: spectral peak should not dominate total energy
+        assert float(np.max(spec) ** 2 / np.sum(spec**2)) < 0.1
+
+
+class TestRecorderVoicePath:
+    def test_voice_ldu_yields_audible_wav_and_live_pcm(self, tmp_path):
+        """A granted call whose LDUs carry real IMBE codewords produces a
+        non-silent 8 kHz WAV and publishes PCM to live subscribers — the
+        full reference voice pipeline (trunking/voice_channel.py) with no
+        external vocoder."""
+        from wavecap_tpu.decoders.p25_voice import (
+            encode_lc_hexbits,
+            make_group_lc_bits,
+        )
+        from wavecap_tpu.trunking.recorder import CallInfo, VoiceRecorder
+
+        sig = make_vowel(seconds=1.0)
+        us = iv.ImbeEncoder().encode(sig)
+        cws = [imbe_fec_encode(u) for u in us]
+        lc240 = encode_lc_hexbits(make_group_lc_bits(tgid=2001, source_id=42))
+
+        rec = VoiceRecorder(0, "voice0")
+        sub = rec.audio.subscribe()
+        call = CallInfo(tgid=2001, source_id=42, frequency_hz=851e6, start_time=0.0)
+        rec.assign(call)
+        for i in range(0, len(cws) - 9, 9):
+            frame = pf.build_ldu_frame(
+                0x293, pf.DUID.LDU1, lc240, imbe_codewords=cws[i : i + 9]
+            )
+            rec.process_symbols(pf.DIBIT_SYMBOLS[frame].astype(np.float32), now=1.0)
+        live = []
+        while (chunk := sub.get_nowait()) is not None:
+            live.append(chunk)
+        assert live, "no live PCM published"
+        done = rec.finalize(tmp_path, 0.0, now=2.0)
+        assert done is not None and done.audio_seconds > 0.5
+        wavs = list(tmp_path.glob("*.wav"))
+        assert wavs, "no WAV written"
+        from wavecap_tpu.utils.wavio import read_audio_wav
+
+        audio, rate = read_audio_wav(str(wavs[0]))
+        assert rate == 8000
+        assert float(np.sqrt(np.mean(audio**2))) > 0.01, "WAV is silent"
+        import json
+
+        meta = json.loads(list(tmp_path.glob("*.json"))[0].read_text())
+        assert meta["vocoder"] == "native"

@@ -38,7 +38,13 @@ def _load_mbelib():
 
 
 def vocoder_available() -> bool:
-    return _load_mbelib() is not None
+    """A vocoder is always available: the built-in native IMBE synthesizer
+    (imbe_vocoder.py) backs up an installed libmbe."""
+    return True
+
+
+def vocoder_backend() -> str:
+    return "mbelib" if _load_mbelib() is not None else "native"
 
 
 # ---------------------------------------------------------------------------
@@ -46,8 +52,10 @@ def vocoder_available() -> bool:
 # 88-bit compressed frame (u0..u7)
 # ---------------------------------------------------------------------------
 
-# Golay(23,12) generator polynomial
-_GOLAY23_POLY = 0x5B7
+# Golay(23,12) generator polynomial x^11+x^9+x^7+x^6+x^5+x+1 (degree-11
+# factor of x^23+1; the code's minimum distance is 7 so any <=3 bit errors
+# have distinct syndromes)
+_GOLAY23_POLY = 0xAE3
 
 
 def _golay23_syndrome(cw: int) -> int:
@@ -88,15 +96,41 @@ def golay23_decode(cw: int) -> tuple[int, int]:
     return (fixed >> 11) & 0xFFF, bin(e).count("1")
 
 
+def golay23_encode(data: int) -> int:
+    """12-bit data -> 23-bit systematic Golay codeword (data in MSBs)."""
+    shifted = (data & 0xFFF) << 11
+    return shifted | _golay23_syndrome(shifted)
+
+
+# cyclic Hamming(15,11): generator x^4 + x + 1 (x primitive, period 15)
+_HAMMING15_POLY = 0x13
+
+
+def _hamming15_syndrome(cw: int) -> int:
+    s = cw
+    for i in range(14, 3, -1):
+        if s & (1 << i):
+            s ^= _HAMMING15_POLY << (i - 4)
+    return s & 0xF
+
+
+@lru_cache(maxsize=1)
+def _hamming15_table() -> dict:
+    """syndrome -> single-bit error pattern."""
+    return {_hamming15_syndrome(1 << i): 1 << i for i in range(15)}
+
+
+def hamming15_encode(data: int) -> int:
+    """11-bit data -> 15-bit systematic codeword (data in MSBs)."""
+    shifted = (data & 0x7FF) << 4
+    return shifted | _hamming15_syndrome(shifted)
+
+
 def hamming15_decode(cw: int) -> tuple[int, int]:
     """Hamming(15,11) single-error correction -> (11-bit data, n_corrected)."""
-    # parity check matrix columns = position index (1..15)
-    s = 0
-    for i in range(15):
-        if cw & (1 << (14 - i)):
-            s ^= i + 1
+    s = _hamming15_syndrome(cw)
     if s:
-        cw ^= 1 << (14 - (s - 1))
+        cw ^= _hamming15_table()[s]
     return (cw >> 4) & 0x7FF, 1 if s else 0
 
 
@@ -187,30 +221,168 @@ def imbe_fec_decode(codeword_bits: np.ndarray) -> ImbeFrame | None:
     return ImbeFrame(us, total_err)
 
 
+def _pn_sequence(u0: int) -> list[int]:
+    """114-bit PN scrambler keyed by u0 (x_{n+1} = 173 x_n + 13849 mod 2^16)."""
+    pn = []
+    x = u0 << 4
+    for _ in range(114):
+        x = (173 * x + 13849) & 0xFFFF
+        pn.append((x >> 15) & 1)
+    return pn
+
+
+def imbe_fec_encode(u: list[int]) -> np.ndarray:
+    """u0..u7 -> 144-bit interleaved voice codeword (inverse of
+    :func:`imbe_fec_decode`): Golay(23,12) on u0..u3, Hamming(15,11) on
+    u4..u6, u7 raw, u1..u6 PN-scrambled keyed by u0, 6x24 interleave."""
+    pn = _pn_sequence(u[0])
+    pn_idx = 0
+
+    def scramble(val: int, width: int) -> int:
+        nonlocal pn_idx
+        out = 0
+        for i in range(width):
+            bit = (val >> (width - 1 - i)) & 1
+            out = (out << 1) | (bit ^ pn[pn_idx])
+            pn_idx += 1
+        return out
+
+    serial: list[int] = []
+
+    def emit(val: int, width: int) -> None:
+        for i in range(width - 1, -1, -1):
+            serial.append((val >> i) & 1)
+
+    emit(golay23_encode(u[0]), 23)
+    for i in (1, 2, 3):
+        emit(scramble(golay23_encode(u[i]), 23), 23)
+    for i in (4, 5, 6):
+        emit(scramble(hamming15_encode(u[i]), 15), 15)
+    emit(u[7] & 0x7F, 7)
+    out = np.empty(144, np.uint8)
+    for i in range(144):
+        out[(i % 6) * 24 + i // 6] = serial[i]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# mbelib ctypes bindings (used when a libmbe build is installed; the ABI
+# matches mbelib/mbelib-neo's mbe_parms + mbe_processImbe7200x4400Framef,
+# reference decoders/mbelib_neo.py:35-185)
+# ---------------------------------------------------------------------------
+
+
+class _MbeParms(ctypes.Structure):
+    _fields_ = [
+        ("w0", ctypes.c_float),
+        ("L", ctypes.c_int),
+        ("K", ctypes.c_int),
+        ("Vl", ctypes.c_int * 57),
+        ("Ml", ctypes.c_float * 57),
+        ("log2Ml", ctypes.c_float * 57),
+        ("PHIl", ctypes.c_float * 57),
+        ("PSIl", ctypes.c_float * 57),
+        ("gamma", ctypes.c_float),
+        ("un", ctypes.c_int),
+        ("repeat", ctypes.c_int),
+        ("swn", ctypes.c_int),
+    ]
+
+
+class MbelibBackend:
+    """Synthesis via an installed libmbe (classic mbelib ABI)."""
+
+    def __init__(self, lib: ctypes.CDLL):
+        self.lib = lib
+        self.cur = _MbeParms()
+        self.prev = _MbeParms()
+        self.prev_enh = _MbeParms()
+        lib.mbe_initMbeParms(
+            ctypes.byref(self.cur), ctypes.byref(self.prev), ctypes.byref(self.prev_enh)
+        )
+
+    def synth_codeword(self, codeword_bits: np.ndarray) -> np.ndarray | None:
+        """144-bit interleaved codeword -> 160 float samples via libmbe.
+
+        libmbe takes the de-interleaved FEC vectors as char[8][23] and does
+        its own FEC + dequantize + synthesis.
+        """
+        b = np.asarray(codeword_bits, np.uint8)
+        if len(b) < 144:
+            return None
+        deint = np.empty(144, np.uint8)
+        for i in range(144):
+            deint[i] = b[(i % 6) * 24 + i // 6]
+        fr = (ctypes.c_char * 23 * 8)()
+        widths = [23, 23, 23, 23, 15, 15, 15, 7]
+        pos = 0
+        for row, w in enumerate(widths):
+            for j in range(w):
+                fr[row][j] = bytes([int(deint[pos])])
+                pos += 1
+        out = (ctypes.c_float * 160)()
+        errs = ctypes.c_int(0)
+        errs2 = ctypes.c_int(0)
+        err_str = ctypes.create_string_buffer(64)
+        imbe_d = (ctypes.c_char * 88)()
+        self.lib.mbe_processImbe7200x4400Framef(
+            out, ctypes.byref(errs), ctypes.byref(errs2), err_str, fr, imbe_d,
+            ctypes.byref(self.cur), ctypes.byref(self.prev),
+            ctypes.byref(self.prev_enh), 3,
+        )
+        return np.frombuffer(bytes(out), np.float32).copy() / 32768.0
+
+
 class VoiceDecoder:
-    """Unified voice decode: codewords -> PCM (or None without a vocoder)."""
+    """Unified voice decode: 144-bit codewords -> 8 kHz float PCM.
+
+    Backend order: installed libmbe (ctypes, matching the reference's
+    mbelib path) when present, else the built-in native vocoder
+    (:mod:`wavecap_tpu.decoders.imbe_vocoder`) — so PCM always comes out,
+    which the reference cannot do without external binaries.
+    """
 
     def __init__(self, vocoder: str = "imbe"):
         self.vocoder = vocoder
         self.lib = _load_mbelib()
+        self._mbelib: MbelibBackend | None = None
+        if self.lib is not None:
+            try:  # pragma: no cover - needs libmbe installed
+                self._mbelib = MbelibBackend(self.lib)
+            except (AttributeError, OSError):
+                self._mbelib = None
+        from wavecap_tpu.decoders.imbe_vocoder import ImbeDecoder
+
+        self._native = ImbeDecoder()
         self.frames_decoded = 0
         self.frames_failed = 0
 
     def decode_codewords(self, codewords: list) -> np.ndarray | None:
-        """FEC-decode a batch of 144-bit codewords; synthesize if possible."""
-        frames = []
+        """FEC-decode + synthesize a batch of 144-bit codewords.
+
+        Returns concatenated float PCM (8 kHz, [-1, 1]); failed frames are
+        concealed by decayed frame repeats."""
+        pcm: list[np.ndarray] = []
         for cw in codewords:
+            if self._mbelib is not None:  # pragma: no cover - needs libmbe
+                audio = self._mbelib.synth_codeword(cw)
+                if audio is not None:
+                    self.frames_decoded += 1
+                    pcm.append(audio)
+                else:
+                    self.frames_failed += 1
+                continue
             f = imbe_fec_decode(cw)
-            if f is None:
+            # the Golay(23,12) code is perfect, so garbage always "decodes";
+            # high corrected-error totals mean the frame is untrustworthy —
+            # conceal with a decayed repeat instead (spec-style muting)
+            if f is None or f.errors > 11:
                 self.frames_failed += 1
+                pcm.append(self._native.decode_frame(None))
             else:
                 self.frames_decoded += 1
-                frames.append(f)
-        if self.lib is None or not frames:
+                pcm.append(self._native.decode_frame(f.u, f.errors))
+        if not pcm:
             return None
-        # mbelib synthesis path (exercised only when the library exists)
-        return self._synthesize(frames)
-
-    def _synthesize(self, frames: list) -> np.ndarray | None:  # pragma: no cover
-        logger.warning("mbelib synthesis path not yet implemented")
-        return None
+        out = np.concatenate(pcm).astype(np.float32)
+        return np.tanh(out)  # soft clip to [-1, 1]

@@ -25,7 +25,7 @@ import numpy as np
 
 from wavecap_tpu.decoders import p25_frames as pf
 from wavecap_tpu.decoders.framer import P25Framer
-from wavecap_tpu.decoders.voice import VoiceDecoder, vocoder_available
+from wavecap_tpu.decoders.voice import VoiceDecoder, vocoder_backend
 from wavecap_tpu.utils.wavio import write_audio_wav
 from wavecap_tpu.utils.broadcast import FanOut
 
@@ -211,7 +211,7 @@ class VoiceRecorder:
                 "audioSeconds": call.audio_seconds,
                 "emergency": call.emergency,
                 "encrypted": call.encrypted,
-                "vocoder": vocoder_available(),
+                "vocoder": vocoder_backend(),
             }
             (Path(str(base) + ".json")).write_text(json.dumps(meta, indent=2))
         self._imbe = []

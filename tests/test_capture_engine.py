@@ -219,3 +219,81 @@ class TestResilience:
         finally:
             cap.auto_restart = False
             cap.stop()
+
+
+class TestDispatchModes:
+    """int16 transport, multi-block dispatch, and compile-watchdog gating."""
+
+    def _run_capture(self, **cfg_kw):
+        stations = [
+            FakeStation(
+                offset_hz=100_000.0, kind="nbfm", tone_hz=900.0, deviation_hz=4000.0
+            )
+        ]
+        mgr = make_manager(stations)
+        cap = mgr.create_capture(
+            config=CaptureConfig(
+                center_hz=CENTER, sample_rate=RATE, block_seconds=0.2, **cfg_kw
+            )
+        )
+        ch = cap.create_channel(
+            ChannelSpec(id="ch1", mode="nbfm", frequency_hz=CENTER + 100_000.0)
+        )
+        sub = ch.audio.subscribe()
+        cap.start()
+        try:
+            assert wait_for(lambda: cap.blocks_processed >= 4, timeout=60)
+            chunks = []
+            while (c := sub.get_nowait()) is not None:
+                chunks.append(c)
+            audio = np.concatenate(chunks)
+        finally:
+            cap.stop()
+        seg = audio[len(audio) // 2 :]
+        seg = seg - seg.mean()
+        s = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        f = np.fft.rfftfreq(len(seg), 1 / 48_000)
+        return float(f[np.argmax(s)])
+
+    def test_i16_transport_demodulates(self):
+        assert abs(self._run_capture(transport="i16") - 900.0) < 20
+
+    def test_multi_block_dispatch_demodulates(self):
+        assert abs(self._run_capture(blocks_per_dispatch=2) - 900.0) < 20
+
+    def test_pipelined_depth_matches_sync(self):
+        assert abs(self._run_capture(pipeline_depth=0) - 900.0) < 20
+
+    def test_watchdog_suppressed_during_long_compile(self, monkeypatch):
+        """A first dispatch that blocks far past startup_timeout_s must not
+        trigger a restart while _compiling is set (VERDICT: compile-vs-
+        watchdog race)."""
+        stations = [FakeStation(offset_hz=100_000.0, kind="tone")]
+        mgr = make_manager(stations)
+        cap = mgr.create_capture(
+            config=CaptureConfig(center_hz=CENTER, sample_rate=RATE, block_seconds=0.2)
+        )
+        cap.startup_timeout_s = 0.5
+        cap.watchdog_timeout_s = 0.5
+        cap.create_channel(
+            ChannelSpec(id="ch1", mode="nbfm", frequency_hz=CENTER + 100_000.0)
+        )
+        cap._rebuild_pipeline_if_needed()
+        real_step = cap._jit_step
+
+        slow_once = {"done": False}
+
+        def slow_step(batch, state, ctl):
+            if not slow_once["done"]:
+                slow_once["done"] = True
+                time.sleep(3.0)  # 6x the startup timeout
+            return real_step(batch, state, ctl)
+
+        cap._jit_step = slow_step
+        cap.start()
+        try:
+            assert wait_for(lambda: cap.blocks_processed >= 1, timeout=60)
+            assert cap.restart_count == 0, "watchdog restarted during compile"
+            assert cap.state == "running"
+        finally:
+            cap.stop()

@@ -64,6 +64,19 @@ class CaptureConfig:
     p25_modulation: str = "c4fm"  # c4fm | cqpsk
     audio_rate: int = 48_000
     channel_bandwidth: float = 25_000.0
+    # Host->device IQ transport format.  Remote TPU relays are upload-
+    # bandwidth bound (~27 MB/s), so int16 halves the dominant cost of a
+    # real-time capture vs interleaved f32; SDR front ends are <=16 bit so
+    # nothing real is lost.  "f32" keeps full float fidelity for tests.
+    transport: str = "i16"  # i16 | f32
+    # Software pipeline depth: 1 overlaps the host fetch of block k-1 with
+    # the upload+compute of block k (jax dispatch is async), hiding the
+    # device round trip when the stream keeps up.  0 = fully synchronous.
+    pipeline_depth: int = 1
+    # Blocks per device dispatch (lax.scan inside one jitted program).
+    # >1 amortizes the fixed relay round trip for throughput-bound offline
+    # runs at the cost of latency; real-time captures should keep 1.
+    blocks_per_dispatch: int = 1
 
 
 class ChannelHandle:
@@ -116,6 +129,8 @@ class Capture:
         self._dev_state = None
         self._ctl = None
         self._ctl_dirty = True
+        # in-flight dispatched batches: (out, blocks, channels, t0)
+        self._pending: list = []
 
         # metrics
         self.blocks_processed = 0
@@ -126,6 +141,13 @@ class Capture:
         # health monitoring (reference capture.py:2012-2151)
         self.startup_timeout_s = 120.0
         self.watchdog_timeout_s = 30.0
+        # first dispatch of a freshly built program compiles synchronously;
+        # remote TPU compiles can take many minutes, so the stall watchdog
+        # must not fire during them (it would restart into a recompile loop)
+        self.compile_timeout_s = 900.0
+        self._compiling = False
+        self._compile_started = 0.0
+        self._program_warm = False
         self.auto_restart = True
         self.restart_count = 0
         self.max_restarts_per_hour = 6
@@ -279,10 +301,14 @@ class Capture:
     def _rebuild_pipeline_if_needed(self) -> None:
         new_cfg = self._make_pipe_cfg()
         if new_cfg != self._pipe_cfg:
+            self._flush_pending()
             self._pipe_cfg = new_cfg
-            self._jit_step = pl.jit_capture_step(new_cfg)
+            self._jit_step = pl.jit_capture_multi(
+                new_cfg, max(1, self.config.blocks_per_dispatch)
+            )
             self._init_state = pl.jit_pipeline_init(new_cfg)
             self._dev_state = self._init_state()
+            self._program_warm = False
 
     def _build_control(self) -> Any:
         assert self._pipe_cfg is not None
@@ -395,7 +421,11 @@ class Capture:
             failed = self.state == "failed"
             thread_dead = self._thread is not None and not self._thread.is_alive()
             stalled = False
-            if self.state == "running" and self.blocks_processed == 0:
+            if self._compiling:
+                # first dispatch after a pipeline (re)build: only a blown
+                # compile budget counts as a stall
+                stalled = now - self._compile_started > self.compile_timeout_s
+            elif self.state == "running" and self.blocks_processed == 0:
                 # last_block_time doubles as a pre-dispatch heartbeat, so a
                 # long first compile extends the startup window
                 stalled = (
@@ -461,27 +491,44 @@ class Capture:
         self.state = "running"
         chunk = max(8192, self.config.sample_rate // 20)
         buf = np.empty(0, np.complex64)
+        n_batch = max(1, self.config.blocks_per_dispatch)
+        blocks: list[np.ndarray] = []
         try:
             while not self._stop.is_set():
                 samples, overflow = stream.read(chunk)
                 if overflow:
                     self.overflow_count += 1
+                    self._flush_pending()
                     buf = np.empty(0, np.complex64)
+                    blocks = []
                     if self._pipe_cfg is not None:
                         self._dev_state = self._init_state()
                     continue
                 buf = np.concatenate([buf, samples]) if buf.size else samples
                 while buf.size >= self.block_size:
                     block, buf = buf[: self.block_size], buf[self.block_size :]
-                    self._process_block(block)
+                    blocks.append(block)
+                    if len(blocks) == n_batch:
+                        self._dispatch_blocks(blocks)
+                        blocks = []
+                if buf.size < self.block_size and not blocks:
+                    # stream is real-time-bound: deliver in-flight results
+                    # now instead of waiting a whole block for the overlap
+                    self._flush_pending()
         except Exception as e:  # pragma: no cover
             self.state = "failed"
             self.error = str(e)
             logger.exception("capture %s crashed", self.id)
         finally:
+            self._flush_pending()
             stream.close()
 
-    def _process_block(self, block: np.ndarray) -> None:
+    def _dispatch_blocks(self, blocks: list[np.ndarray]) -> None:
+        """Send one batch to the device; fetch completed batches.
+
+        With pipeline_depth=1 the fetch of batch k-1 overlaps the
+        upload+compute of batch k (jax dispatch is async), hiding the
+        device round trip whenever the stream can run ahead."""
         t0 = time.perf_counter()
         with self._lock:
             if self._ctl_dirty or self._ctl is None:
@@ -492,78 +539,95 @@ class Capture:
             state = self._dev_state
             channels = list(self.channels.values())
         assert jit_step is not None
-        block_f32 = np.ascontiguousarray(block).view(np.float32)
+        if self.config.transport == "i16":
+            rows = [
+                np.clip(
+                    np.round(np.ascontiguousarray(b).view(np.float32) * 32767.0),
+                    -32768,
+                    32767,
+                ).astype(np.int16)
+                for b in blocks
+            ]
+        else:
+            rows = [np.ascontiguousarray(b).view(np.float32) for b in blocks]
+        batch = np.stack(rows)
         # heartbeat BEFORE dispatch: a cold jit compile (tens of seconds on
         # first block / after a mode-set change) must not trip the stall
         # watchdog and trigger a pointless restart loop
         self.last_block_time = time.time()
-        out, state = jit_step(jnp.asarray(block_f32), state, ctl)
+        if not self._program_warm:
+            self._compile_started = time.time()
+            self._compiling = True
+        try:
+            out, state = jit_step(jnp.asarray(batch), state, ctl)
+        finally:
+            self._compiling = False
+            self._program_warm = True
         with self._lock:
             self._dev_state = state
+        self._pending.append((out, blocks, channels, t0))
+        while len(self._pending) > max(0, self.config.pipeline_depth):
+            self._finish_batch()
 
-        # Fetch & fan out (host side): ONE device->host transfer of the
-        # packed buffer, then reslice using local shape metadata
+    def _flush_pending(self) -> None:
+        while self._pending:
+            self._finish_batch()
+
+    def _finish_batch(self) -> None:
+        """Fetch one in-flight batch (single packed transfer) and fan out."""
+        if not self._pending:
+            return
+        out, blocks, channels, t0 = self._pending.pop(0)
         import jax as _jax
 
+        n = len(blocks)
         unpacked = dict(out)
         packed_dev = unpacked.pop("_packed", None)
         if packed_dev is not None:
             leaves, treedef = _jax.tree_util.tree_flatten(unpacked)
-            flat = np.asarray(packed_dev)
+            flat = np.asarray(packed_dev).reshape(n, -1)
             rebuilt = []
             off = 0
             for leaf in leaves:
-                n = int(np.prod(leaf.shape)) if leaf.shape else 1
-                arr = flat[off : off + n].reshape(leaf.shape)
+                m = int(np.prod(leaf.shape[1:])) if len(leaf.shape) > 1 else 1
+                arr = flat[:, off : off + m].reshape(leaf.shape)
                 if leaf.dtype == np.uint8 or str(leaf.dtype) == "uint8":
                     arr = arr.astype(np.uint8)
                 rebuilt.append(arr)
-                off += n
+                off += m
             out = _jax.tree_util.tree_unflatten(treedef, rebuilt)
-        spectrum = np.asarray(out["spectrum"])
-        self.spectrum_subs.publish(spectrum)
-        if self.iq_subs.active:
-            self.iq_subs.publish(block)
-        # fetch each group's arrays ONCE (device->host transfers are the
-        # expensive part on remote TPU runtimes), then slice on the host
-        fetched: dict = {}
-
-        def group_np(key, grp):
-            if key not in fetched:
-                fetched[key] = {k: np.asarray(v) for k, v in grp.items()}
-            return fetched[key]
-
-        for ch in channels:
-            if ch.mode_group == "p25":
-                grp = out.get("p25")
+        else:  # pragma: no cover - packing always on in capture_step
+            out = _jax.tree_util.tree_map(np.asarray, unpacked)
+        now = time.time()
+        for b in range(n):
+            self.spectrum_subs.publish(np.asarray(out["spectrum"][b]))
+            if self.iq_subs.active:
+                self.iq_subs.publish(blocks[b])
+            for ch in channels:
+                if ch.mode_group == "p25":
+                    grp = out.get("p25")
+                    if grp is None:
+                        continue
+                    ch.record_rssi(float(grp["rssi"][b][ch.slot]), now)
+                    ch.symbols.publish(
+                        {
+                            "soft": grp["soft"][b][ch.slot],
+                            "dibits": grp["dibits"][b][ch.slot],
+                            "rssi": ch.rssi_db,
+                        }
+                    )
+                    continue
+                if ch.mode_group == "wide":
+                    grp = out.get("wide")
+                else:
+                    grp = out["banks"].get(ch.mode_group)
                 if grp is None:
                     continue
-                g = group_np("p25", grp)
-                ch.record_rssi(float(g["rssi"][ch.slot]), time.time())
-                ch.symbols.publish(
-                    {
-                        "soft": g["soft"][ch.slot],
-                        "dibits": g["dibits"][ch.slot],
-                        "rssi": ch.rssi_db,
-                    }
-                )
-                continue
-            if ch.mode_group == "wide":
-                grp = out.get("wide")
-                key = "wide"
-            else:
-                grp = out["banks"].get(ch.mode_group)
-                key = f"bank:{ch.mode_group}"
-            if grp is None:
-                continue
-            g = group_np(key, grp)
-            audio = g["audio"][ch.slot]
-            ch.record_rssi(float(g["rssi"][ch.slot]), time.time())
-            ch.audio.publish(audio)
-
-        self.blocks_processed += 1
+                ch.record_rssi(float(grp["rssi"][b][ch.slot]), now)
+                ch.audio.publish(grp["audio"][b][ch.slot])
+        self.blocks_processed += n
         self.last_block_time = time.time()
-        self.block_ms = (time.perf_counter() - t0) * 1e3
+        self.block_ms = (time.perf_counter() - t0) * 1e3 / n
 
     # -- info --------------------------------------------------------------
 

@@ -314,16 +314,44 @@ def _p25_step(chans, state: P25BankState, assign, cfg: CapturePipelineConfig):
     )
 
 
+def _to_complex(x_in: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved I/Q -> complex64 on device.  Accepts f32 (unit scale)
+    or i16 (scaled by 1/32768): integer transport halves the host->device
+    bytes, which is the bottleneck on remote TPU relays."""
+    if jnp.issubdtype(x_in.dtype, jnp.integer):
+        x_f32 = x_in.astype(jnp.float32) * (1.0 / 32768.0)
+    else:
+        x_f32 = x_in
+    return jax.lax.complex(x_f32[..., 0::2], x_f32[..., 1::2])
+
+
 def jit_capture_step(cfg: CapturePipelineConfig):
-    """Jitted step taking interleaved-f32 IQ (complex64 host<->device
+    """Jitted step taking interleaved i16/f32 IQ (complex64 host<->device
     transfer is unimplemented on some TPU runtimes; complex math inside
     the program is fine, so the boundary crossing is planar)."""
 
-    def step_f32(x_f32, state, ctl):
-        x = jax.lax.complex(x_f32[0::2], x_f32[1::2])
-        return capture_step(x, state, ctl, cfg)
+    def step(x_in, state, ctl):
+        return capture_step(_to_complex(x_in), state, ctl, cfg)
 
-    return jax.jit(step_f32)
+    return jax.jit(step)
+
+
+def jit_capture_multi(cfg: CapturePipelineConfig, n_blocks: int):
+    """Jitted multi-block step: ``lax.scan`` over ``n_blocks`` stacked
+    blocks in ONE dispatch.  Outputs gain a leading block axis; the packed
+    buffer is fetched once for the whole batch.  Amortizes the fixed
+    relay round trip (the reference has no equivalent — its per-block
+    Python loop pays the dispatch cost every block)."""
+
+    def multi(x_rows, state, ctl):
+        def body(st, row):
+            out, st2 = capture_step(_to_complex(row), st, ctl, cfg)
+            return st2, out
+
+        state, outs = jax.lax.scan(body, state, x_rows)
+        return outs, state
+
+    return jax.jit(multi)
 
 
 def jit_pipeline_init(cfg: CapturePipelineConfig):

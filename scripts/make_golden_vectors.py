@@ -1,0 +1,98 @@
+"""One-time generator for cross-implementation golden parity vectors.
+
+Runs the REFERENCE implementation's numpy DSP (``/root/reference/backend``:
+``dsp/fm.py`` wbfm_demod, ``dsp/p25/c4fm.py`` C4FMDemodulator.demodulate)
+on deterministic synthetic IQ and stores input + reference output in
+``tests/golden/*.npz``.  ``tests/test_reference_parity.py`` then pins this
+repo's demodulators against those vectors, so a shared spec
+misunderstanding between our modulator and demodulator cannot pass
+silently (VERDICT round 1, missing item 10).
+
+Run offline:  python scripts/make_golden_vectors.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+REPO = Path(__file__).resolve().parent.parent
+OUT = REPO / "tests" / "golden"
+
+
+def make_wbfm_iq(fs=240_000, seconds=1.0, seed=7):
+    """Deterministic WBFM program: 1 kHz + 400 Hz tones, 75 kHz deviation."""
+    t = np.arange(int(fs * seconds)) / fs
+    program = 0.6 * np.sin(2 * np.pi * 1000 * t) + 0.3 * np.sin(2 * np.pi * 400 * t)
+    phase = 2 * np.pi * 75_000 * np.cumsum(program) / fs
+    iq = np.exp(1j * phase).astype(np.complex64)
+    rng = np.random.default_rng(seed)
+    iq = iq + (0.001 * (rng.standard_normal(len(t)) + 1j * rng.standard_normal(len(t)))).astype(
+        np.complex64
+    )
+    return iq
+
+
+def make_c4fm_iq():
+    """C4FM IQ from this repo's modulator carrying real P25 frames (TSDU
+    grants + an LDU), at 48 kHz / 10 samples per symbol."""
+    sys.path.insert(0, str(REPO))
+    from wavecap_tpu.decoders import p25_frames as pf
+    from wavecap_tpu.decoders import p25_tsbk as tsbk
+    from wavecap_tpu.models.p25.c4fm import modulate_c4fm
+
+    rng = np.random.default_rng(11)
+    frames = [np.zeros(120, np.uint8)]
+    for i in range(6):
+        data = tsbk.make_group_grant_data(
+            band=1, channel_number=0x100 + i, tgid=100 + i, source_id=7000 + i
+        )
+        block = pf.encode_tsbk_block(tsbk.TSBKOpcode.GRP_V_CH_GRANT, data, last=True)
+        frames.append(pf.build_tsdu_frame(0x293, [block]))
+        frames.append(rng.integers(0, 4, 40).astype(np.uint8))  # inter-frame noise
+    dibits = np.concatenate(frames + [np.zeros(120, np.uint8)])
+    iq = np.asarray(modulate_c4fm(dibits, sample_rate=48_000)).astype(np.complex64)
+    noise = np.random.default_rng(13)
+    iq = iq + 0.02 * (
+        noise.standard_normal(len(iq)) + 1j * noise.standard_normal(len(iq))
+    ).astype(np.complex64)
+    return dibits, iq
+
+
+def main() -> None:
+    sys.path.insert(0, "/root/reference/backend")
+    from wavecapsdr.dsp.fm import wbfm_demod
+    from wavecapsdr.dsp.p25.c4fm import C4FMDemodulator
+
+    OUT.mkdir(parents=True, exist_ok=True)
+
+    iq = make_wbfm_iq()
+    audio = wbfm_demod(iq, 240_000, audio_rate=48_000)
+    np.savez_compressed(
+        OUT / "wbfm_parity.npz",
+        iq=iq,
+        sample_rate=240_000,
+        audio_rate=48_000,
+        ref_audio=audio.astype(np.float32),
+    )
+    print(f"wbfm: {len(iq)} iq -> {len(audio)} ref audio samples")
+
+    tx_dibits, c4iq = make_c4fm_iq()
+    demod = C4FMDemodulator(sample_rate=48_000)
+    ref_dibits, ref_soft = demod.demodulate(c4iq)
+    np.savez_compressed(
+        OUT / "c4fm_parity.npz",
+        iq=c4iq,
+        sample_rate=48_000,
+        tx_dibits=tx_dibits.astype(np.uint8),
+        ref_dibits=np.asarray(ref_dibits, np.uint8),
+    )
+    print(f"c4fm: {len(c4iq)} iq -> {len(ref_dibits)} ref dibits")
+
+
+if __name__ == "__main__":
+    main()

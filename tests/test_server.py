@@ -393,3 +393,52 @@ class TestTrunkingWorkerMode:
                 assert any(s["id"] == "w1" for s in systems)
         finally:
             h.stop()
+
+
+class TestDeviceHealthAndClassifier:
+    def test_device_health_endpoint(self, client):
+        r = client.get("/devices/health")
+        assert r.status_code == 200
+        body = r.json()
+        assert "recovery" in body and "captures" in body
+        assert body["recovery"]["service"] == "sdrplay"
+
+    def test_service_restart_endpoint_applies_policy(self, client, harness):
+        calls = []
+        harness.server.state.recovery.runner = lambda cmd, timeout=30.0: (
+            calls.append(cmd) or (0, "ok")
+        )
+        r = client.post("/devices/service/restart")
+        assert r.status_code == 200 and r.json()["ok"]
+        assert calls and calls[0][:2] == ["systemctl", "restart"]
+        # cooldown: immediate second attempt is denied
+        r2 = client.post("/devices/service/restart")
+        assert r2.status_code == 429 and r2.json()["reason"] == "cooldown"
+
+    def test_device_nickname_roundtrip(self, client):
+        devs = client.get("/devices").json()
+        did = devs[0]["id"]
+        r = client.put(f"/devices/{did}/nickname", json={"nickname": "rooftop"})
+        assert r.status_code == 200
+        devs = client.get("/devices").json()
+        assert devs[0]["nickname"] == "rooftop"
+
+    def test_classified_channels_endpoint(self, client):
+        r = client.post("/captures", json={"centerHz": 155e6, "sampleRate": 800_000})
+        cid = r.json()["id"]
+        client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 155.02e6},
+        )
+        client.post(f"/captures/{cid}/start")
+        try:
+            for _ in range(120):
+                body = client.get(f"/captures/{cid}/classified-channels").json()
+                if body["frames"] >= 20:
+                    break
+                time.sleep(0.25)
+            assert body["captureId"] == cid
+            assert body["frames"] >= 20
+            assert isinstance(body["channels"], list)
+        finally:
+            client.post(f"/captures/{cid}/stop")

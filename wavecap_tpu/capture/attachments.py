@@ -113,19 +113,25 @@ class FlexAttachment(ChannelAttachment):
 
 
 class RdsAttachment(ChannelAttachment):
-    """RDS needs the pre-MPX FM baseband; WBFM channels publish 48 kHz
-    audio post-MPX, so this attachment works from the capture's raw
-    baseband when available — here we consume the channel audio resampled
-    path only to keep state; the decoder reads the baseband fan-out the
-    capture publishes for wide channels."""
+    """RDS decodes from the pre-MPX FM discriminator baseband: the 57 kHz
+    subcarrier cannot survive the 48 kHz audio path, so this attachment
+    subscribes to the wide slot's 240 kHz ``baseband`` fan-out (exported
+    by the capture pipeline when enabled — reference taps the equivalent
+    point in its capture loop, capture.py:2871-2894)."""
 
     kind = "rds"
 
-    def __init__(self, channel, audio_rate: int = 240_000):
+    def __init__(self, channel, audio_rate: int = 48_000, capture=None):
+        from wavecap_tpu.capture.pipeline import WIDE_RATE
         from wavecap_tpu.decoders.rds import RDSDecoder
 
-        self.decoder = RDSDecoder(audio_rate)
-        super().__init__(channel, audio_rate)
+        self.decoder = RDSDecoder(WIDE_RATE)
+        if capture is not None and hasattr(capture, "enable_wide_baseband"):
+            capture.enable_wide_baseband()
+        super().__init__(channel, WIDE_RATE)
+        # swap the default audio subscription for the baseband fan-out
+        self._sub.close()
+        self._sub = channel.baseband.subscribe(maxsize=64)
 
     def process(self, audio: np.ndarray) -> list:
         data = self.decoder.process_baseband(audio)

@@ -50,6 +50,11 @@ class ChannelClassifier:
             for row in s:
                 self.update(row)
             return
+        if self.frames == 0:
+            # seed from the first frame: starting the mean at -120 dB
+            # poisons the variance EMA with a burn-in transient that takes
+            # hundreds of frames to decay
+            self.mean = s.copy()
         d = s - self.mean
         self.mean += self.alpha * d
         self.var = (1 - self.alpha) * (self.var + self.alpha * d * d)

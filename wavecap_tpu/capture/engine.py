@@ -88,6 +88,7 @@ class ChannelHandle:
         self.slot = slot
         self.audio = FanOut(maxsize=32)
         self.symbols = FanOut(maxsize=32)  # P25 soft-symbol batches
+        self.baseband = FanOut(maxsize=16)  # wide pre-MPX discriminator
         self.rssi_db: float = -200.0
         self.rssi_history: list = []  # (time, rssi) ring, ~5 min at 5 Hz
         self.state = "active"
@@ -131,6 +132,17 @@ class Capture:
         self._ctl_dirty = True
         # in-flight dispatched batches: (out, blocks, channels, t0)
         self._pending: list = []
+        self._wide_baseband = False
+        # driver-service recovery escalation (set by the CaptureManager)
+        self.recovery = None
+
+        # channel-activity classifier fed from every spectrum frame
+        # (reference capture.py:2399 -> channel_classifier.py)
+        from wavecap_tpu.capture.classifier import ChannelClassifier
+
+        self.classifier = ChannelClassifier(
+            config.center_hz, config.sample_rate, config.fft_size
+        )
 
         # metrics
         self.blocks_processed = 0
@@ -262,6 +274,12 @@ class Capture:
             # map through stale bin spacing and P25 blocks slip symbols.
             self._compute_block_size()
             self._pipe_cfg = None  # block size changes: full rebuild
+        if center_hz is not None or sample_rate is not None:
+            from wavecap_tpu.capture.classifier import ChannelClassifier
+
+            self.classifier = ChannelClassifier(
+                self.config.center_hz, self.config.sample_rate, self.config.fft_size
+            )
         self._ctl_dirty = True
         if was_running:
             self.start()
@@ -278,6 +296,15 @@ class Capture:
                 }
             )
         )
+
+    def enable_wide_baseband(self) -> None:
+        """Turn on the 240 kHz pre-MPX baseband export for wide slots
+        (RDS consumers); triggers a pipeline rebuild on the next block."""
+        if not self._wide_baseband:
+            with self._lock:
+                self._wide_baseband = True
+                self._rebuild_pipeline_if_needed()
+                self._ctl_dirty = True
 
     def _make_pipe_cfg(self) -> pl.CapturePipelineConfig:
         cfg = self.config
@@ -296,6 +323,7 @@ class Capture:
             p25_capacity=cfg.p25_capacity if "p25" in groups else 0,
             p25_modulation=cfg.p25_modulation,
             audio_rate=cfg.audio_rate,
+            export_wide_baseband=self._wide_baseband and "wide" in groups,
         )
 
     def _rebuild_pipeline_if_needed(self) -> None:
@@ -455,6 +483,21 @@ class Capture:
                     self.error = reason
                     return
                 continue  # keep monitoring from this thread
+            # plain restarts exhausted: escalate to driver-service recovery
+            # (reference sdrplay_recovery.py health monitor) before failing
+            if self.recovery is not None:
+                result = self.recovery.restart_service()
+                ERROR_TRACKER.record(
+                    "capture_recovery", self.id, f"service restart: {result}"
+                )
+                if result.get("ok"):
+                    self._restart_times = []
+                    try:
+                        self.stop()
+                        self.start()
+                        continue
+                    except Exception:  # pragma: no cover
+                        pass
             self.state = "failed"
             self.error = reason
             return
@@ -600,7 +643,9 @@ class Capture:
             out = _jax.tree_util.tree_map(np.asarray, unpacked)
         now = time.time()
         for b in range(n):
-            self.spectrum_subs.publish(np.asarray(out["spectrum"][b]))
+            spec = np.asarray(out["spectrum"][b])
+            self.spectrum_subs.publish(spec)
+            self.classifier.update(spec)
             if self.iq_subs.active:
                 self.iq_subs.publish(blocks[b])
             for ch in channels:
@@ -625,6 +670,8 @@ class Capture:
                     continue
                 ch.record_rssi(float(grp["rssi"][b][ch.slot]), now)
                 ch.audio.publish(grp["audio"][b][ch.slot])
+                if "baseband" in grp and ch.baseband.active:
+                    ch.baseband.publish(grp["baseband"][b][ch.slot])
         self.blocks_processed += n
         self.last_block_time = time.time()
         self.block_ms = (time.perf_counter() - t0) * 1e3 / n
@@ -658,10 +705,13 @@ class Capture:
 class CaptureManager:
     """Create/start/stop captures over a device driver (reference :3340)."""
 
-    def __init__(self, driver, max_captures: int = 4):
+    def __init__(self, driver, max_captures: int = 4, recovery=None):
         self.driver = driver
         self.max_captures = max_captures
         self.captures: dict[str, Capture] = {}
+        # shared ServiceRecovery for driver-level escalation (cooldown +
+        # hourly caps live in the policy, so sharing one is what you want)
+        self.recovery = recovery
         self._lock = threading.RLock()
 
     def list_devices(self):
@@ -679,6 +729,7 @@ class CaptureManager:
             dev_id = device_id or devices[0].id
             device = self.driver.open(dev_id)
             cap = Capture(device, config or CaptureConfig())
+            cap.recovery = self.recovery
             self.captures[cap.id] = cap
             return cap
 

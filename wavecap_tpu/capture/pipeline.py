@@ -88,6 +88,10 @@ class CapturePipelineConfig:
     p25_capacity: int = 0
     p25_modulation: str = "c4fm"  # c4fm | cqpsk (LSM/simulcast)
     audio_rate: int = 48_000
+    # export the per-slot pre-MPX FM discriminator at the wide IF rate
+    # (RDS consumers need the 57 kHz subcarrier, which cannot survive the
+    # 48 kHz audio path) — costs ~1 MB/s/slot of fetch, so opt-in
+    export_wide_baseband: bool = False
 
     def channelizer(self) -> ChannelizerConfig:
         return ChannelizerConfig(
@@ -217,7 +221,13 @@ def control_init(cfg: CapturePipelineConfig) -> CaptureControl:
     return CaptureControl(banks=banks, wide=wide, p25=p25)
 
 
-def _wide_step(iq, state: WideState, assign: WideAssignment, cfg: WideSlotConfig):
+def _wide_step(
+    iq,
+    state: WideState,
+    assign: WideAssignment,
+    cfg: WideSlotConfig,
+    export_baseband: bool = False,
+):
     taps = jnp.asarray(_wide_taps(cfg))
     wb_cfg = models.WbfmConfig(sample_rate=cfg.if_rate, audio_rate=cfg.audio_rate)
 
@@ -225,16 +235,19 @@ def _wide_step(iq, state: WideState, assign: WideAssignment, cfg: WideSlotConfig
         shifted, phase1 = ops.freq_shift(iq, -offset, cfg.sample_rate, phase0)
         dec, tail = ops.fir_decimate(shifted, taps, cfg.decim, tail)
         rssi = ops.rssi_dbfs(dec)
-        audio, dstate = models.wbfm_demod(dec, dstate, wb_cfg)
-        return audio, rssi, phase1, tail, dstate
+        audio, fm, dstate = models.wbfm_demod_baseband(dec, dstate, wb_cfg)
+        return audio, fm, rssi, phase1, tail, dstate
 
-    audio, rssi, phases, tails, dstates = jax.vmap(per_slot)(
+    audio, fm, rssi, phases, tails, dstates = jax.vmap(per_slot)(
         assign.offset_hz, state.nco_phase, state.fir_tail, state.demod_states
     )
     audio = ops.squelch_gate(audio, rssi, assign.squelch_db)
     audio = jnp.where(assign.active[:, None], audio, jnp.zeros_like(audio))
     rssi = jnp.where(assign.active, rssi, jnp.full_like(rssi, -200.0))
-    return {"audio": audio, "rssi": rssi}, WideState(phases, tails, dstates)
+    out = {"audio": audio, "rssi": rssi}
+    if export_baseband:
+        out["baseband"] = fm
+    return out, WideState(phases, tails, dstates)
 
 
 def capture_step(
@@ -269,7 +282,9 @@ def capture_step(
 
     new_wide = state.wide
     if cfg.wide_capacity > 0 and state.wide is not None and ctl.wide is not None:
-        wo, new_wide = _wide_step(x, state.wide, ctl.wide, cfg.wide_cfg())
+        wo, new_wide = _wide_step(
+            x, state.wide, ctl.wide, cfg.wide_cfg(), cfg.export_wide_baseband
+        )
         out["wide"] = wo
 
     new_p25 = state.p25

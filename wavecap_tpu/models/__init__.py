@@ -5,6 +5,7 @@ from .analog import (
     WbfmState,
     wbfm_init,
     wbfm_demod,
+    wbfm_demod_baseband,
     NbfmConfig,
     NbfmState,
     nbfm_init,

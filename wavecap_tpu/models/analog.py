@@ -98,6 +98,14 @@ def wbfm_init(cfg: WbfmConfig) -> WbfmState:
 
 def wbfm_demod(iq: jnp.ndarray, state: WbfmState, cfg: WbfmConfig):
     """Wideband broadcast FM -> mono audio at ``cfg.audio_rate``."""
+    audio, _fm, st = wbfm_demod_baseband(iq, state, cfg)
+    return audio, st
+
+
+def wbfm_demod_baseband(iq: jnp.ndarray, state: WbfmState, cfg: WbfmConfig):
+    """Like :func:`wbfm_demod` but also returns the pre-MPX discriminator
+    baseband at the input rate — the signal the 57 kHz RDS subcarrier
+    lives in (reference taps it in the capture loop, capture.py:2871)."""
     ar = cfg.audio_rate
     if cfg.enable_noise_blanker:
         iq = noise_ops.noise_blanker(iq, cfg.noise_blanker_threshold_db)
@@ -118,7 +126,7 @@ def wbfm_demod(iq: jnp.ndarray, state: WbfmState, cfg: WbfmConfig):
         audio = noise_ops.spectral_noise_reduction(audio, cfg.noise_reduction_db)
     audio = ops.rms_normalize(audio, cfg.target_rms)
     audio = ops.soft_clip(audio)
-    return audio, WbfmState(disc_prev, deemph, mpx_z, hp_z, notch_z, rs_tail)
+    return audio, fm, WbfmState(disc_prev, deemph, mpx_z, hp_z, notch_z, rs_tail)
 
 
 # ---------------------------------------------------------------------------

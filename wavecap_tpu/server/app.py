@@ -61,7 +61,17 @@ class AppState:
     def __init__(self, cfg: config_mod.AppConfig):
         self.config = cfg
         self.driver = create_device_driver(cfg)
-        self.captures = CaptureManager(self.driver, max_captures=cfg.limits.max_captures)
+        from wavecap_tpu.devices.recovery import ServiceRecovery, UsbPowerCycler
+
+        # driver-service recovery + USB power cycling (reference
+        # sdrplay_recovery.py / uhubctl.py, served at api.py:1098-1191)
+        self.recovery = ServiceRecovery()
+        self.usb = UsbPowerCycler()
+        self.captures = CaptureManager(
+            self.driver,
+            max_captures=cfg.limits.max_captures,
+            recovery=self.recovery,
+        )
         self.trunking = TrunkingManager(self.captures)
         # process-per-device mode (reference trunking_workers config,
         # state.py:78-86): systems run in worker processes; the in-process
@@ -79,6 +89,36 @@ class AppState:
         self._trunking_event_subs: set = set()
         self.scanners: dict = {}
         self.attachments: dict = {}  # (channel_id, kind) -> attachment
+        self.nicknames = self._load_nicknames()
+
+    # -- device nicknames (persisted next to trunking state) --------------
+
+    def _nickname_path(self):
+        from pathlib import Path
+
+        return Path.home() / ".wavecap_tpu" / "device_nicknames.json"
+
+    def _load_nicknames(self) -> dict:
+        import json
+
+        try:
+            return json.loads(self._nickname_path().read_text())
+        except (OSError, ValueError):
+            return {}
+
+    def set_nickname(self, device_id: str, nickname) -> None:
+        import json
+
+        if nickname:
+            self.nicknames[device_id] = str(nickname)
+        else:
+            self.nicknames.pop(device_id, None)
+        try:
+            p = self._nickname_path()
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_text(json.dumps(self.nicknames, indent=2))
+        except OSError:  # pragma: no cover
+            logger.warning("could not persist device nicknames")
 
     # -- id helpers --------------------------------------------------------
 
@@ -188,6 +228,7 @@ def build_router(state: AppState) -> Router:
     # ---- devices ----
     @r.get(v1 + "/devices")
     async def devices(req: Request) -> Response:
+        nicks = state.nicknames
         return Response.json(
             [
                 {
@@ -195,10 +236,72 @@ def build_router(state: AppState) -> Router:
                     "driver": d.driver,
                     "label": d.label,
                     "serial": d.serial,
+                    "nickname": nicks.get(d.id),
                 }
                 for d in state.captures.list_devices()
             ]
         )
+
+    @r.put(v1 + "/devices/{did}/nickname")
+    async def device_nickname_set(req: Request) -> Response:
+        """Persist a user nickname for a device (reference device naming)."""
+        nick = (req.json() or {}).get("nickname")
+        state.set_nickname(req.params["did"], nick)
+        return Response.json({"id": req.params["did"], "nickname": nick})
+
+    @r.get(v1 + "/devices/health")
+    async def devices_health(req: Request) -> Response:
+        """Driver/service recovery status + per-capture health (reference
+        api.py:1098 sdrplay health endpoints)."""
+        return Response.json(
+            {
+                "recovery": state.recovery.status(),
+                "usbPowerCycle": {"available": state.usb.available()},
+                "captures": [
+                    {
+                        "id": c.id,
+                        "state": c.state,
+                        "error": c.error,
+                        "restartCount": c.restart_count,
+                        "overflowCount": c.overflow_count,
+                        "lastBlockAge": (
+                            round(time.time() - c.last_block_time, 1)
+                            if c.last_block_time
+                            else None
+                        ),
+                    }
+                    for c in state.captures.captures.values()
+                ],
+            }
+        )
+
+    @r.post(v1 + "/devices/service/restart")
+    async def device_service_restart(req: Request) -> Response:
+        """Restart the SDR driver service (cooldown + hourly caps apply;
+        reference api.py sdrplay restart)."""
+        result = await asyncio.to_thread(state.recovery.restart_service)
+        status = 200 if result.get("ok") else 429
+        return Response.json(result, status=status)
+
+    @r.get(v1 + "/devices/usb/hubs")
+    async def usb_hubs(req: Request) -> Response:
+        if not state.usb.available():
+            raise HttpError(501, "uhubctl not installed")
+        return Response.json(await asyncio.to_thread(state.usb.list_hubs))
+
+    @r.post(v1 + "/devices/usb/power-cycle")
+    async def usb_power_cycle(req: Request) -> Response:
+        """Power-cycle a USB port (reference uhubctl.py integration)."""
+        if not state.usb.available():
+            raise HttpError(501, "uhubctl not installed")
+        body = req.json()
+        result = await asyncio.to_thread(
+            state.usb.power_cycle,
+            str(body["hub"]),
+            str(body["port"]),
+            float(body.get("delaySeconds", 2.0)),
+        )
+        return Response.json(result)
 
     # ---- captures ----
     @r.get(v1 + "/captures")
@@ -274,6 +377,24 @@ def build_router(state: AppState) -> Router:
                 "centerHz": cap.config.center_hz,
                 "sampleRate": cap.config.sample_rate,
                 "db": [round(float(x), 1) for x in frame],
+            }
+        )
+
+    @r.get(v1 + "/captures/{cid}/classified-channels")
+    async def capture_classified(req: Request) -> Response:
+        """Channels the activity classifier found in the capture span
+        (reference api.py /classified-channels <- channel_classifier)."""
+        cap = state.get_capture(req.params["cid"])
+        from dataclasses import asdict
+
+        min_occ = float(req.query.get("minOccupancy", "0.3"))
+        return Response.json(
+            {
+                "captureId": cap.id,
+                "frames": cap.classifier.frames,
+                "channels": [
+                    asdict(c) for c in cap.classifier.classify(min_occupancy=min_occ)
+                ],
             }
         )
 
@@ -831,7 +952,12 @@ def build_router(state: AppState) -> Router:
         key = (ch.id, kind)
         if key in state.attachments:
             raise HttpError(409, "attachment exists")
-        att = cls(ch, audio_rate=state.config.stream.audio_rate)
+        if kind == "rds":
+            # RDS consumes the wide slot's pre-MPX baseband; enabling the
+            # export rebuilds the capture pipeline once
+            att = cls(ch, capture=cap)
+        else:
+            att = cls(ch, audio_rate=state.config.stream.audio_rate)
         state.attachments[key] = att
         return Response.json(att.status(), status=201)
 

@@ -202,6 +202,9 @@ class Router:
     def post(self, p):
         return self.route("POST", p)
 
+    def put(self, p):
+        return self.route("PUT", p)
+
     def patch(self, p):
         return self.route("PATCH", p)
 

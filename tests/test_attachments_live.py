@@ -141,7 +141,9 @@ class TestRecoveryEscalation:
         cap.device.start_stream = dead_start_stream
         cap.start()
         try:
-            assert wait_for(lambda: len(calls) >= 1, timeout=30)
+            # generous horizon: under a full-suite run the pipeline compile
+            # inside start() can take tens of seconds on a loaded CPU
+            assert wait_for(lambda: len(calls) >= 1, timeout=120)
             assert calls[0][:2] == ["systemctl", "restart"]
             assert recovery.state.total_restarts >= 1
         finally:

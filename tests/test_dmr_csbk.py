@@ -1,0 +1,172 @@
+"""DMR CSBK depth + P25 confirmed-data PDU (3/4-rate trellis).
+
+Round-trip tests in the reference's style (encode -> corrupt -> decode);
+scope per VERDICT #10: CSBK field parsing (grants, aloha, preamble, idle)
+and confirmed-data PDUs, both absent from the reference implementation.
+"""
+
+import numpy as np
+import pytest
+
+from wavecap_tpu.decoders import dmr
+from wavecap_tpu.decoders import p25_frames as pf
+from wavecap_tpu.decoders.fec import bptc, trellis
+
+
+class TestBPTC:
+    def test_roundtrip_clean(self):
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            b = rng.integers(0, 2, 96).astype(np.uint8)
+            out, clean = bptc.decode_bptc_196(bptc.encode_bptc_196(b))
+            assert clean and np.array_equal(out, b)
+
+    def test_corrects_scattered_errors(self):
+        rng = np.random.default_rng(1)
+        recovered = 0
+        for _ in range(50):
+            b = rng.integers(0, 2, 96).astype(np.uint8)
+            tx = bptc.encode_bptc_196(b)
+            tx[rng.choice(196, 3, replace=False)] ^= 1
+            out, _ = bptc.decode_bptc_196(tx)
+            recovered += np.array_equal(out, b)
+        assert recovered >= 45  # row+col iteration fixes nearly all 3-bit hits
+
+
+class TestSlotType:
+    def test_roundtrip_and_correction(self):
+        st = dmr.encode_slot_type(color_code=11, data_type=dmr.DataType.CSBK)
+        assert st.shape == (20,)
+        cc, dt, errs = dmr.decode_slot_type(st)
+        assert (cc, dt, errs) == (11, dmr.DataType.CSBK, 0)
+        st2 = st.copy()
+        st2[[1, 9, 17]] ^= 1  # Golay(20,8,7) corrects 3
+        cc, dt, errs = dmr.decode_slot_type(st2)
+        assert (cc, dt) == (11, dmr.DataType.CSBK) and errs == 3
+
+
+class TestCSBK:
+    @pytest.mark.parametrize(
+        "op,name",
+        [(0x30, "PV_GRANT"), (0x31, "TV_GRANT"), (0x34, "TD_GRANT")],
+    )
+    def test_grant_roundtrip(self, op, name):
+        bits = dmr.make_csbk_bits(
+            op, fid=0, channel=1234, slot=1, dst_id=777, src_id=123456, emergency=True
+        )
+        msg = dmr.parse_csbk(bits)
+        assert msg["type"] == name
+        assert msg["channel"] == 1234 and msg["slot"] == 1
+        assert msg["dst_id"] == 777 and msg["src_id"] == 123456
+        assert msg["emergency"] is True
+
+    def test_preamble_and_aloha(self):
+        p = dmr.parse_csbk(
+            dmr.make_csbk_bits(0x3D, data_follows=True, blocks_to_follow=4, dst_id=9, src_id=8)
+        )
+        assert p["type"] == "PREAMBLE" and p["blocks_to_follow"] == 4 and p["data_follows"]
+        a = dmr.parse_csbk(dmr.make_csbk_bits(0x19, net=0x1234, site=7, ms_id=42))
+        assert a["type"] == "C_ALOHA" and a["net"] == 0x1234 and a["site"] == 7
+
+    def test_bad_crc_rejected(self):
+        bits = dmr.make_csbk_bits(0x31, channel=1, dst_id=2, src_id=3)
+        bits[40] ^= 1
+        assert dmr.parse_csbk(bits) is None
+
+
+class TestBurstDecode:
+    def test_csbk_burst_through_framer(self):
+        """Full path: modulated burst symbols -> framer -> decode_burst."""
+        bits = dmr.make_csbk_bits(0x31, channel=101, slot=0, dst_id=2001, src_id=700123)
+        d = dmr.build_data_burst(bits, dmr.DataType.CSBK, color_code=7)
+        dec = dmr.DMRDecoder()
+        soft = np.concatenate(
+            [np.zeros(30, np.float32), dmr.DIBIT_SYMBOLS[d], np.zeros(30, np.float32)]
+        )
+        bursts = dec.process(soft)
+        assert len(bursts) == 1
+        msg = dmr.decode_burst(bursts[0])
+        assert msg["type"] == "TV_GRANT" and msg["colorCode"] == 7
+        assert msg["dst_id"] == 2001 and msg["src_id"] == 700123
+        assert msg["bptcClean"]
+
+    def test_idle_and_voice_lc(self):
+        idle = dmr.build_data_burst(np.zeros(96, np.uint8), dmr.DataType.IDLE)
+        m = dmr.decode_burst(dmr.DMRBurst(kind="BS_DATA", dibits=idle, sync_quality=1.0))
+        assert m["dataTypeName"] == "IDLE"
+
+        lc = np.zeros(96, np.uint8)
+        # FLCO=0 (group voice), dst=300, src=400
+        for i in range(24):
+            lc[24 + i] = (300 >> (23 - i)) & 1
+            lc[48 + i] = (400 >> (23 - i)) & 1
+        b = dmr.build_data_burst(lc, dmr.DataType.VOICE_LC_HEADER, kind="BS_VOICE")
+        m = dmr.decode_burst(dmr.DMRBurst(kind="BS_VOICE", dibits=b, sync_quality=1.0))
+        assert m["dataTypeName"] == "VOICE_LC_HEADER"
+        assert m["dst_id"] == 300 and m["src_id"] == 400
+
+    def test_corrupted_burst_still_decodes(self):
+        bits = dmr.make_csbk_bits(0x33, channel=55, dst_id=1, src_id=2)
+        d = dmr.build_data_burst(bits, dmr.DataType.CSBK)
+        d[20] ^= 1  # info dibit error
+        d[63] ^= 2  # slot-type dibit error
+        msg = dmr.decode_burst(dmr.DMRBurst(kind="BS_DATA", dibits=d, sync_quality=1.0))
+        assert msg is not None and msg["type"] == "PD_GRANT" and msg["channel"] == 55
+
+
+class TestTrellis34:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(2)
+        bits = rng.integers(0, 2, 144).astype(np.uint8)
+        tx = trellis.encode_bits_34(bits)
+        assert tx.shape == (196,)
+        dec, err = trellis.viterbi_decode_bits_34(tx)
+        assert err == 0 and np.array_equal(dec, bits)
+
+    def test_soft_beats_noise(self):
+        rng = np.random.default_rng(3)
+        bits = rng.integers(0, 2, 144).astype(np.uint8)
+        d = trellis.encode_bits_34(bits)
+        rxd = (d[0::2] << 1) | d[1::2]
+        soft = trellis._DIBIT_VALUES[rxd].reshape(-1, 2)
+        soft = soft + rng.normal(0, 0.6, soft.shape).astype(np.float32)
+        tri, _ = trellis.viterbi_decode_soft_34(soft)
+        out = np.empty(144, np.uint8)
+        out[0::3] = (tri >> 2) & 1
+        out[1::3] = (tri >> 1) & 1
+        out[2::3] = tri & 1
+        assert np.array_equal(out, bits)
+
+
+class TestConfirmedPDU:
+    def test_roundtrip_hard_and_soft(self):
+        data = bytes(range(40))
+        payload = pf.encode_pdu(
+            sap=0x04, llid=0x123456, data=data, fmt=pf.PDU_FMT_CONFIRMED
+        )
+        frame = pf.decode_pdu(payload)
+        assert frame.header.fmt == pf.PDU_FMT_CONFIRMED
+        assert frame.block_crc_ok == frame.block_total == 3
+        assert frame.crc32_valid and frame.data == data
+
+        rng = np.random.default_rng(4)
+        soft = dmr.DIBIT_SYMBOLS[payload].astype(np.float32)
+        soft = soft + rng.normal(0, 0.5, soft.shape).astype(np.float32)
+        f2 = pf.decode_pdu(payload, soft)
+        assert f2.data == data and f2.crc32_valid
+
+    def test_block_crc9_flags_corruption(self):
+        data = bytes(32)
+        payload = pf.encode_pdu(sap=0, llid=1, data=data, fmt=pf.PDU_FMT_CONFIRMED)
+        # smash a whole data block beyond trellis repair
+        payload = payload.copy()
+        payload[120:170] = (payload[120:170] + 2) % 4
+        frame = pf.decode_pdu(payload)
+        assert frame.block_crc_ok < frame.block_total
+
+    def test_unconfirmed_still_works(self):
+        data = b"hello world, this is packet data"
+        payload = pf.encode_pdu(sap=0x04, llid=7, data=data)
+        frame = pf.decode_pdu(payload)
+        assert frame.data == data and frame.crc32_valid
+        assert frame.block_crc_ok == frame.block_total

@@ -115,3 +115,272 @@ def build_test_burst(kind: str = "BS_DATA", rng=None) -> np.ndarray:
     d = rng.integers(0, 4, BURST_DIBITS).astype(np.uint8)
     d[SYNC_OFFSET : SYNC_OFFSET + 24] = SYNC_DIBITS[kind]
     return d
+
+
+# ---------------------------------------------------------------------------
+# Slot type, CSBK, and full-LC parsing (ETSI TS 102 361-1 / -4).
+#
+# The reference's DMR decoder stops at placeholder sync + hand-waved field
+# extraction (reference ``decoders/dmr.py:120-157``); this implements the
+# real burst anatomy: Golay(20,8)-protected slot type, BPTC(196,96) info
+# field, CSBK with masked CRC-CCITT, Tier III grant/aloha/preamble opcodes,
+# and the voice LC header fields.
+# ---------------------------------------------------------------------------
+
+from enum import IntEnum
+
+from .fec import bptc as _bptc
+from .fec import golay as _golay
+
+
+class DataType(IntEnum):
+    PI_HEADER = 0
+    VOICE_LC_HEADER = 1
+    TERMINATOR_WITH_LC = 2
+    CSBK = 3
+    MBC_HEADER = 4
+    MBC_CONTINUATION = 5
+    DATA_HEADER = 6
+    RATE_12_DATA = 7
+    RATE_34_DATA = 8
+    IDLE = 9
+    RATE_1_DATA = 10
+
+
+# burst dibit geometry: CACH 0-11, info 12-60, slot-type 61-65,
+# sync 66-89, slot-type 90-94, info 95-143
+_ST_FIRST = slice(61, 66)
+_ST_SECOND = slice(90, 95)
+_INFO_FIRST = slice(12, 61)
+_INFO_SECOND = slice(95, 144)
+
+
+def _dibits_to_bits(d: np.ndarray) -> np.ndarray:
+    out = np.empty(2 * len(d), np.uint8)
+    out[0::2] = (d >> 1) & 1
+    out[1::2] = d & 1
+    return out
+
+
+def _bits_to_dibits(b: np.ndarray) -> np.ndarray:
+    return ((b[0::2] << 1) | b[1::2]).astype(np.uint8)
+
+
+def encode_slot_type(color_code: int, data_type: int) -> np.ndarray:
+    """(CC, data type) -> 20 slot-type bits.
+
+    Golay(20,8,7) = the extended Golay(24,12) shortened by the 4 leading
+    (zero) data bits (ETSI B.3.4).
+    """
+    data8 = ((color_code & 0xF) << 4) | (data_type & 0xF)
+    return _golay.encode(data8)[4:]
+
+
+def decode_slot_type(bits20: np.ndarray) -> tuple[int, int, int] | None:
+    """20 bits -> (color_code, data_type, corrected_errors) or None."""
+    full = np.concatenate([np.zeros(4, np.uint8), np.asarray(bits20, np.uint8)])
+    data12, errs = _golay.decode(full)
+    if errs < 0 or data12 > 0xFF:
+        return None
+    return (data12 >> 4) & 0xF, data12 & 0xF, errs
+
+
+CSBK_CRC_MASK = 0xA5A5
+# full-LC CRC masks differ per header type (ETSI B.2.1) — parity currently
+# reported raw, not verified (RS(12,9) over GF(256) not implemented).
+
+CSBK_OPCODES = {
+    0x19: "C_ALOHA",
+    0x1F: "P_MAINT",
+    0x26: "NACK_RSP",
+    0x30: "PV_GRANT",
+    0x31: "TV_GRANT",
+    0x32: "BTV_GRANT",
+    0x33: "PD_GRANT",
+    0x34: "TD_GRANT",
+    0x3D: "PREAMBLE",
+}
+
+_GRANT_OPS = frozenset({0x30, 0x31, 0x32, 0x33, 0x34})
+
+
+def _bits_to_int(bits: np.ndarray, start: int, n: int) -> int:
+    v = 0
+    for b in bits[start : start + n]:
+        v = (v << 1) | int(b)
+    return v
+
+
+def parse_csbk(bits96: np.ndarray) -> dict | None:
+    """96 BPTC-decoded bits -> parsed CSBK dict, or None on bad CRC.
+
+    Layout (ETSI TS 102 361-1 9.3.3): LB(1) PF(1) CSBKO(6) FID(8)
+    data(64) CRC-CCITT(16) xor 0xA5A5.
+    """
+    bits = np.asarray(bits96, np.uint8)
+    from .fec import crc as _crc
+
+    rx_crc = _bits_to_int(bits, 80, 16) ^ CSBK_CRC_MASK
+    if _crc.crc16_ccitt_bits(bits[:80], init=0xFFFF) != rx_crc:
+        return None
+    opcode = _bits_to_int(bits, 2, 6)
+    fid = _bits_to_int(bits, 8, 8)
+    out = {
+        "type": CSBK_OPCODES.get(opcode, f"CSBK_{opcode:02X}"),
+        "opcode": opcode,
+        "fid": fid,
+        "last_block": bool(bits[0]),
+    }
+    d = bits[16:80]
+    if opcode in _GRANT_OPS:
+        out.update(
+            channel=_bits_to_int(d, 0, 12),
+            slot=int(d[12]),
+            high_rate=bool(d[13]),
+            emergency=bool(d[14]),
+            dst_id=_bits_to_int(d, 16, 24),
+            src_id=_bits_to_int(d, 40, 24),
+        )
+    elif opcode == 0x3D:  # preamble: data/CSBK follows, group flag, count
+        out.update(
+            data_follows=bool(d[0]),
+            group=bool(d[1]),
+            blocks_to_follow=_bits_to_int(d, 8, 8),
+            dst_id=_bits_to_int(d, 16, 24),
+            src_id=_bits_to_int(d, 40, 24),
+        )
+    elif opcode == 0x19:  # C_ALOHA: random-access parameters + site ids
+        out.update(
+            service_function=_bits_to_int(d, 0, 8),
+            mask=_bits_to_int(d, 8, 5),
+            net=_bits_to_int(d, 16, 16),
+            site=_bits_to_int(d, 32, 8),
+            ms_id=_bits_to_int(d, 40, 24),
+        )
+    else:
+        out["data"] = bytes(np.packbits(d))
+    return out
+
+
+def make_csbk_bits(opcode: int, fid: int = 0, **fields) -> np.ndarray:
+    """Build the 96 CSBK bits (with masked CRC) for round-trip tests."""
+    from .fec import crc as _crc
+
+    bits = np.zeros(96, np.uint8)
+    bits[0] = 1  # last block
+    for i in range(6):
+        bits[2 + i] = (opcode >> (5 - i)) & 1
+    for i in range(8):
+        bits[8 + i] = (fid >> (7 - i)) & 1
+    d = bits[16:80]
+
+    def put(start, n, v):
+        for i in range(n):
+            d[start + i] = (int(v) >> (n - 1 - i)) & 1
+
+    if opcode in _GRANT_OPS:
+        put(0, 12, fields.get("channel", 0))
+        d[12] = int(fields.get("slot", 0))
+        d[13] = int(bool(fields.get("high_rate", False)))
+        d[14] = int(bool(fields.get("emergency", False)))
+        put(16, 24, fields.get("dst_id", 0))
+        put(40, 24, fields.get("src_id", 0))
+    elif opcode == 0x3D:
+        d[0] = int(bool(fields.get("data_follows", False)))
+        d[1] = int(bool(fields.get("group", True)))
+        put(8, 8, fields.get("blocks_to_follow", 0))
+        put(16, 24, fields.get("dst_id", 0))
+        put(40, 24, fields.get("src_id", 0))
+    elif opcode == 0x19:
+        put(0, 8, fields.get("service_function", 0))
+        put(8, 5, fields.get("mask", 0))
+        put(16, 16, fields.get("net", 0))
+        put(32, 8, fields.get("site", 0))
+        put(40, 24, fields.get("ms_id", 0))
+    c = _crc.crc16_ccitt_bits(bits[:80], init=0xFFFF) ^ CSBK_CRC_MASK
+    for i in range(16):
+        bits[80 + i] = (c >> (15 - i)) & 1
+    return bits
+
+
+def parse_full_lc(bits96: np.ndarray) -> dict:
+    """Voice LC header / terminator payload -> fields (ETSI 9.1.6).
+
+    72 LC bits: PF(1) R(1) FLCO(6) FID(8) service options(8) dst(24)
+    src(24); the trailing 24 bits are RS(12,9) parity (reported raw).
+    """
+    bits = np.asarray(bits96, np.uint8)
+    return {
+        "protected": bool(bits[0]),
+        "flco": _bits_to_int(bits, 2, 6),
+        "fid": _bits_to_int(bits, 8, 8),
+        "service_options": _bits_to_int(bits, 16, 8),
+        "dst_id": _bits_to_int(bits, 24, 24),
+        "src_id": _bits_to_int(bits, 48, 24),
+        "rs_parity": _bits_to_int(bits, 72, 24),
+    }
+
+
+def burst_info_bits(burst: "DMRBurst") -> np.ndarray:
+    """The 196-bit BPTC info field (payload halves around slot type + sync)."""
+    return np.concatenate(
+        [
+            _dibits_to_bits(burst.dibits[_INFO_FIRST]),
+            _dibits_to_bits(burst.dibits[_INFO_SECOND]),
+        ]
+    )
+
+
+def decode_burst(burst: "DMRBurst") -> dict | None:
+    """Burst -> parsed message dict (slot type + typed payload), or None."""
+    st = decode_slot_type(
+        np.concatenate(
+            [
+                _dibits_to_bits(burst.dibits[_ST_FIRST]),
+                _dibits_to_bits(burst.dibits[_ST_SECOND]),
+            ]
+        )
+    )
+    if st is None:
+        return None
+    color_code, dtype, errs = st
+    out = {
+        "colorCode": color_code,
+        "dataType": int(dtype),
+        "dataTypeName": DataType(dtype).name if dtype <= 10 else f"DT_{dtype}",
+        "slotTypeErrors": errs,
+        "kind": burst.kind,
+    }
+    if dtype == DataType.IDLE:
+        return out
+    info, clean = _bptc.decode_bptc_196(burst_info_bits(burst))
+    out["bptcClean"] = clean
+    if dtype == DataType.CSBK:
+        parsed = parse_csbk(info)
+        if parsed is not None:
+            out.update(parsed)
+        else:
+            out["crcError"] = True
+    elif dtype in (DataType.VOICE_LC_HEADER, DataType.TERMINATOR_WITH_LC):
+        out.update(parse_full_lc(info))
+    else:
+        out["data"] = bytes(np.packbits(info))
+    return out
+
+
+def build_data_burst(
+    info_bits96: np.ndarray,
+    data_type: int,
+    color_code: int = 1,
+    kind: str = "BS_DATA",
+) -> np.ndarray:
+    """Full 144-dibit burst: CACH zeros + BPTC info + slot type + sync."""
+    coded = _bptc.encode_bptc_196(info_bits96)
+    st = encode_slot_type(color_code, data_type)
+    d = np.zeros(BURST_DIBITS, np.uint8)
+    d[_INFO_FIRST] = _bits_to_dibits(coded[:98])
+    d[_INFO_SECOND] = _bits_to_dibits(coded[98:])
+    d[_ST_FIRST] = _bits_to_dibits(st[:10])
+    d[_ST_SECOND] = _bits_to_dibits(st[10:])
+    d[SYNC_OFFSET : SYNC_OFFSET + 24] = SYNC_DIBITS[kind]
+    return d

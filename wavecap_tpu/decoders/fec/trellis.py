@@ -144,3 +144,114 @@ def viterbi_decode_soft(soft_pairs: np.ndarray) -> tuple[np.ndarray, float]:
     for t in range(s_steps - 1, -1, -1):
         states[t] = backptr[t, states[t + 1]]
     return states[1:-1].copy(), float(metrics[end_state])
+
+
+# ---------------------------------------------------------------------------
+# 3/4-rate trellis (P25 confirmed data blocks, TIA-102.BAAA-A Annex E)
+# ---------------------------------------------------------------------------
+# 8-state trellis, state = previous input tribit; each input tribit emits a
+# 4-bit constellation nibble (two transmitted dibits).  144 info bits become
+# 48 tribits + 1 flush tribit -> 49 nibbles -> 196 bits (same on-air size as
+# a 1/2-rate block).  Table per TIA-102.BAAA-A Annex E (spec constant; the
+# reference carries the same matrix, reference ``dsp/fec/trellis.py:389``).
+
+OUTPUT_NIBBLE_34 = np.array(
+    [
+        [2, 13, 14, 1, 7, 8, 11, 4],
+        [14, 1, 7, 8, 11, 4, 2, 13],
+        [10, 5, 6, 9, 15, 0, 3, 12],
+        [6, 9, 15, 0, 3, 12, 10, 5],
+        [15, 0, 3, 12, 10, 5, 6, 9],
+        [3, 12, 10, 5, 6, 9, 15, 0],
+        [7, 8, 11, 4, 2, 13, 14, 1],
+        [11, 4, 2, 13, 14, 1, 7, 8],
+    ],
+    np.uint8,
+)
+
+
+def encode_tribits_34(tribits: np.ndarray) -> np.ndarray:
+    """Encode input tribits (+ flush tribit 0) -> transmitted dibits."""
+    state = 0
+    tri = list(np.asarray(tribits, np.uint8)) + [0]
+    out = np.empty(2 * len(tri), np.uint8)
+    for i, t in enumerate(tri):
+        nib = OUTPUT_NIBBLE_34[state, t]
+        out[2 * i] = (nib >> 2) & 3
+        out[2 * i + 1] = nib & 3
+        state = int(t)
+    return out
+
+
+def encode_bits_34(bits144: np.ndarray) -> np.ndarray:
+    """144 info bits -> 196 transmitted bits (with flush tribit)."""
+    bits = np.asarray(bits144, np.uint8)
+    tribits = (bits[0::3] << 2) | (bits[1::3] << 1) | bits[2::3]
+    out_dibits = encode_tribits_34(tribits)
+    out = np.empty(2 * len(out_dibits), np.uint8)
+    out[0::2] = (out_dibits >> 1) & 1
+    out[1::2] = out_dibits & 1
+    return out
+
+
+def viterbi_decode_dibits_34(rx_dibits: np.ndarray) -> tuple[np.ndarray, int]:
+    """Viterbi over the 8-state 3/4 trellis -> (input tribits, error metric).
+
+    ``rx_dibits`` has even length 2*S; returns S-1 data tribits (flush
+    dropped) and the best-path metric (0 = clean).
+    """
+    rx = np.asarray(rx_dibits, np.uint8)
+    s_steps = len(rx) // 2
+    rx_nibbles = (rx[0::2].astype(np.int32) << 2) | rx[1::2].astype(np.int32)
+
+    metrics = np.full(8, np.inf, np.float32)
+    metrics[0] = 0.0
+    backptr = np.zeros((s_steps, 8), np.uint8)
+    for t in range(s_steps):
+        cost = _DIST[OUTPUT_NIBBLE_34, rx_nibbles[t]]  # (state, inp)
+        cand = metrics[:, None] + cost  # next state == inp
+        backptr[t] = np.argmin(cand, axis=0)
+        metrics = cand[backptr[t], np.arange(8)]
+
+    end_state = int(np.argmin(metrics))
+    err = float(metrics[end_state])
+    states = np.empty(s_steps + 1, np.uint8)
+    states[s_steps] = end_state
+    for t in range(s_steps - 1, -1, -1):
+        states[t] = backptr[t, states[t + 1]]
+    return states[1:-1].copy(), int(err)
+
+
+def viterbi_decode_bits_34(bits196: np.ndarray) -> tuple[np.ndarray, int]:
+    """196 received bits -> (144 decoded info bits, error metric)."""
+    bits = np.asarray(bits196, np.uint8)
+    rx_dibits = (bits[0::2] << 1) | bits[1::2]
+    tribits, err = viterbi_decode_dibits_34(rx_dibits)
+    out = np.empty(3 * len(tribits), np.uint8)
+    out[0::3] = (tribits >> 2) & 1
+    out[1::3] = (tribits >> 1) & 1
+    out[2::3] = tribits & 1
+    return out, err
+
+
+def viterbi_decode_soft_34(soft_pairs: np.ndarray) -> tuple[np.ndarray, float]:
+    """Soft-decision 3/4 Viterbi over (S, 2) soft symbol pairs -> tribits."""
+    rx = np.asarray(soft_pairs, np.float32)
+    s_steps = rx.shape[0]
+    diff = rx[:, None, :] - _NIBBLE_SYMBOLS[None, :, :]
+    nibble_cost = np.sum(diff * diff, axis=2)  # (S, 16)
+
+    metrics = np.full(8, np.inf, np.float32)
+    metrics[0] = 0.0
+    backptr = np.zeros((s_steps, 8), np.uint8)
+    for t in range(s_steps):
+        cost = nibble_cost[t][OUTPUT_NIBBLE_34]  # (state, inp)
+        cand = metrics[:, None] + cost
+        backptr[t] = np.argmin(cand, axis=0)
+        metrics = cand[backptr[t], np.arange(8)]
+    end_state = int(np.argmin(metrics))
+    states = np.empty(s_steps + 1, np.uint8)
+    states[s_steps] = end_state
+    for t in range(s_steps - 1, -1, -1):
+        states[t] = backptr[t, states[t + 1]]
+    return states[1:-1].copy(), float(metrics[end_state])

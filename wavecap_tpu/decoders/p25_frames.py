@@ -501,8 +501,9 @@ def build_tsdu_frame(nac: int, tsbk_dibit_blocks: list) -> np.ndarray:
 # unconfirmed / Alternate-MBT data blocks are fully decoded: each 98-dibit
 # block is deinterleaved and 1/2-rate-trellis decoded exactly like a TSBK,
 # the header carries a TSBK-style CRC16, and the assembled packet carries a
-# trailing CRC32.  Confirmed data (3/4-rate trellis) is out of scope for
-# both this framework and the reference.
+# trailing CRC32.  Confirmed data blocks use the 3/4-rate trellis (144 info
+# bits: 7-bit serial + CRC-9 + 16 data octets per block) — the reference
+# carries the 3/4 table but never wires it to PDUs.
 # ---------------------------------------------------------------------------
 
 PDU_FMT_UNCONFIRMED = 0b10101
@@ -556,6 +557,24 @@ def _decode_trellis_chunk(
     return decoded[:96]
 
 
+def _decode_trellis_chunk_34(
+    chunk_dibits: np.ndarray, chunk_soft: np.ndarray | None
+) -> np.ndarray:
+    """98 on-air dibits -> 144 decoded bits via the 3/4-rate trellis."""
+    if chunk_soft is not None:
+        soft_deint = np.empty(98, np.float32)
+        soft_deint[_DEINT_DIBITS] = np.asarray(chunk_soft, np.float32)
+        tri, _ = trellis.viterbi_decode_soft_34(soft_deint.reshape(49, 2))
+        out = np.empty(3 * len(tri), np.uint8)
+        out[0::3] = (tri >> 2) & 1
+        out[1::3] = (tri >> 1) & 1
+        out[2::3] = tri & 1
+        return out[:144]
+    deint = deinterleave_196(dibits_to_bits(chunk_dibits))
+    decoded, _ = trellis.viterbi_decode_bits_34(deint)
+    return decoded[:144]
+
+
 def decode_pdu_header(
     header_dibits: np.ndarray, header_soft: np.ndarray | None = None
 ) -> PDUHeader:
@@ -591,10 +610,22 @@ def decode_pdu(
     soft = None if payload_soft is None else np.asarray(payload_soft, np.float32)
     hdr = decode_pdu_header(d[:98], soft[:98] if soft is not None else None)
     n_blocks = min(hdr.blocks_to_follow, (len(d) - 98) // 98)
+    confirmed = hdr.fmt == PDU_FMT_CONFIRMED
     data_bits: list[np.ndarray] = []
+    blk_ok = 0
     for i in range(n_blocks):
         sl = slice(98 * (i + 1), 98 * (i + 2))
-        data_bits.append(_decode_trellis_chunk(d[sl], soft[sl] if soft is not None else None))
+        s = soft[sl] if soft is not None else None
+        if confirmed:
+            b144 = _decode_trellis_chunk_34(d[sl], s)
+            crc9_rx = bits_to_int(b144, 7, 9)
+            db = b144[16:]
+            if crc.crc9_p25(np.concatenate([b144[:7], db])) == crc9_rx:
+                blk_ok += 1
+            data_bits.append(db)
+        else:
+            data_bits.append(_decode_trellis_chunk(d[sl], s))
+            blk_ok += 1
     crc32_ok = False
     payload = b""
     if data_bits:
@@ -612,7 +643,7 @@ def decode_pdu(
         header=hdr,
         data=payload,
         crc32_valid=crc32_ok,
-        block_crc_ok=n_blocks,
+        block_crc_ok=blk_ok,
         block_total=hdr.blocks_to_follow,
     )
 
@@ -640,10 +671,16 @@ def encode_pdu(
     outbound: bool = True,
     opcode: int = 0,
 ) -> np.ndarray:
-    """Build status-stripped PDU payload dibits (header + unconfirmed blocks)."""
+    """Build status-stripped PDU payload dibits (header + data blocks).
+
+    ``fmt=PDU_FMT_CONFIRMED`` emits 3/4-rate blocks (16 data octets each,
+    7-bit serial + CRC-9 per block); other formats emit 1/2-rate blocks.
+    """
+    confirmed = fmt == PDU_FMT_CONFIRMED
+    bits_per_block = 128 if confirmed else 96
     total_bits = len(data) * 8 + 32  # data + CRC32
-    n_blocks = (total_bits + 95) // 96
-    pad = (n_blocks * 96 - total_bits) // 8
+    n_blocks = (total_bits + bits_per_block - 1) // bits_per_block
+    pad = (n_blocks * bits_per_block - total_bits) // 8
     hdr = np.zeros(80, np.uint8)
     hdr[1] = 0  # A/N
     hdr[2] = 1 if outbound else 0
@@ -673,8 +710,17 @@ def encode_pdu(
     crc_bits = np.array([(crc32 >> (31 - i)) & 1 for i in range(32)], np.uint8)
     allbits = np.concatenate([pre, crc_bits])
     for i in range(n_blocks):
-        block96 = allbits[96 * i : 96 * (i + 1)]
-        chunks.append(bits_to_dibits(interleave_196(trellis.encode_bits(block96))))
+        blk = allbits[bits_per_block * i : bits_per_block * (i + 1)]
+        if confirmed:
+            serial = np.array([(i >> (6 - j)) & 1 for j in range(7)], np.uint8)
+            c9 = crc.crc9_p25(np.concatenate([serial, blk]))
+            c9_bits = np.array([(c9 >> (8 - j)) & 1 for j in range(9)], np.uint8)
+            block144 = np.concatenate([serial, c9_bits, blk])
+            chunks.append(
+                bits_to_dibits(interleave_196(trellis.encode_bits_34(block144)))
+            )
+        else:
+            chunks.append(bits_to_dibits(interleave_196(trellis.encode_bits(blk))))
     return np.concatenate(chunks)
 
 

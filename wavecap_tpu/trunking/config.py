@@ -46,6 +46,11 @@ class TrunkingSystemConfig:
     device_id: str | None = None
     hunt_mode: HuntMode = HuntMode.HUNT
     hunt_timeout_s: float = 10.0
+    # sync-verified scanning / roaming (reference cc_scanner.py defaults:
+    # +6 dB roam margin, 30 s re-check while locked)
+    probe_window_s: float = 1.5
+    roam_interval_s: float = 30.0
+    roam_margin_db: float = 6.0
     max_voice_channels: int = 4
     min_call_duration_s: float = 1.0
     call_hold_s: float = 2.0
@@ -79,6 +84,9 @@ class TrunkingSystemConfig:
             device_id=d.get("device_id", d.get("deviceId")),
             hunt_mode=HuntMode(d.get("hunt_mode", d.get("huntMode", "hunt"))),
             hunt_timeout_s=float(d.get("hunt_timeout_s", d.get("huntTimeoutS", 10.0))),
+            probe_window_s=float(d.get("probe_window_s", d.get("probeWindowS", 1.5))),
+            roam_interval_s=float(d.get("roam_interval_s", d.get("roamIntervalS", 30.0))),
+            roam_margin_db=float(d.get("roam_margin_db", d.get("roamMarginDb", 6.0))),
             max_voice_channels=int(d.get("max_voice_channels", d.get("maxVoiceChannels", 4))),
             min_call_duration_s=float(d.get("min_call_duration_s", 1.0)),
             call_hold_s=float(d.get("call_hold_s", 2.0)),

@@ -30,6 +30,7 @@ import numpy as np
 
 from wavecap_tpu.capture import CaptureConfig, CaptureManager, ChannelSpec
 from wavecap_tpu.decoders.p25_tsbk import ChannelIdentifier, iden_from_parsed
+from .cc_scanner import CCScanner
 from .config import HuntMode, TrunkingSystemConfig
 from .control import ControlChannelMonitor
 from .events import CallSignature, DuplicateDetector
@@ -83,6 +84,14 @@ class TrunkingSystem:
         self.adjacent_sites: dict[str, dict] = {}
         self.services: dict | None = None
         self.duplicates = DuplicateDetector(window_s=3.0)
+        # sync-verified candidate scoring + roam policy (reference
+        # trunking/cc_scanner.py); probes run through an idle voice slot
+        self.scanner = CCScanner(
+            probe_window_s=config.probe_window_s,
+            roam_interval_s=config.roam_interval_s,
+            roam_margin_db=config.roam_margin_db,
+        )
+        self._probe_slot: str | None = None
         self.call_history: deque = deque(maxlen=self.CALL_HISTORY)
         self.events = deque(maxlen=500)  # (time, type, payload) for the API/WS
         self.message_log: deque = deque(maxlen=500)
@@ -231,6 +240,12 @@ class TrunkingSystem:
                     vb = sub.get_nowait()
                     if vb is not None:
                         moved = True
+                        if (
+                            self.scanner.probe is not None
+                            and self.scanner.probe.channel_id == vid
+                        ):
+                            self.scanner.feed(vid, vb["soft"], time.time())
+                            continue
                         rec = self.pool.by_channel(vid) if self.pool else None
                         if rec is not None:
                             rec.process_symbols(vb["soft"])
@@ -259,72 +274,134 @@ class TrunkingSystem:
     def _on_sync_lost(self) -> None:
         self._emit("control_lost", {})
 
+    def _candidates(self) -> list[float]:
+        """Configured CCs + learned in-band adjacent-site CCs (reference
+        roams via network_config adjacent sites)."""
+        candidates = list(self.config.control_channels)
+        if not self.capture:
+            return candidates
+        half_bw = self.capture.config.sample_rate / 2
+        center = self.capture.config.center_hz
+        for site in self.adjacent_sites.values():
+            f = site.get("frequencyHz")
+            if f and f not in candidates and abs(f - center) < half_bw:
+                candidates.append(f)
+        return candidates
+
     def _measure_control_channels(self) -> None:
-        """Per-CC power from the capture spectrum (reference cc_scanner.py)."""
+        """Per-CC power/SNR from the capture spectrum (reference cc_scanner.py)."""
         if self.capture is None:
             return
         spec = self._spectrum_sub.get_nowait()
         if spec is None:
             return
-        frame = spec[-1] if getattr(spec, "ndim", 1) == 2 else spec
-        nfft = len(frame)
-        fs = self.capture.config.sample_rate
-        center = self.capture.config.center_hz
-        adj = [
-            s["frequencyHz"] for s in self.adjacent_sites.values() if s.get("frequencyHz")
-        ]
-        for f in list(self.config.control_channels) + adj:
-            b = int(round((f - center) / (fs / nfft))) + nfft // 2
-            if 2 <= b < nfft - 2:
-                import numpy as _np
+        cands = self._candidates()
+        self.scanner.update_spectrum(
+            spec,
+            self.capture.config.sample_rate,
+            self.capture.config.center_hz,
+            cands,
+            time.time(),
+        )
+        for f in cands:
+            m = self.scanner.measurements.get(f)
+            if m is not None:
+                self._cc_power[f] = m.power_db
 
-                self._cc_power[f] = float(_np.max(frame[b - 2 : b + 3]))
+    def _can_probe(self) -> bool:
+        """A live voice slot is idle and wired for symbols -> probes possible."""
+        return bool(
+            self.pool is not None
+            and getattr(self, "_voice_subs", None)
+            and self.pool.available() is not None
+        )
+
+    def _start_probe(self, freq: float, now: float) -> None:
+        rec = self.pool.available() if self.pool else None
+        if rec is None or self.capture is None:
+            return
+        self._probe_slot = rec.channel_id
+        self.capture.update_channel(rec.channel_id, frequency_hz=freq)
+        self.scanner.start_probe(freq, rec.channel_id, now)
+
+    def _retune_cc(self, freq: float, candidates: list[float], now: float, reason: str) -> None:
+        self.cc_index = candidates.index(freq) if freq in candidates else 0
+        self._cc_current_freq = freq
+        if self.capture:
+            self.capture.update_channel("cc", frequency_hz=freq)
+        if self.monitor:
+            self.monitor.reset()
+        self.cc_lock_time = now
+        self.cc_locked = None
+        self._emit("control_roam" if reason == "roam" else "control_hunt", {"frequencyHz": freq})
+        self._save_state()
 
     def _check_hunt(self) -> None:
         if self.config.hunt_mode == HuntMode.FIXED:
             return
         self._measure_control_channels()
         now = time.time()
-        last = max(self.last_tsbk_time, self.cc_lock_time)
+        if self.scanner.poll(now) is not None:
+            self._probe_slot = None
+        candidates = self._candidates()
         if self.monitor and self.monitor.synced:
+            # Roam while locked: periodically sync-verify one other candidate
+            # through an idle slot; move when one is roam_margin_db stronger
+            # (reference system.py:1670-1733, re-checked every 30 s).
+            if len(candidates) <= 1:
+                return
+            if (
+                now - self.scanner.last_roam_check >= self.config.roam_interval_s
+                and self.scanner.probe is None
+                and self._can_probe()
+            ):
+                self.scanner.last_roam_check = now
+                tgt = self.scanner.next_roam_candidate(candidates, self._cc_current_freq)
+                if tgt is not None:
+                    self._start_probe(tgt, now)
+            better = self.scanner.should_roam(self._cc_current_freq, now)
+            if better is not None:
+                self._retune_cc(better, candidates, now, reason="roam")
             return
+        last = max(self.last_tsbk_time, self.cc_lock_time)
         if now - last < self.config.hunt_timeout_s or not self.capture:
             return
-        # candidates: configured CCs + learned adjacent-site CCs in band
-        # (reference roams via network_config adjacent sites)
-        candidates = list(self.config.control_channels)
-        half_bw = self.capture.config.sample_rate / 2
-        for site in self.adjacent_sites.values():
-            f = site.get("frequencyHz")
-            if (
-                f
-                and f not in candidates
-                and abs(f - self.capture.config.center_hz) < half_bw
-            ):
-                candidates.append(f)
         n = len(candidates)
         if n <= 1:
             self.cc_lock_time = now
             return
         self.cc_index %= n
+        if self._can_probe():
+            # Sync-verified scan-all (reference cc_scanner initial scan):
+            # probe every unverified candidate through an idle voice slot,
+            # then retune the CC to the best-ranked one — a verified P25
+            # sync always beats a louder sync-less carrier.
+            if self.scanner.probe is not None:
+                return  # probe window in flight
+            todo = self.scanner.unverified(candidates, max_age_s=60.0, now=now)
+            if todo:
+                self._start_probe(todo[0], now)
+                return
+            best = self.scanner.best(candidates)
+            if best is not None and best != self._cc_current_freq:
+                self._retune_cc(best, candidates, now, reason="hunt")
+                return
+            # Already on the best-ranked candidate but still unlocked:
+            # invalidate probe results and fall through to rotation so we
+            # neither deadlock nor trust stale verifications.
+            for m in self.scanner.measurements.values():
+                m.time = 0.0
+                m.sync_detected = False
         if self.config.hunt_mode == HuntMode.SCAN and self._cc_power:
             current = candidates[self.cc_index]
             ranked = sorted(
                 candidates, key=lambda f: -self._cc_power.get(f, -999.0)
             )
             nxt = next((f for f in ranked if f != current), ranked[0])
-            self.cc_index = candidates.index(nxt)
+            freq = nxt
         else:
-            self.cc_index = (self.cc_index + 1) % n
-        freq = candidates[self.cc_index]
-        self._cc_current_freq = freq
-        self.capture.update_channel("cc", frequency_hz=freq)
-        if self.monitor:
-            self.monitor.reset()
-        self.cc_lock_time = now
-        self.cc_locked = None
-        self._emit("control_hunt", {"frequencyHz": freq})
-        self._save_state()
+            freq = candidates[(self.cc_index + 1) % n]
+        self._retune_cc(freq, candidates, now, reason="hunt")
 
     def _handle_tsbk(self, parsed: dict, block) -> None:
         self.last_tsbk_time = time.time()
@@ -403,6 +480,10 @@ class TrunkingSystem:
         if rec is None:
             self._emit("grant_no_recorder", {"tgid": tgid})
             return
+        if rec.channel_id == self._probe_slot:
+            # voice wins over a CC probe using the same idle slot
+            self.scanner.abort_probe()
+            self._probe_slot = None
         call = CallInfo(
             tgid=tgid,
             source_id=parsed.get("source_id", 0),
@@ -515,6 +596,7 @@ class TrunkingSystem:
                 k: asdict(v) for k, v in self.identifiers.items()
             },
             "adjacentSites": list(self.adjacent_sites.values()),
+            "ccMeasurements": self.scanner.status(),
             "services": self.services,
             "activeCalls": [
                 {

@@ -120,3 +120,29 @@ class TestTalkgroupCsv:
         assert tgs[101].name == "PD-1"
         assert tgs[202].tgid == 202
         assert len(tgs) == 2
+
+
+class TestImportPurity:
+    def test_no_backend_init_at_import(self):
+        """Importing the full server stack must NOT initialize a jax backend.
+
+        A module-level ``jnp.*`` call (e.g. a NamedTuple field default)
+        initializes whatever platform sitecustomize pre-registered (axon)
+        before entry points can force CPU — wedging every later fetch.
+        Regression for WbfmState.rs_tail et al.
+        """
+        import subprocess
+        import sys
+
+        code = (
+            "import jax\n"
+            "import wavecap_tpu.server.app\n"
+            "import wavecap_tpu.cli\n"
+            "import wavecap_tpu.harness\n"
+            "b = getattr(jax._src.xla_bridge, '_backends', {})\n"
+            "assert not b, f'backend initialized at import: {list(b)}'\n"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=180
+        )
+        assert proc.returncode == 0, proc.stderr

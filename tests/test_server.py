@@ -442,3 +442,48 @@ class TestDeviceHealthAndClassifier:
             assert isinstance(body["channels"], list)
         finally:
             client.post(f"/captures/{cid}/stop")
+
+
+class TestHttpChunkedAudio:
+    def test_pcm_http_stream(self, harness, client):
+        """GET /stream/channels/{id}.pcm serves chunked int16 PCM
+        (reference api.py:2483-2650 StreamingResponse parity)."""
+        r = client.post("/captures", json={"centerHz": 155e6, "sampleRate": 800_000})
+        cid = r.json()["id"]
+        ch = client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 155.005e6},
+        ).json()
+        client.post(f"/captures/{cid}/start")
+        try:
+            url = f"{harness.base}/stream/channels/{ch['id']}.pcm"
+            buf = b""
+            with httpx.stream("GET", url, timeout=60) as resp:
+                assert resp.status_code == 200
+                assert resp.headers["content-type"] == "audio/x-raw"
+                assert "chunked" in resp.headers.get("transfer-encoding", "")
+                for chunk in resp.iter_bytes():
+                    buf += chunk
+                    if len(buf) >= 9600:
+                        break
+            pcm = np.frombuffer(buf[: len(buf) // 2 * 2], np.int16)
+            assert len(pcm) >= 4800
+        finally:
+            client.post(f"/captures/{cid}/stop")
+            client.delete(f"/captures/{cid}")
+
+    def test_unknown_format_404(self, client):
+        r = client.post("/captures", json={"centerHz": 100e6, "sampleRate": 800_000})
+        cid = r.json()["id"]
+        ch = client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 100.1e6},
+        ).json()
+        # ffmpeg may or may not exist in the image: if absent, mp3 must 404
+        from wavecap_tpu.server.encoders import available_formats
+
+        if "mp3" not in available_formats():
+            assert (
+                client.get(f"/stream/channels/{ch['id']}.mp3").status_code == 404
+            )
+        client.delete(f"/captures/{cid}")

@@ -28,6 +28,7 @@ from functools import lru_cache
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from wavecap_tpu import ops
 from wavecap_tpu.ops import iir as iir_ops
@@ -82,7 +83,7 @@ class WbfmState(NamedTuple):
     mpx_z: jnp.ndarray
     hp_z: jnp.ndarray
     notch_z: tuple
-    rs_tail: jnp.ndarray = jnp.zeros((0,), jnp.float32)
+    rs_tail: jnp.ndarray = np.zeros(0, np.float32)  # np: no backend init at import
 
 
 def wbfm_init(cfg: WbfmConfig) -> WbfmState:
@@ -163,7 +164,7 @@ class NbfmState(NamedTuple):
     hp_z: jnp.ndarray
     lp_z: jnp.ndarray
     notch_z: tuple
-    rs_tail: jnp.ndarray = jnp.zeros((0,), jnp.float32)
+    rs_tail: jnp.ndarray = np.zeros(0, np.float32)  # np: no backend init at import
 
 
 @lru_cache(maxsize=32)
@@ -276,7 +277,7 @@ class AmState(NamedTuple):
     lp_z: jnp.ndarray
     agc: ops.AgcState
     notch_z: tuple
-    rs_tail: jnp.ndarray = jnp.zeros((0,), jnp.float32)
+    rs_tail: jnp.ndarray = np.zeros(0, np.float32)  # np: no backend init at import
 
 
 def am_init(cfg: AmConfig) -> AmState:
@@ -338,7 +339,7 @@ class SsbState(NamedTuple):
     bp_z: jnp.ndarray
     agc: ops.AgcState
     notch_z: tuple
-    rs_tail: jnp.ndarray = jnp.zeros((0,), jnp.float32)
+    rs_tail: jnp.ndarray = np.zeros(0, np.float32)  # np: no backend init at import
 
 
 def ssb_init(cfg: SsbConfig) -> SsbState:
@@ -402,7 +403,7 @@ class SamState(NamedTuple):
     lp_z: jnp.ndarray
     agc: ops.AgcState
     notch_z: tuple
-    rs_tail: jnp.ndarray = jnp.zeros((0,), jnp.float32)
+    rs_tail: jnp.ndarray = np.zeros(0, np.float32)  # np: no backend init at import
 
 
 def sam_init(cfg: SamConfig) -> SamState:

@@ -1002,6 +1002,60 @@ def build_router(state: AppState) -> Router:
 
         return Response.json({"formats": available_formats()})
 
+    # ---- HTTP chunked audio (VLC-style players; reference api.py:2483-2650
+    # serves .mp3/.opus/.aac/.pcm via StreamingResponse) ----
+
+    def _audio_stream_response(chid: str, fmt: str) -> Response:
+        import queue as _queue
+
+        from .encoders import available_formats, make_encoder
+
+        cap, ch = state.find_channel(chid)
+        if fmt not in available_formats():
+            raise HttpError(404, f"format {fmt} unavailable (ffmpeg missing?)")
+        media = {
+            "mp3": "audio/mpeg",
+            "opus": "audio/opus",
+            "aac": "audio/aac",
+            "pcm16": "audio/x-raw",
+            "f32": "audio/x-raw",
+        }[fmt]
+        rate = state.config.stream.audio_rate
+        encoder = make_encoder(fmt, rate)
+        sub = ch.audio.subscribe(maxsize=16)
+
+        async def gen():
+            try:
+                while True:
+                    try:
+                        audio = await asyncio.to_thread(sub.get, 2.0)
+                    except _queue.Empty:
+                        yield b""  # liveness probe tick
+                        continue
+                    except RuntimeError:
+                        return  # event loop shutting down mid-stream
+                    data = encoder.encode(audio)
+                    if data:
+                        yield data
+            finally:
+                sub.close()
+                encoder.close()
+
+        return Response.streaming(
+            gen(), media, headers={"X-Audio-Rate": str(rate)}
+        )
+
+    for _ext in ("mp3", "opus", "aac", "pcm"):
+
+        def _mk(ext: str):
+            async def http_audio(req: Request) -> Response:
+                fmt = "pcm16" if ext == "pcm" else ext
+                return _audio_stream_response(req.params["chid"], fmt)
+
+            return http_audio
+
+        r.get(v1 + "/stream/channels/{chid}\\." + _ext)(_mk(_ext))
+
     # ---- static frontend ----
     static_dir = Path(__file__).parent / "static"
 

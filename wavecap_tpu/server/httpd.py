@@ -67,6 +67,10 @@ class Response:
     body: bytes = b""
     content_type: str = "application/json"
     headers: dict = field(default_factory=dict)
+    # async byte-chunk iterator -> Transfer-Encoding: chunked response
+    # (reference serves .mp3/.opus/.aac audio via StreamingResponse,
+    # reference api.py:2483-2650)
+    stream: Any = None
 
     @classmethod
     def json(cls, obj: Any, status: int = 200) -> "Response":
@@ -75,6 +79,12 @@ class Response:
     @classmethod
     def text(cls, s: str, status: int = 200) -> "Response":
         return cls(status=status, body=s.encode(), content_type="text/plain")
+
+    @classmethod
+    def streaming(
+        cls, gen: Any, content_type: str, headers: dict | None = None
+    ) -> "Response":
+        return cls(stream=gen, content_type=content_type, headers=headers or {})
 
 
 class WebSocket:
@@ -341,6 +351,40 @@ class HttpServer:
             logger.exception("handler error for %s %s", req.method, req.path)
             resp = Response.json({"error": "internal error"}, status=500)
 
+        if resp.stream is not None:
+            head = (
+                f"HTTP/1.1 {resp.status} X\r\n"
+                f"Content-Type: {resp.content_type}\r\n"
+                "Transfer-Encoding: chunked\r\n"
+                "Cache-Control: no-cache\r\n"
+                "Access-Control-Allow-Origin: *\r\n"
+            )
+            for k, v in resp.headers.items():
+                head += f"{k}: {v}\r\n"
+            head += "Connection: close\r\n\r\n"
+            writer.write(head.encode())
+            await writer.drain()
+            try:
+                async for chunk in resp.stream:
+                    if not chunk:
+                        # keepalive tick from the generator: probe liveness
+                        if writer.is_closing():
+                            break
+                        continue
+                    writer.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+                    await writer.drain()
+                writer.write(b"0\r\n\r\n")
+                await writer.drain()
+            except (ConnectionError, asyncio.CancelledError):
+                pass
+            finally:
+                aclose = getattr(resp.stream, "aclose", None)
+                if aclose is not None:
+                    try:
+                        await aclose()
+                    except Exception:  # pragma: no cover
+                        pass
+            return False  # long-lived response: close the connection
         head = (
             f"HTTP/1.1 {resp.status} X\r\n"
             f"Content-Type: {resp.content_type}\r\n"

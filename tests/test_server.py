@@ -487,3 +487,37 @@ class TestHttpChunkedAudio:
                 client.get(f"/stream/channels/{ch['id']}.mp3").status_code == 404
             )
         client.delete(f"/captures/{cid}")
+
+
+class TestRecipes:
+    def test_list_and_apply(self, client):
+        recipes = client.get("/recipes").json()
+        ids = {r["id"] for r in recipes}
+        assert len(recipes) >= 20, f"only {len(recipes)} recipes"
+        assert "noaa-weather" in ids and "p25-800" in ids
+
+        r = client.post("/recipes/noaa-weather/apply", json={})
+        assert r.status_code == 201, r.text
+        body = r.json()
+        cid = body["capture"]["id"]
+        try:
+            assert len(body["channels"]) == 3
+            assert body["capture"]["state"] == "created"
+        finally:
+            client.delete(f"/captures/{cid}")
+
+    def test_apply_with_frequency_override(self, client):
+        r = client.post(
+            "/recipes/p25-vhf/apply", json={"frequencyHz": 154.0e6}
+        )
+        assert r.status_code == 201, r.text
+        body = r.json()
+        cid = body["capture"]["id"]
+        try:
+            assert body["capture"]["centerHz"] == pytest.approx(154.0e6)
+            assert body["channels"][0]["frequencyHz"] == pytest.approx(154.0e6)
+        finally:
+            client.delete(f"/captures/{cid}")
+
+    def test_apply_unknown_404(self, client):
+        assert client.post("/recipes/nope/apply", json={}).status_code == 404

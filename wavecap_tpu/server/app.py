@@ -502,22 +502,106 @@ def build_router(state: AppState) -> Router:
             }
         )
 
-    @r.get(v1 + "/recipes")
-    async def recipes(req: Request) -> Response:
-        import yaml as _yaml
+    def _recipe_dirs():
         from pathlib import Path as _P
 
-        out = []
-        for d in (_P("config/recipes"), _P("config/presets")):
-            if not d.is_dir():
-                continue
+        roots = [_P("config"), _P(__file__).resolve().parents[2] / "config"]
+        seen, dirs = set(), []
+        for root in roots:
+            for d in (root / "recipes", root / "presets"):
+                rd = d.resolve()
+                if d.is_dir() and rd not in seen:
+                    seen.add(rd)
+                    dirs.append(d)
+        return dirs
+
+    def _load_recipes() -> dict[str, dict]:
+        import yaml as _yaml
+
+        out: dict[str, dict] = {}
+        for d in _recipe_dirs():
             for f in sorted(d.glob("*.yaml")):
                 try:
                     data = _yaml.safe_load(f.read_text()) or {}
                 except Exception:
                     continue
-                out.append({"id": f.stem, "source": d.name, **data})
-        return Response.json(out)
+                out.setdefault(f.stem, {"id": f.stem, "source": d.name, **data})
+        return out
+
+    @r.get(v1 + "/recipes")
+    async def recipes(req: Request) -> Response:
+        return Response.json(list(_load_recipes().values()))
+
+    @r.post(v1 + "/recipes/{rid}/apply")
+    async def recipe_apply(req: Request) -> Response:
+        """Instantiate a recipe: capture + channels (+ trunking system).
+
+        Body (all optional): {"start": bool, "deviceId": str,
+        "frequencyHz": float} — frequencyHz re-centers single-channel
+        recipes on a user-supplied frequency (reference recipes'
+        allow_frequency_input behavior).
+        """
+        rec = _load_recipes().get(req.params["rid"])
+        if rec is None:
+            raise HttpError(404, "unknown recipe")
+        body = req.json() if req.body else {}
+        cap_spec = rec.get("capture") or {}
+        center = float(cap_spec.get("center_hz", 100e6))
+        user_freq = body.get("frequencyHz")
+        shift = float(user_freq) - center if user_freq is not None else 0.0
+        try:
+            cap = state.captures.create_capture(
+                device_id=body.get("deviceId"),
+                config=CaptureConfig(
+                    center_hz=center + shift,
+                    sample_rate=int(float(cap_spec.get("sample_rate", 2_400_000))),
+                    gain_db=cap_spec.get("gain_db"),
+                    narrow_capacity=state.config.limits.max_channels_per_capture,
+                    wide_capacity=state.config.limits.max_wide_channels,
+                    p25_capacity=state.config.limits.max_p25_channels,
+                    audio_rate=state.config.stream.audio_rate,
+                ),
+            )
+        except RuntimeError as e:
+            raise HttpError(409, str(e))
+        chans = []
+        for c in rec.get("channels") or []:
+            try:
+                ch = cap.create_channel(
+                    ChannelSpec(
+                        id=state.new_channel_id(),
+                        mode=c.get("mode", "nbfm"),
+                        frequency_hz=float(c.get("frequency_hz", center)) + shift,
+                        squelch_db=c.get("squelch_db"),
+                        name=c.get("name", ""),
+                    )
+                )
+                chans.append(channel_json(cap, ch))
+            except (ValueError, RuntimeError) as e:
+                logger.warning("recipe channel skipped: %s", e)
+        tr = rec.get("trunking")
+        tsys_id = None
+        if tr:
+            tdict = dict(tr)
+            tsys_id = tdict.setdefault("id", f"{req.params['rid']}-trunk")
+            tdict.setdefault("sample_rate", int(float(cap_spec.get("sample_rate", 2_400_000))))
+            try:
+                if state.trunking_workers is not None:
+                    state.trunking_workers.add_system(tdict)
+                else:
+                    tcfg = TrunkingSystemConfig.from_dict(tdict)
+                    state.trunking.create_system(tcfg)
+            except Exception as e:
+                logger.warning("recipe trunking skipped: %s", e)
+                tsys_id = None
+        if body.get("start", False):
+            cap.start()
+        STATE_BROADCASTER.publish("capture", cap.id, "created", capture_json(cap))
+        return Response.json(
+            {"capture": capture_json(cap), "channels": chans,
+             "trunkingSystemId": tsys_id},
+            status=201,
+        )
 
     # ---- config / system ----
     @r.get(v1 + "/config")

@@ -77,7 +77,12 @@ class TrunkingSystemConfig:
         return cls(
             id=str(d["id"]),
             name=d.get("name", str(d["id"])),
-            protocol=TrunkingProtocol(d.get("protocol", "p25_phase1")),
+            protocol=TrunkingProtocol(
+                {"p25": "p25_phase1", "p25p2": "p25_phase2"}.get(
+                    str(d.get("protocol", "p25_phase1")).lower(),
+                    str(d.get("protocol", "p25_phase1")).lower(),
+                )
+            ),
             control_channels=cc,
             center_hz=d.get("center_hz", d.get("centerHz")),
             sample_rate=int(d.get("sample_rate", d.get("sampleRate", 2_400_000))),

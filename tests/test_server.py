@@ -521,3 +521,94 @@ class TestRecipes:
 
     def test_apply_unknown_404(self, client):
         assert client.post("/recipes/nope/apply", json={}).status_code == 404
+
+
+class TestClientDisconnectRelease:
+    """Abandoned clients must release their connection handlers.
+
+    A client that half-closes (FIN, no RST) never fails server writes and
+    leaves ``is_closing()`` False; before the eof-watch fix, quiet WS and
+    chunked-stream handlers leaked until (and then hung) shutdown, because
+    Python 3.12's ``Server.wait_closed()`` waits on every handler task.
+    """
+
+    @staticmethod
+    def _conn_count(harness) -> int:
+        async def n():
+            return len(harness.server.http._conns)
+
+        return harness.run(n())
+
+    def _await_conn_drop(self, harness, baseline: int, deadline: float = 8.0):
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            if self._conn_count(harness) <= baseline:
+                return
+            time.sleep(0.2)
+        raise AssertionError(
+            f"handler not released: {self._conn_count(harness)} > {baseline}"
+        )
+
+    def _raw_socket(self, harness):
+        import socket
+
+        s = socket.create_connection(("127.0.0.1", harness.server.port), timeout=5)
+        s.settimeout(5)
+        return s
+
+    def test_ws_abandoned_without_close_frame(self, harness, client):
+        baseline = self._conn_count(harness)
+        s = self._raw_socket(harness)
+        s.sendall(
+            b"GET /api/v1/stream/state HTTP/1.1\r\n"
+            b"Host: x\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n"
+            b"Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+            b"Sec-WebSocket-Version: 13\r\n\r\n"
+        )
+        assert b" 101 " in s.recv(4096)
+        assert self._conn_count(harness) == baseline + 1
+        s.close()  # FIN, no WS close frame; /stream/state never sends
+        self._await_conn_drop(harness, baseline)
+
+    def test_idle_chunked_stream_abandoned(self, harness, client):
+        # capture exists but is never started: the pcm generator only
+        # produces empty liveness ticks, so only the eof watch can notice
+        r = client.post("/captures", json={"centerHz": 101e6, "sampleRate": 800_000})
+        cid = r.json()["id"]
+        ch = client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 101.1e6},
+        ).json()
+        baseline = self._conn_count(harness)
+        s = self._raw_socket(harness)
+        s.sendall(
+            f"GET /api/v1/stream/channels/{ch['id']}.pcm HTTP/1.1\r\n"
+            "Host: x\r\n\r\n".encode()
+        )
+        assert b" 200 " in s.recv(4096)
+        s.close()
+        try:
+            self._await_conn_drop(harness, baseline)
+        finally:
+            client.delete(f"/captures/{cid}")
+
+    def test_stop_completes_with_parked_handler(self):
+        """server.stop() must finish promptly even with a live quiet WS."""
+        cfg = config_from_dict(
+            {"server": {"host": "127.0.0.1", "port": 0}, "device": {"driver": "fake"}}
+        )
+        h = ServerHarness(cfg).start()
+        import socket
+
+        s = socket.create_connection(("127.0.0.1", h.server.port), timeout=5)
+        s.sendall(
+            b"GET /api/v1/stream/state HTTP/1.1\r\n"
+            b"Host: x\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n"
+            b"Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+            b"Sec-WebSocket-Version: 13\r\n\r\n"
+        )
+        assert b" 101 " in s.recv(4096)
+        t0 = time.time()
+        h.stop()  # joins the loop thread; hang here was the bug
+        assert time.time() - t0 < 8.0
+        s.close()

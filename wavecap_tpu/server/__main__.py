@@ -65,9 +65,14 @@ async def _run(args) -> int:
 
 
 def main() -> int:
+    import faulthandler
+
     from wavecap_tpu.utils.jaxenv import ensure_platform
 
     ensure_platform()
+    # kill -USR1 <pid> dumps all thread stacks to stderr (hang diagnosis)
+    if hasattr(signal, "SIGUSR1"):
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
     p = argparse.ArgumentParser("wavecap_tpu server")
     p.add_argument("--config", default=None)
     p.add_argument("--bind", default=None)

@@ -1150,14 +1150,20 @@ def build_router(state: AppState) -> Router:
             raise HttpError(404)
         return Response(body=f.read_bytes(), content_type="text/html")
 
-    @r.get("/static/{name}")
+    @r.get("/static/{name+}")
     async def static_file(req: Request) -> Response:
         name = req.params["name"]
         f = (static_dir / name).resolve()
-        if not str(f).startswith(str(static_dir.resolve())) or not f.exists():
+        if (
+            not str(f).startswith(str(static_dir.resolve()) + "/")
+            or not f.is_file()
+        ):
             raise HttpError(404)
         ctype = {
             ".html": "text/html", ".js": "text/javascript", ".css": "text/css",
+            ".svg": "image/svg+xml", ".png": "image/png", ".ico": "image/x-icon",
+            ".json": "application/json", ".map": "application/json",
+            ".woff2": "font/woff2",
         }.get(f.suffix, "application/octet-stream")
         return Response(body=f.read_bytes(), content_type=ctype)
 

@@ -196,7 +196,9 @@ class Router:
 
     @staticmethod
     def _compile(pattern: str) -> re.Pattern:
-        regex = re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", pattern)
+        # {name} matches one path segment; {name+} spans segments (static trees)
+        regex = re.sub(r"\{(\w+)\+\}", r"(?P<\1>.+)", pattern)
+        regex = re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", regex)
         return re.compile("^" + regex + "$")
 
     def route(self, method: str, pattern: str):
@@ -255,6 +257,7 @@ class HttpServer:
         self.port = port
         self._server: asyncio.AbstractServer | None = None
         self.middleware: list[Callable[[Request], Awaitable[None]]] = []
+        self._conns: set[asyncio.Task] = set()
 
     async def start(self) -> None:
         self._server = await asyncio.start_server(
@@ -264,6 +267,13 @@ class HttpServer:
     async def stop(self) -> None:
         if self._server:
             self._server.close()
+            # Python 3.12 wait_closed() waits for every connection handler;
+            # a handler parked on a quiet stream would hang shutdown, so
+            # give in-flight requests a short grace then cancel the rest.
+            if self._conns:
+                await asyncio.wait(set(self._conns), timeout=2.0)
+            for task in list(self._conns):
+                task.cancel()
             await self._server.wait_closed()
             self._server = None
 
@@ -277,6 +287,10 @@ class HttpServer:
     ) -> None:
         peer = writer.get_extra_info("peername")
         remote = peer[0] if peer else ""
+        task = asyncio.current_task()
+        if task is not None:
+            self._conns.add(task)
+            task.add_done_callback(self._conns.discard)
         try:
             while True:
                 req = await self._read_request(reader)
@@ -286,7 +300,7 @@ class HttpServer:
                 if req.headers.get("upgrade", "").lower() == "websocket":
                     await self._handle_ws(req, reader, writer)
                     return
-                keep = await self._handle_http(req, writer)
+                keep = await self._handle_http(req, writer, reader)
                 if not keep:
                     break
         except (ConnectionError, asyncio.IncompleteReadError):
@@ -335,7 +349,10 @@ class HttpServer:
         )
 
     async def _handle_http(
-        self, req: Request, writer: asyncio.StreamWriter
+        self,
+        req: Request,
+        writer: asyncio.StreamWriter,
+        reader: asyncio.StreamReader | None = None,
     ) -> bool:
         try:
             for mw in self.middleware:
@@ -364,8 +381,16 @@ class HttpServer:
             head += "Connection: close\r\n\r\n"
             writer.write(head.encode())
             await writer.drain()
+            # A half-closed client (FIN, no RST) never fails writes and
+            # leaves is_closing() False; watch the read side for EOF so a
+            # quiet stream notices the client is gone.
+            eof_task = (
+                asyncio.ensure_future(reader.read(1)) if reader is not None else None
+            )
             try:
                 async for chunk in resp.stream:
+                    if eof_task is not None and eof_task.done():
+                        break
                     if not chunk:
                         # keepalive tick from the generator: probe liveness
                         if writer.is_closing():
@@ -378,6 +403,8 @@ class HttpServer:
             except (ConnectionError, asyncio.CancelledError):
                 pass
             finally:
+                if eof_task is not None:
+                    eof_task.cancel()
                 aclose = getattr(resp.stream, "aclose", None)
                 if aclose is not None:
                     try:
@@ -438,14 +465,23 @@ class HttpServer:
         # background so client keepalive pings get ponged (recv() answers
         # them) even while the handler blocks on data production.
         drain = asyncio.create_task(self._ws_drain(ws))
+        handler = asyncio.create_task(fn(req, ws))
         try:
-            await fn(req, ws)
+            # drain returning means the client closed or vanished; cancel a
+            # handler parked on quiet data production (it would otherwise
+            # never notice and leak until shutdown).
+            await asyncio.wait({handler, drain}, return_when=asyncio.FIRST_COMPLETED)
+            if not handler.done():
+                handler.cancel()
+            await handler
         except (ConnectionError, asyncio.CancelledError):
             pass
         except Exception:  # pragma: no cover
             logger.exception("ws handler error for %s", req.path)
         finally:
             drain.cancel()
+            if not handler.done():
+                handler.cancel()  # conn task itself cancelled (server stop)
             await ws.close()
 
     @staticmethod

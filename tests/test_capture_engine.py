@@ -297,3 +297,67 @@ class TestDispatchModes:
             assert cap.state == "running"
         finally:
             cap.stop()
+
+
+class TestLiveRetune:
+    def test_center_retune_without_stream_teardown(self):
+        """PATCH centerHz on a running capture retunes the device live
+        (reference api.py update path -> device.configure while streaming):
+        the reader thread survives, and a station that was in-band stays
+        locked because channel offsets are recomputed from absolute RF."""
+        station = FakeStation(
+            offset_hz=100_000.0, kind="nbfm", tone_hz=900.0, deviation_hz=4000.0
+        )  # absolute RF: CENTER + 100 kHz
+        mgr = make_manager([station])
+        cap = mgr.create_capture(
+            config=CaptureConfig(center_hz=CENTER, sample_rate=RATE, block_seconds=0.2)
+        )
+        ch = cap.create_channel(
+            ChannelSpec(id="ch1", mode="nbfm", frequency_hz=CENTER + 100_000.0)
+        )
+        cap.start()
+        try:
+            assert wait_for(lambda: cap.blocks_processed >= 2, timeout=60)
+            thread_before = cap._thread
+            blocks_before = cap.blocks_processed
+
+            # retune down 150 kHz: station moves to +250 kHz in the passband
+            cap.update_config(center_hz=CENTER - 150_000.0)
+            assert cap.state == "running"
+            assert cap._thread is thread_before, "stream was torn down"
+
+            # audio must re-converge on the same 900 Hz program tone
+            assert wait_for(
+                lambda: cap.blocks_processed >= blocks_before + 3, timeout=60
+            )
+            sub = ch.audio.subscribe()
+            assert wait_for(lambda: sub.queue.qsize() >= 2, timeout=60)
+            chunks = []
+            while (c := sub.get_nowait()) is not None:
+                chunks.append(c)
+            audio = np.concatenate(chunks)
+            seg = audio - audio.mean()
+            s = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+            f = np.fft.rfftfreq(len(seg), 1 / 48_000)
+            assert abs(f[np.argmax(s)] - 900.0) < 20
+            assert ch.rssi_db > -40
+            assert cap._thread is thread_before
+        finally:
+            cap.stop()
+
+    def test_rate_change_still_restarts(self):
+        mgr = make_manager([FakeStation(offset_hz=5000.0, kind="tone")])
+        cap = mgr.create_capture(
+            config=CaptureConfig(center_hz=CENTER, sample_rate=RATE, block_seconds=0.2)
+        )
+        cap.start()
+        try:
+            assert wait_for(lambda: cap.blocks_processed >= 1, timeout=60)
+            thread_before = cap._thread
+            cap.update_config(sample_rate=1_600_000)
+            assert cap.state in ("starting", "running")
+            assert cap._thread is not thread_before
+            assert cap.config.sample_rate == 1_600_000
+            assert wait_for(lambda: cap.blocks_processed >= 1, timeout=60)
+        finally:
+            cap.stop()

@@ -130,6 +130,7 @@ class Capture:
         self._dev_state = None
         self._ctl = None
         self._ctl_dirty = True
+        self._retune_pending = False
         # in-flight dispatched batches: (out, blocks, channels, t0)
         self._pending: list = []
         self._wide_baseband = False
@@ -258,31 +259,43 @@ class Capture:
         gain_db: float | None = None,
         sample_rate: int | None = None,
     ) -> None:
-        """Retune the capture (reference ``api.py`` update_capture): applies
-        new device settings, restarting the stream if it was running."""
+        """Retune the capture (reference ``api.py`` update_capture).
+
+        Center/gain changes retune the running device live (the reader
+        thread calls ``device.configure`` between reads — no stream
+        teardown, so scanner retunes take one block, not a restart).  A
+        sample-rate change rebuilds block geometry and must restart."""
+        rate_change = (
+            sample_rate is not None and int(sample_rate) != self.config.sample_rate
+        )
         was_running = self.state == "running"
-        if was_running:
+        if was_running and rate_change:
             self.stop()
         if center_hz is not None:
             self.config.center_hz = float(center_hz)
         if gain_db is not None:
             self.config.gain_db = float(gain_db)
-        if sample_rate is not None:
+        if rate_change:
+            assert sample_rate is not None
             self.config.sample_rate = int(sample_rate)
             # Recompute block geometry (block_size, channelizer bin spacing)
             # for the new rate BEFORE the pipeline rebuild, or channel offsets
             # map through stale bin spacing and P25 blocks slip symbols.
             self._compute_block_size()
             self._pipe_cfg = None  # block size changes: full rebuild
-        if center_hz is not None or sample_rate is not None:
+        if center_hz is not None or rate_change:
             from wavecap_tpu.capture.classifier import ChannelClassifier
 
             self.classifier = ChannelClassifier(
                 self.config.center_hz, self.config.sample_rate, self.config.fft_size
             )
         self._ctl_dirty = True
-        if was_running:
+        if was_running and rate_change:
             self.start()
+        elif self.state == "running" and (
+            center_hz is not None or gain_db is not None
+        ):
+            self._retune_pending = True
 
     # -- pipeline build ----------------------------------------------------
 
@@ -418,6 +431,7 @@ class Capture:
                 return
             self.state = "starting"
             self._stop.clear()
+            self._retune_pending = False
             self._started_at = time.time()
             self._rebuild_pipeline_if_needed()
             self._thread = threading.Thread(
@@ -538,6 +552,23 @@ class Capture:
         blocks: list[np.ndarray] = []
         try:
             while not self._stop.is_set():
+                if self._retune_pending:
+                    self._retune_pending = False
+                    self.device.configure(
+                        DeviceConfig(
+                            center_hz=self.config.center_hz,
+                            sample_rate=self.config.sample_rate,
+                            gain_db=self.config.gain_db,
+                        )
+                    )
+                    # IQ buffered at the old frequency is stale, and the
+                    # retune is a phase discontinuity: same reset contract
+                    # as an overflow.
+                    self._flush_pending()
+                    buf = np.empty(0, np.complex64)
+                    blocks = []
+                    if self._pipe_cfg is not None:
+                        self._dev_state = self._init_state()
                 samples, overflow = stream.read(chunk)
                 if overflow:
                     self.overflow_count += 1

@@ -34,11 +34,17 @@ class FakeStream(StreamHandle):
         noise: float = 0.001,
         realtime: bool = False,
         seed: int = 42,
+        device: "FakeDevice | None" = None,
     ):
         self.config = config
         self.stations = stations
         self.noise = noise
         self.realtime = realtime
+        # Stations are defined by offset from the center at stream start;
+        # anchor them to absolute RF so a live retune (configure() while
+        # streaming, like a real SDR front end) shifts them in the passband.
+        self._center0 = float(config.center_hz)
+        self._device = device
         self._pos = 0
         self._rng = np.random.default_rng(seed)
         self._closed = False
@@ -46,29 +52,33 @@ class FakeStream(StreamHandle):
     def read(self, n: int) -> tuple[np.ndarray, bool]:
         if self._closed:
             raise RuntimeError("stream closed")
+        if self._device is not None:
+            self.config = self._device.config
         fs = float(self.config.sample_rate)
+        center_shift = float(self.config.center_hz) - self._center0
         t = (self._pos + np.arange(n, dtype=np.float64)) / fs
         x = np.zeros(n, np.complex128)
         for s in self.stations:
+            off = s.offset_hz - center_shift
             if s.kind == "tone" or s.kind == "carrier":
-                x += s.amplitude * np.exp(2j * np.pi * s.offset_hz * t)
+                x += s.amplitude * np.exp(2j * np.pi * off * t)
             elif s.kind in ("nbfm", "wbfm"):
                 audio = np.sin(2 * np.pi * s.tone_hz * t)
                 # integrate audio for FM phase; continuous via absolute time
                 phase = 2 * np.pi * (
-                    s.offset_hz * t
+                    off * t
                     - s.deviation_hz * np.cos(2 * np.pi * s.tone_hz * t)
                     / (2 * np.pi * s.tone_hz)
                 )
                 x += s.amplitude * np.exp(1j * phase)
             elif s.kind == "am":
                 mod = 1.0 + 0.6 * np.sin(2 * np.pi * s.tone_hz * t)
-                x += s.amplitude * mod * np.exp(2j * np.pi * s.offset_hz * t)
+                x += s.amplitude * mod * np.exp(2j * np.pi * off * t)
             elif s.kind == "iq_loop" and s.iq_loop is not None:
                 idx = (self._pos + np.arange(n)) % len(s.iq_loop)
                 base = s.iq_loop[idx]
-                if s.offset_hz:
-                    base = base * np.exp(2j * np.pi * s.offset_hz * t)
+                if off:
+                    base = base * np.exp(2j * np.pi * off * t)
                 x += s.amplitude * base
         if self.noise > 0:
             x += self.noise * (
@@ -97,7 +107,9 @@ class FakeDevice(Device):
         self.config = config
 
     def start_stream(self) -> StreamHandle:
-        return FakeStream(self.config, self.stations, realtime=self.realtime)
+        return FakeStream(
+            self.config, self.stations, realtime=self.realtime, device=self
+        )
 
 
 class FakeDriver(DeviceDriver):

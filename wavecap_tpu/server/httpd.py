@@ -24,6 +24,15 @@ logger = logging.getLogger(__name__)
 
 WS_MAGIC = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 MAX_BODY = 10 * 1024 * 1024
+MAX_HEADER_BYTES = 16 * 1024  # total request head (line + headers)
+MAX_HEADERS = 100
+# Slow-loris bounds: a request head must arrive within HEAD_TIMEOUT of the
+# first byte; a body within BODY_TIMEOUT; an idle keep-alive connection is
+# closed after IDLE_TIMEOUT (reference relies on uvicorn's h11 timeouts).
+HEAD_TIMEOUT = 30.0
+BODY_TIMEOUT = 60.0
+IDLE_TIMEOUT = 120.0
+MAX_CONNECTIONS = 512
 
 
 class HttpError(Exception):
@@ -36,9 +45,13 @@ class HttpError(Exception):
             404: "not found",
             405: "method not allowed",
             409: "conflict",
+            413: "body too large",
+            414: "request line too long",
             422: "unprocessable",
             429: "too many requests",
+            431: "headers too large",
             500: "internal error",
+            503: "overloaded",
         }.get(status, "error")
 
 
@@ -289,11 +302,33 @@ class HttpServer:
         remote = peer[0] if peer else ""
         task = asyncio.current_task()
         if task is not None:
+            if len(self._conns) >= MAX_CONNECTIONS:
+                try:
+                    writer.write(
+                        b"HTTP/1.1 503 X\r\nContent-Length: 0\r\n"
+                        b"Connection: close\r\n\r\n"
+                    )
+                    await writer.drain()
+                finally:
+                    writer.close()
+                return
             self._conns.add(task)
             task.add_done_callback(self._conns.discard)
         try:
             while True:
-                req = await self._read_request(reader)
+                try:
+                    req = await self._read_request(reader)
+                except HttpError as e:
+                    body = json.dumps({"error": e.message}).encode()
+                    writer.write(
+                        f"HTTP/1.1 {e.status} X\r\nContent-Type: application/json\r\n"
+                        f"Content-Length: {len(body)}\r\nConnection: close\r\n\r\n".encode()
+                        + body
+                    )
+                    await writer.drain()
+                    break
+                except asyncio.TimeoutError:
+                    break
                 if req is None:
                     break
                 req.remote = remote
@@ -314,30 +349,55 @@ class HttpServer:
                 pass
 
     async def _read_request(self, reader: asyncio.StreamReader) -> Request | None:
+        # Idle keep-alive wait is bounded separately from the head read so a
+        # client that opens a socket and trickles bytes (slow loris) cannot
+        # hold a connection slot: once the first byte arrives, the rest of
+        # the head must land within HEAD_TIMEOUT.
         try:
-            line = await reader.readline()
-        except (ConnectionError, asyncio.LimitOverrunError):
+            line = await asyncio.wait_for(reader.readline(), IDLE_TIMEOUT)
+        except (ConnectionError, ValueError, asyncio.LimitOverrunError):
             return None
         if not line:
             return None
+        if len(line) > MAX_HEADER_BYTES:
+            raise HttpError(414, "request line too long")
         try:
             method, target, _version = line.decode("latin1").split()
         except ValueError:
             return None
-        headers: dict[str, str] = {}
-        while True:
-            h = await reader.readline()
-            if h in (b"\r\n", b"\n", b""):
-                break
-            if b":" in h:
-                k, v = h.decode("latin1").split(":", 1)
-                headers[k.strip().lower()] = v.strip()
+
+        async def read_head() -> dict[str, str]:
+            headers: dict[str, str] = {}
+            total = len(line)
+            while True:
+                try:
+                    h = await reader.readline()
+                except (ValueError, asyncio.LimitOverrunError):
+                    raise HttpError(431, "header line too long")
+                if h in (b"\r\n", b"\n", b""):
+                    return headers
+                total += len(h)
+                if total > MAX_HEADER_BYTES or len(headers) >= MAX_HEADERS:
+                    raise HttpError(431, "headers too large")
+                if b":" in h:
+                    k, v = h.decode("latin1").split(":", 1)
+                    headers[k.strip().lower()] = v.strip()
+
+        headers = await asyncio.wait_for(read_head(), HEAD_TIMEOUT)
         body = b""
-        n = int(headers.get("content-length", "0") or 0)
+        try:
+            n = int(headers.get("content-length", "0") or 0)
+        except ValueError:
+            raise HttpError(400, "invalid content-length")
+        if n < 0:
+            raise HttpError(400, "invalid content-length")
         if n:
             if n > MAX_BODY:
                 raise HttpError(413, "body too large")
-            body = await reader.readexactly(n)
+            try:
+                body = await asyncio.wait_for(reader.readexactly(n), BODY_TIMEOUT)
+            except asyncio.IncompleteReadError:
+                return None
         parsed = urlparse(target)
         query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
         return Request(

@@ -28,10 +28,13 @@ def main() -> None:
             config=CaptureConfig(
                 center_hz=851.5e6,
                 sample_rate=rate,
-                block_seconds=0.2,
+                block_seconds=0.15,
                 narrow_capacity=0,
                 wide_capacity=0,
                 p25_capacity=1 + n_voice,
+                transport="i8",  # matches the trunking system's captures
+                pipeline_depth=2,
+                blocks_per_dispatch=2,
             )
         )
         cap.create_channel(ChannelSpec(id="cc", mode="p25", frequency_hz=851.2e6))
@@ -43,19 +46,30 @@ def main() -> None:
             )
         cap.start()
         deadline = time.time() + 600
-        while time.time() < deadline and cap.blocks_processed < 25:
-            time.sleep(0.5)
+        warm_n, end_n = 5, 45
+        t_warm = None
+        while time.time() < deadline:
+            n = cap.blocks_processed
+            if t_warm is None and n >= warm_n:
+                t_warm, n_warm = time.time(), n
+            if n >= end_n:
+                break
+            time.sleep(0.05)
         n_blocks = cap.blocks_processed
-        block_ms = cap.block_ms
+        block_lat_ms = cap.block_ms  # dispatch->fetch latency incl. pipeline wait
+        elapsed = time.time() - t_warm if t_warm else 0.0
         cap.stop()
-        rt = 200.0 / block_ms if block_ms else 0.0
+        # throughput: wall time per block once warm (uploads overlap fetches)
+        wall_ms = elapsed * 1e3 / max(n_blocks - n_warm, 1) if t_warm else 0.0
+        rt = 150.0 / wall_ms if wall_ms else 0.0
         print(
             json.dumps(
                 {
                     "config": f"trunking_{1+n_voice}ch_p25",
                     "blocks": n_blocks,
-                    "block_ms": round(block_ms, 1),
-                    "realtime_x": round(rt, 1),
+                    "block_wall_ms": round(wall_ms, 1),
+                    "block_latency_ms": round(block_lat_ms, 1),
+                    "realtime_x": round(rt, 2),
                 }
             ),
             flush=True,

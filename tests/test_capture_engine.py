@@ -258,6 +258,11 @@ class TestDispatchModes:
     def test_i16_transport_demodulates(self):
         assert abs(self._run_capture(transport="i16") - 900.0) < 20
 
+    def test_i8_transport_demodulates(self):
+        # adaptive-scale int8: quantization rides 42 dB below the block
+        # peak, far under FM demod sensitivity for an in-band station
+        assert abs(self._run_capture(transport="i8") - 900.0) < 20
+
     def test_multi_block_dispatch_demodulates(self):
         assert abs(self._run_capture(blocks_per_dispatch=2) - 900.0) < 20
 

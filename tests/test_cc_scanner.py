@@ -52,11 +52,32 @@ class TestScannerUnit:
     def test_probe_counts_frames_and_crc(self):
         sc = CCScanner(probe_window_s=0.5)
         sc.start_probe(851.2e6, "voice0", now=0.0)
-        sc.feed("voice0", tsdu_soft(), now=0.1)
+        sc.feed("voice0", tsdu_soft(), now=0.05)  # stale pre-retune: skipped
+        sc.feed("voice0", tsdu_soft(), now=0.1)  # window anchors here
         sc.feed("voiceOTHER", tsdu_soft(), now=0.1)  # wrong slot: ignored
         assert sc.poll(0.2) is None  # window not elapsed
         m = sc.poll(1.0)
         assert m is not None and m.sync_detected and m.frames >= 1 and m.crc_ok >= 1
+
+    def test_probe_skips_stale_batch_from_old_tuning(self):
+        # the first batch after a retune may still carry the old frequency's
+        # symbols; a sync there must not verify the new candidate
+        sc = CCScanner(probe_window_s=0.5)
+        sc.start_probe(851.2e6, "voice0", now=0.0)
+        sc.feed("voice0", tsdu_soft(), now=0.05)  # stale: old-freq sync
+        m = sc.poll(10.0)  # fed==0 -> still waiting, not a completed window
+        assert m is None and sc.probe is not None
+
+    def test_probe_without_data_aborts_unrecorded(self):
+        """A probe started while the capture is compiling sees no batches;
+        it must abort WITHOUT recording a false 'verified: no sync'."""
+        sc = CCScanner(probe_window_s=1.0)
+        sc.start_probe(851.2e6, "voice0", now=0.0)
+        assert sc.poll(2.0) is None  # window would have elapsed, but no data
+        assert sc.probe is not None  # still waiting
+        assert sc.poll(sc.probe_timeout_s + 1.0) is None
+        assert sc.probe is None  # aborted
+        assert 851.2e6 not in sc.measurements  # left unverified for retry
 
     def test_should_roam_needs_sync_margin_and_freshness(self):
         sc = CCScanner(roam_margin_db=6.0, roam_interval_s=30.0)
@@ -114,12 +135,20 @@ class TestSystemProbeFlow:
         sys_.scanner.measurements[carrier] = CCMeasurement(carrier, power_db=-40, snr_db=40)
         sys_.scanner.measurements[cc] = CCMeasurement(cc, power_db=-75, snr_db=5)
 
+        rng = np.random.default_rng(7)
+
+        def noise():
+            return rng.normal(0.0, 0.3, 4000).astype(np.float32)
+
         sys_._check_hunt()  # starts probe #1 on the carrier
         assert sys_.scanner.probe is not None
         assert sys_.capture.retunes[-1] == ("voice0", {"frequency_hz": carrier})
-        # carrier yields no symbols; window (0 s) elapses
+        # carrier demods to syncless noise symbols (first batch = stale skip)
+        sys_.scanner.feed("voice0", noise(), now=time.time())
+        sys_.scanner.feed("voice0", noise(), now=time.time())
         sys_._check_hunt()  # finishes probe #1, starts probe #2 on the CC
         assert sys_.scanner.probe.frequency_hz == cc
+        sys_.scanner.feed("voice0", tsdu_soft(), now=time.time())  # stale skip
         sys_.scanner.feed("voice0", tsdu_soft(), now=time.time())
         sys_._check_hunt()  # finishes probe #2 -> best = CC -> retune cc slot
         assert sys_._cc_current_freq == cc
@@ -191,8 +220,10 @@ class TestScannerIntegration:
         sys_ = tm.create_system(cfg)
         sys_.start()
         try:
+            # generous horizon: two 1 s probes plus pipeline compiles, all
+            # on a CPU that may be saturated by a parallel full-suite run
             t0 = time.time()
-            while time.time() - t0 < 120:
+            while time.time() - t0 < 300:
                 st = sys_.status()
                 if st["synced"] and st["controlChannelHz"] == cc_f:
                     break

@@ -24,10 +24,12 @@ import itertools
 import logging
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from wavecap_tpu.devices.base import Device, DeviceConfig
@@ -68,7 +70,12 @@ class CaptureConfig:
     # bandwidth bound (~27 MB/s), so int16 halves the dominant cost of a
     # real-time capture vs interleaved f32; SDR front ends are <=16 bit so
     # nothing real is lost.  "f32" keeps full float fidelity for tests.
-    transport: str = "i16"  # i16 | f32
+    # "i8" quarters the upload using a per-block adaptive scale (the block
+    # max rides along as one f32 and is folded back on-device), i.e. the
+    # same dynamic-range model as an 8-bit front end (RTL-SDR): ~42 dB
+    # below the strongest in-band signal.  Right for digital-voice
+    # (P25/DMR) trunking captures where upload is the real-time budget.
+    transport: str = "i16"  # i8 | i16 | f32
     # Software pipeline depth: 1 overlaps the host fetch of block k-1 with
     # the upload+compute of block k (jax dispatch is async), hiding the
     # device round trip when the stream keeps up.  0 = fully synchronous.
@@ -131,8 +138,15 @@ class Capture:
         self._ctl = None
         self._ctl_dirty = True
         self._retune_pending = False
-        # in-flight dispatched batches: (out, blocks, channels, t0)
-        self._pending: list = []
+        # in-flight dispatched batches: (out, blocks, channels, t0).
+        # A dedicated fetch thread drains this so the device->host fetch of
+        # batch k-1 overlaps the host->device upload of batch k (both ride
+        # the same relay link but different directions); serializing them in
+        # the capture thread was the real-time bottleneck for small captures.
+        self._pending: deque = deque()
+        self._pend_cv = threading.Condition()
+        self._fetching = 0  # batches popped by the fetch thread, not yet done
+        self._fetch_thread: threading.Thread | None = None
         self._wide_baseband = False
         # driver-service recovery escalation (set by the CaptureManager)
         self.recovery = None
@@ -434,10 +448,19 @@ class Capture:
             self._retune_pending = False
             self._started_at = time.time()
             self._rebuild_pipeline_if_needed()
-            self._thread = threading.Thread(
+            # publish the attributes only AFTER .start(): a concurrent
+            # stop() (health monitor vs external caller) must never join a
+            # constructed-but-unstarted Thread (RuntimeError)
+            t = threading.Thread(
                 target=self._run, name=f"Capture-{self.id}", daemon=True
             )
-            self._thread.start()
+            t.start()
+            self._thread = t
+            ft = threading.Thread(
+                target=self._fetch_loop, name=f"CaptureFetch-{self.id}", daemon=True
+            )
+            ft.start()
+            self._fetch_thread = ft
             if self._health_thread is None or not self._health_thread.is_alive():
                 self._health_thread = threading.Thread(
                     target=self._health_monitor,
@@ -518,9 +541,16 @@ class Capture:
 
     def stop(self) -> None:
         self._stop.set()
-        if self._thread:
-            self._thread.join(timeout=10)
-            self._thread = None
+        with self._pend_cv:
+            self._pend_cv.notify_all()
+        for attr in ("_thread", "_fetch_thread"):
+            t = getattr(self, attr)
+            if t is not None and t is not threading.current_thread():
+                try:
+                    t.join(timeout=10)
+                except RuntimeError:  # pragma: no cover - start/stop race
+                    pass
+            setattr(self, attr, None)
         self.state = "stopped"
 
     def restart(self) -> None:
@@ -622,9 +652,21 @@ class Capture:
                 ).astype(np.int16)
                 for b in blocks
             ]
+            batch: Any = np.stack(rows)
+        elif self.config.transport == "i8":
+            f_rows = [np.ascontiguousarray(b).view(np.float32) for b in blocks]
+            peaks = np.array(
+                [max(float(np.max(np.abs(r))), 1e-12) for r in f_rows], np.float32
+            )
+            rows = [
+                np.clip(np.round(r * (127.0 / p)), -127, 127).astype(np.int8)
+                for r, p in zip(f_rows, peaks)
+            ]
+            # per-block scale folded back on-device: x_f32 = x_i8 * scale
+            batch = (np.stack(rows), peaks * np.float32(1.0 / 127.0))
         else:
             rows = [np.ascontiguousarray(b).view(np.float32) for b in blocks]
-        batch = np.stack(rows)
+            batch = np.stack(rows)
         # heartbeat BEFORE dispatch: a cold jit compile (tens of seconds on
         # first block / after a mode-set change) must not trip the stall
         # watchdog and trigger a pointless restart loop
@@ -633,25 +675,82 @@ class Capture:
             self._compile_started = time.time()
             self._compiling = True
         try:
-            out, state = jit_step(jnp.asarray(batch), state, ctl)
+            dev_batch = jax.tree_util.tree_map(jnp.asarray, batch)
+            out, state = jit_step(dev_batch, state, ctl)
         finally:
             self._compiling = False
             self._program_warm = True
+            # heartbeat AFTER dispatch too: the fetch of this batch happens
+            # on the fetch thread, so blocks_processed can stay 0 for a
+            # moment after a long first compile — without this the startup
+            # watchdog sees a stale last_block_time and restarts needlessly
+            self.last_block_time = time.time()
         with self._lock:
             self._dev_state = state
-        self._pending.append((out, blocks, channels, t0))
-        while len(self._pending) > max(0, self.config.pipeline_depth):
-            self._finish_batch()
+        # Hand the device handles to the fetch thread; block here only when
+        # more than pipeline_depth batches are already in flight (device or
+        # relay can't keep up) so dispatch paces itself to the real rate.
+        limit = max(0, self.config.pipeline_depth)
+        with self._pend_cv:
+            self._pending.append((out, blocks, channels, t0))
+            self._pend_cv.notify_all()
+            while (
+                len(self._pending) + self._fetching > limit
+                and not self._stop.is_set()
+                and self._fetch_thread is not None
+                and self._fetch_thread.is_alive()
+            ):
+                self._pend_cv.wait(0.1)
+        if self._fetch_thread is None or not self._fetch_thread.is_alive():
+            self._drain_inline()
+
+    def _fetch_loop(self) -> None:
+        """Drain dispatched batches: device fetch + host fan-out.
+
+        Runs concurrently with the capture thread's uploads; a single
+        consumer keeps publish order FIFO."""
+        while True:
+            with self._pend_cv:
+                while not self._pending:
+                    if self._stop.is_set():
+                        return
+                    self._pend_cv.wait(0.2)
+                item = self._pending.popleft()
+                self._fetching += 1
+                self._pend_cv.notify_all()
+            try:
+                self._finish_batch(item)
+            except Exception:  # pragma: no cover
+                logger.exception("capture %s fetch failed", self.id)
+                self.state = "failed"
+                self.error = "fetch failed"
+            finally:
+                with self._pend_cv:
+                    self._fetching -= 1
+                    self._pend_cv.notify_all()
+
+    def _drain_inline(self) -> None:
+        """Synchronous drain for callers without a fetch thread (tests that
+        poke _dispatch_blocks directly)."""
+        while True:
+            with self._pend_cv:
+                if not self._pending:
+                    return
+                item = self._pending.popleft()
+            self._finish_batch(item)
 
     def _flush_pending(self) -> None:
-        while self._pending:
-            self._finish_batch()
-
-    def _finish_batch(self) -> None:
-        """Fetch one in-flight batch (single packed transfer) and fan out."""
-        if not self._pending:
+        """Wait until every dispatched batch has been fetched and fanned out."""
+        if self._fetch_thread is None or not self._fetch_thread.is_alive():
+            self._drain_inline()
             return
-        out, blocks, channels, t0 = self._pending.pop(0)
+        with self._pend_cv:
+            while self._pending or self._fetching:
+                self._pend_cv.wait(0.1)
+
+    def _finish_batch(self, item) -> None:
+        """Fetch one in-flight batch (single packed transfer) and fan out."""
+        out, blocks, channels, t0 = item
         import jax as _jax
 
         n = len(blocks)
@@ -688,7 +787,6 @@ class Capture:
                     ch.symbols.publish(
                         {
                             "soft": grp["soft"][b][ch.slot],
-                            "dibits": grp["dibits"][b][ch.slot],
                             "rssi": ch.rssi_db,
                         }
                     )

@@ -92,6 +92,12 @@ class CapturePipelineConfig:
     # (RDS consumers need the 57 kHz subcarrier, which cannot survive the
     # 48 kHz audio path) — costs ~1 MB/s/slot of fetch, so opt-in
     export_wide_baseband: bool = False
+    # spectrum frames fetched per block: raw FFT frames are averaged down
+    # (in the power domain, on-device) to this many.  Raw frames at
+    # block_size/fft_size per block dominated the device->host fetch
+    # (~475 KB/block at 2.4 Msps); ~10 fps is plenty for waterfall UIs and
+    # the averaging improves the dB estimate for the classifier
+    spectrum_frames: int = 2
 
     def channelizer(self) -> ChannelizerConfig:
         return ChannelizerConfig(
@@ -261,7 +267,13 @@ def capture_step(
     from wavecap_tpu.models.channel_bank import bank_demod_step
 
     out: dict[str, Any] = {}
-    out["spectrum"] = ops.spectrogram(x, cfg.fft_size, hop=cfg.fft_size, average=4)
+    n_fft_frames = max(x.shape[-1] // cfg.fft_size, 1)
+    out["spectrum"] = ops.spectrogram(
+        x,
+        cfg.fft_size,
+        hop=cfg.fft_size,
+        average=max(1, n_fft_frames // max(cfg.spectrum_frames, 1)),
+    )
     out["rssi"] = ops.rssi_dbfs(x)
 
     # One channelizer pass feeds every narrowband bank and the P25 bank.
@@ -323,17 +335,25 @@ def _p25_step(chans, state: P25BankState, assign, cfg: CapturePipelineConfig):
         selected, assign.fine_offset_hz, state.nco_phase, state.c4fm
     )
     rssi = jnp.where(assign.active, rssi, jnp.full_like(rssi, -200.0))
+    # hard decisions ("dibits") are NOT exported: every host consumer
+    # re-derives them from soft symbols (framer/trellis take soft), and
+    # fetching them doubled the p25 payload per block
+    del dibits
     return (
-        {"soft": soft, "dibits": dibits, "rssi": rssi},
+        {"soft": soft, "rssi": rssi},
         P25BankState(phases, c4states),
     )
 
 
-def _to_complex(x_in: jnp.ndarray) -> jnp.ndarray:
-    """Interleaved I/Q -> complex64 on device.  Accepts f32 (unit scale)
-    or i16 (scaled by 1/32768): integer transport halves the host->device
-    bytes, which is the bottleneck on remote TPU relays."""
-    if jnp.issubdtype(x_in.dtype, jnp.integer):
+def _to_complex(x_in: jnp.ndarray, scale: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Interleaved I/Q -> complex64 on device.  Accepts f32 (unit scale),
+    i16 (scaled by 1/32768), or i8 with an explicit per-block ``scale``
+    (adaptive quantization: host sends block_max/127, device folds it
+    back).  Integer transport shrinks the host->device bytes, which is
+    the bottleneck on remote TPU relays."""
+    if scale is not None:
+        x_f32 = x_in.astype(jnp.float32) * scale
+    elif jnp.issubdtype(x_in.dtype, jnp.integer):
         x_f32 = x_in.astype(jnp.float32) * (1.0 / 32768.0)
     else:
         x_f32 = x_in
@@ -359,6 +379,19 @@ def jit_capture_multi(cfg: CapturePipelineConfig, n_blocks: int):
     Python loop pays the dispatch cost every block)."""
 
     def multi(x_rows, state, ctl):
+        # x_rows: stacked interleaved rows, or (rows_i8, per-row scales)
+        # for adaptive-scale int8 transport
+        if isinstance(x_rows, tuple):
+            rows, scales = x_rows
+
+            def body_scaled(st, rs):
+                row, s = rs
+                out, st2 = capture_step(_to_complex(row, s), st, ctl, cfg)
+                return st2, out
+
+            state, outs = jax.lax.scan(body_scaled, state, (rows, scales))
+            return outs, state
+
         def body(st, row):
             out, st2 = capture_step(_to_complex(row), st, ctl, cfg)
             return st2, out

@@ -48,6 +48,11 @@ class FakeStream(StreamHandle):
         self._pos = 0
         self._rng = np.random.default_rng(seed)
         self._closed = False
+        # Pre-generated complex noise pool served by random offset: a real
+        # SDR read is a USB-buffer memcpy, so per-read gaussian synthesis
+        # (~40 ms/block at 2.4 Msps) would charge the capture loop for cost
+        # real hardware doesn't have.
+        self._noise_pool: np.ndarray | None = None
 
     def read(self, n: int) -> tuple[np.ndarray, bool]:
         if self._closed:
@@ -56,6 +61,14 @@ class FakeStream(StreamHandle):
             self.config = self._device.config
         fs = float(self.config.sample_rate)
         center_shift = float(self.config.center_hz) - self._center0
+        if not self.stations and self.noise > 0:
+            # noise-only stream (throughput benchmarks): serve slices of a
+            # pre-generated pool instead of synthesizing per read
+            out = self._noise_slice(n) * np.float32(self.noise)
+            self._pos += n
+            if self.realtime:
+                time.sleep(n / fs)
+            return out, False
         t = (self._pos + np.arange(n, dtype=np.float64)) / fs
         x = np.zeros(n, np.complex128)
         for s in self.stations:
@@ -81,13 +94,22 @@ class FakeStream(StreamHandle):
                     base = base * np.exp(2j * np.pi * off * t)
                 x += s.amplitude * base
         if self.noise > 0:
-            x += self.noise * (
-                self._rng.standard_normal(n) + 1j * self._rng.standard_normal(n)
-            )
+            x += self.noise * self._noise_slice(n)
         self._pos += n
         if self.realtime:
             time.sleep(n / fs)
         return x.astype(np.complex64), False
+
+    def _noise_slice(self, n: int) -> np.ndarray:
+        pool = self._noise_pool
+        if pool is None or len(pool) < 2 * n:
+            m = max(1 << 21, 2 * n)
+            pool = (
+                self._rng.standard_normal(m) + 1j * self._rng.standard_normal(m)
+            ).astype(np.complex64)
+            self._noise_pool = pool
+        off = int(self._rng.integers(0, len(pool) - n + 1))
+        return pool[off : off + n]
 
     def close(self) -> None:
         self._closed = True

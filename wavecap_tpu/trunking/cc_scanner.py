@@ -65,6 +65,13 @@ class _Probe:
     channel_id: str
     started: float
     monitor: ControlChannelMonitor = field(default_factory=ControlChannelMonitor)
+    # Window anchoring: the measurement window starts at the first symbol
+    # batch actually FED, not at start_probe — a probe started while the
+    # capture is still compiling (or otherwise stalled) must wait for data
+    # instead of recording a false "verified: no sync" for a real CC.
+    skipped: int = 0  # stale in-flight batches (pre-retune) dropped
+    fed: int = 0  # batches counted toward the window
+    first_fed: float = 0.0
 
 
 class CCScanner:
@@ -89,6 +96,11 @@ class CCScanner:
         self.roam_interval_s = roam_interval_s
         self.roam_margin_db = roam_margin_db
         self.power_ema = power_ema
+        # stale in-flight batches to drop after the probe slot retunes
+        self.settle_batches = 1
+        # give up waiting for first data after this long (first compile of a
+        # fresh capture program can stall symbol flow for minutes)
+        self.probe_timeout_s = max(15.0, 10.0 * probe_window_s)
         self.measurements: dict[float, CCMeasurement] = {}
         self.probe: _Probe | None = None
         self.last_roam_check = 0.0
@@ -142,13 +154,37 @@ class CCScanner:
     def feed(self, channel_id: str, soft: np.ndarray, now: float) -> None:
         """Route a probe slot's symbol batch into the probe monitor."""
         p = self.probe
-        if p is not None and p.channel_id == channel_id:
-            p.monitor.process_symbols(soft, now=now)
+        if p is None or p.channel_id != channel_id:
+            return
+        if p.skipped < self.settle_batches:
+            # batches dispatched before the retune took effect carry the
+            # slot's OLD frequency; counting them could sync-verify the
+            # wrong candidate
+            p.skipped += 1
+            return
+        if p.fed == 0:
+            p.first_fed = now
+        p.fed += 1
+        p.monitor.process_symbols(soft, now=now)
 
     def poll(self, now: float) -> CCMeasurement | None:
-        """Finish the probe once its window has elapsed; returns the result."""
+        """Finish the probe once its window (anchored at first data) has
+        elapsed; returns the result.  A probe that never receives symbol
+        batches (capture compiling/stalled) is aborted WITHOUT recording,
+        leaving the candidate unverified for a later retry."""
         p = self.probe
-        if p is None or now - p.started < self.probe_window_s:
+        if p is None:
+            return None
+        if p.fed == 0:
+            if now - p.started > self.probe_timeout_s:
+                logger.info(
+                    "cc probe %.4f MHz: no symbol batches within %.1f s, aborting",
+                    p.frequency_hz / 1e6,
+                    self.probe_timeout_s,
+                )
+                self.probe = None
+            return None
+        if now - p.first_fed < self.probe_window_s:
             return None
         st = p.monitor.stats
         m = self.measurements.setdefault(

@@ -157,11 +157,14 @@ class TrunkingSystem:
             cap_cfg = CaptureConfig(
                 center_hz=cfg.effective_center_hz(),
                 sample_rate=cfg.sample_rate,
-                # 0.2 s blocks: remote-TPU per-dispatch overhead is fixed
-                # (~150 ms incl. the packed fetch), so 0.1 s blocks fall
-                # below realtime while 0.2 s runs at 1.3x; grant reaction
-                # stays well under the reference's ~0.5 s
-                block_seconds=0.2,
+                # 0.15 s blocks, two per dispatch: remote-TPU per-dispatch
+                # overhead is fixed (~100 ms serialized upload+fetch RPCs),
+                # so amortizing it over 0.3 s of IQ is what clears 2x
+                # real-time; worst-case grant reaction = 0.3 s accumulation
+                # + ~0.1 s dispatch/fetch = 0.4 s, inside the reference's
+                # ~0.5 s envelope
+                block_seconds=0.15,
+                blocks_per_dispatch=2,
                 narrow_capacity=0,
                 wide_capacity=0,
                 p25_capacity=1 + cfg.max_voice_channels,
@@ -170,9 +173,25 @@ class TrunkingSystem:
                 p25_modulation=(
                     "cqpsk" if cfg.protocol == TrunkingProtocol.P25_PHASE2 else "c4fm"
                 ),
+                # Adaptive-scale int8 IQ transport: digital voice tolerates
+                # the 8-bit front-end dynamic-range model (RTL-SDRs are
+                # 8-bit), and upload bandwidth is the real-time budget on
+                # relay-attached TPUs.
+                transport="i8",
+                # two batches in flight: upload k+1 proceeds while k computes
+                # and k-1 fetches.  A real-time-paced SDR keeps the queue at
+                # 0-1 in steady state, so grant latency stays ~one block.
+                pipeline_depth=2,
             )
             self.capture = self.capture_manager.create_capture(
                 device_id=cfg.device_id, config=cap_cfg
+            )
+            # Probe settle must cover every block that can still be in
+            # flight with the PRE-retune tuning: voice slots are parked on
+            # the CC frequency, so a stale batch carries real CC sync and
+            # would falsely verify whatever candidate is being probed.
+            self.scanner.settle_batches = max(
+                1, cap_cfg.pipeline_depth * cap_cfg.blocks_per_dispatch
             )
             cc_freq = self.cc_locked or cfg.control_channels[
                 self.cc_index % len(cfg.control_channels)
@@ -411,8 +430,21 @@ class TrunkingSystem:
             self.identity.nac = parsed["nac"]
         if t in ("IDENTIFIER_UPDATE", "IDENTIFIER_UPDATE_VU", "IDENTIFIER_UPDATE_TDMA"):
             ident = iden_from_parsed(parsed)
-            self.identifiers[ident.identifier] = ident
-            self._save_state()
+            # air-interface data is untrusted: a corrupt-but-CRC-lucky IDEN
+            # must not poison the channel->frequency map (reference range-
+            # checks derived frequencies; validation.py)
+            from wavecap_tpu.utils.validation import plausible_iden
+
+            if plausible_iden(
+                ident.base_freq_mhz, ident.channel_spacing_khz, ident.bandwidth_khz
+            ):
+                self.identifiers[ident.identifier] = ident
+                self._save_state()
+            else:
+                self._emit(
+                    "iden_rejected",
+                    {"identifier": ident.identifier, "baseMHz": ident.base_freq_mhz},
+                )
         elif t == "RFSS_STATUS":
             self.identity.system_id = parsed.get("system_id")
             self.identity.rfss_id = parsed.get("rfss_id")
@@ -459,6 +491,11 @@ class TrunkingSystem:
         chan = parsed.get("channel_number", 0)
         freq = self.calculate_frequency(band, chan)
         if freq is None:
+            return
+        from wavecap_tpu.utils.validation import plausible_rf_hz
+
+        if not plausible_rf_hz(freq):
+            self._emit("grant_bad_frequency", {"tgid": tgid, "frequencyHz": freq})
             return
         ident = self.identifiers.get(band)
         tdma_slot = ident.slot(chan) if ident is not None else 0

@@ -78,8 +78,15 @@ def write_audio_wav(path: str | Path, audio: np.ndarray, rate: int = 48_000) -> 
 
 
 def pack_pcm16(audio: np.ndarray) -> np.ndarray:
-    """float32 [-1,1] -> int16 PCM (reference capture.py:120-130 semantics)."""
-    return np.clip(np.asarray(audio) * 32767.0, -32768.0, 32767.0).astype(np.int16)
+    """float32 [-1,1] -> int16 PCM (reference capture.py:120-130 semantics).
+
+    Non-finite samples are zeroed first: ``NaN.astype(int16)`` is
+    platform-defined garbage and a DSP edge case must not corrupt WAV
+    files or PCM streams (reference ``validation.py:37-53``)."""
+    from wavecap_tpu.utils.validation import sanitize_audio
+
+    a = sanitize_audio(np.asarray(audio))
+    return np.clip(a * 32767.0, -32768.0, 32767.0).astype(np.int16)
 
 
 def pack_iq16(iq: np.ndarray) -> np.ndarray:
@@ -91,4 +98,6 @@ def pack_iq16(iq: np.ndarray) -> np.ndarray:
 
 
 def pack_f32(audio: np.ndarray) -> bytes:
-    return np.asarray(audio, np.float32).tobytes()
+    from wavecap_tpu.utils.validation import sanitize_audio
+
+    return np.asarray(sanitize_audio(np.asarray(audio)), np.float32).tobytes()

@@ -82,9 +82,26 @@ def _read_iq(path: str, rate: int | None):
     raise SystemExit(f"unsupported IQ format: {p.suffix}")
 
 
+def _jit_c4fm(cfg):
+    """Jitted C4FM step taking interleaved-f32 IQ, plus on-device init.
+
+    Complex host<->device transfers are unimplemented on some TPU relays;
+    complex math inside jit is fine, so the boundary is crossed as
+    interleaved f32 and the state is created by a jitted init."""
+    import jax
+    from jax import lax
+
+    from wavecap_tpu.models.p25.c4fm import c4fm_demodulate, c4fm_init
+
+    step = jax.jit(
+        lambda x, st: c4fm_demodulate(lax.complex(x[0::2], x[1::2]), st, cfg)
+    )
+    state = jax.jit(lambda: c4fm_init(cfg))()
+    return step, state
+
+
 def cmd_demod(args) -> int:
     """Offline demodulation: IQ file -> audio WAV."""
-    import jax.numpy as jnp
 
     from wavecap_tpu import models
     from wavecap_tpu.utils.wavio import write_audio_wav
@@ -93,32 +110,39 @@ def cmd_demod(args) -> int:
     if rate is None:
         raise SystemExit("--rate required for raw IQ files")
     if args.offset:
-        from wavecap_tpu import ops
-
-        iq_j, _ = ops.freq_shift(jnp.asarray(iq), -args.offset, rate)
-    else:
-        iq_j = jnp.asarray(iq)
+        # host-side mix: exact, cheap, and keeps the device boundary free
+        # of eager ops (each one is a separate remote compile on relays)
+        t = np.arange(len(iq)) / rate
+        iq = (iq * np.exp(-2j * np.pi * args.offset * t)).astype(np.complex64)
     spec = models.get_demod(args.mode)
     cfg = models.make_config(args.mode, rate, audio_rate=args.audio_rate)
     # fixed-size blocks through ONE jitted program: the compile is paid
     # once (and cached across runs/file lengths), and streaming state
-    # carries across blocks exactly like the live capture path
+    # carries across blocks exactly like the live capture path.  IQ crosses
+    # the host->device boundary as interleaved f32 and the state is created
+    # on-device (jitted init): complex transfers are unimplemented on some
+    # TPU relays, and everything inside jit handles complex fine.
     import jax
+    from jax import lax
     from math import gcd
 
     unit = (int(rate) // gcd(int(rate), int(args.audio_rate))) * 64
     block = max(unit, (int(rate) // 5 // unit) * unit)  # ~0.2 s
-    step = jax.jit(spec.demod, static_argnums=2)
-    state = spec.init(cfg)
+    step = jax.jit(lambda x, st: spec.demod(lax.complex(x[0::2], x[1::2]), st, cfg))
+    state = jax.jit(lambda: spec.init(cfg))()
     t0 = time.perf_counter()
     parts = []
-    n_blocks = len(iq_j) // block
+    n_blocks = len(iq) // block
     for i in range(n_blocks):
-        y, state = step(iq_j[i * block : (i + 1) * block], state, cfg)
+        row = np.ascontiguousarray(iq[i * block : (i + 1) * block]).view(np.float32)
+        y, state = step(row, state)
         parts.append(np.asarray(y))
-    rem = len(iq_j) - n_blocks * block
+    rem = len(iq) - n_blocks * block
     if rem >= unit:
-        y, state = spec.demod(iq_j[n_blocks * block :][: (rem // unit) * unit], state, cfg)
+        row = np.ascontiguousarray(
+            iq[n_blocks * block :][: (rem // unit) * unit]
+        ).view(np.float32)
+        y, state = step(row, state)
         parts.append(np.asarray(y))
     audio = np.concatenate(parts) if parts else np.zeros(0, np.float32)
     dt = time.perf_counter() - t0
@@ -132,7 +156,6 @@ def cmd_demod(args) -> int:
 
 def cmd_decode_iq(args) -> int:
     """Offline P25 decode: IQ file -> frame/TSBK statistics (+ JSON)."""
-    import jax.numpy as jnp
     from scipy import signal as sps
 
     from wavecap_tpu.decoders import p25_frames as pf
@@ -153,7 +176,7 @@ def cmd_decode_iq(args) -> int:
         g = gcd(int(rate), 48_000)
         iq = sps.resample_poly(iq, 48_000 // g, int(rate) // g).astype(np.complex64)
     cfg = C4fmConfig(sample_rate=48_000)
-    state = c4fm_init(cfg)
+    demod, state = _jit_c4fm(cfg)
     framer = P25Framer()
     stats = {"frames": 0, "tsdu": 0, "ldu": 0, "tsbk": 0, "tsbk_crc_ok": 0, "by_duid": {}}
     messages = []
@@ -161,8 +184,9 @@ def cmd_decode_iq(args) -> int:
     n_blocks = len(iq) // block
     t0 = time.perf_counter()
     for i in range(n_blocks):
-        soft, _, state = c4fm_demodulate(
-            jnp.asarray(iq[i * block : (i + 1) * block]), state, cfg
+        soft, _, state = demod(
+            np.ascontiguousarray(iq[i * block : (i + 1) * block]).view(np.float32),
+            state,
         )
         for frame in framer.process(np.asarray(soft)):
             stats["frames"] += 1
@@ -215,7 +239,6 @@ def cmd_decode_audio(args) -> int:
     Demodulates C4FM, frames LDUs, runs IMBE codeword FEC and — when a
     vocoder library is present — synthesizes PCM.  Without one, the raw
     codewords are persisted as ``.imbe`` next to the output."""
-    import jax.numpy as jnp
     from scipy import signal as sps
 
     from wavecap_tpu.decoders import p25_frames as pf
@@ -233,15 +256,16 @@ def cmd_decode_audio(args) -> int:
         g = gcd(int(rate), 48_000)
         iq = sps.resample_poly(iq, 48_000 // g, int(rate) // g).astype(np.complex64)
     cfg = C4fmConfig(sample_rate=48_000)
-    state = c4fm_init(cfg)
+    demod, state = _jit_c4fm(cfg)
     framer = P25Framer()
     decoder = VoiceDecoder()
     pcm_chunks: list[np.ndarray] = []
     imbe_frames: list[np.ndarray] = []
     block = 24_000
     for i in range(len(iq) // block):
-        soft, _, state = c4fm_demodulate(
-            jnp.asarray(iq[i * block : (i + 1) * block]), state, cfg
+        soft, _, state = demod(
+            np.ascontiguousarray(iq[i * block : (i + 1) * block]).view(np.float32),
+            state,
         )
         for frame in framer.process(np.asarray(soft)):
             if frame.duid not in (pf.DUID.LDU1, pf.DUID.LDU2):

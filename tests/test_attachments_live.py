@@ -149,3 +149,39 @@ class TestRecoveryEscalation:
         finally:
             cap.auto_restart = False
             cap.stop()
+
+    def test_hung_device_open_trips_watchdog(self):
+        """A driver open that hangs in a C call leaves the capture in
+        'starting' forever; the watchdog must bound it (reference opens
+        devices under a subprocess timeout for the same failure mode)."""
+        import threading
+
+        mgr = CaptureManager(FakeDriver(n_devices=1, stations=[]))
+        cap = mgr.create_capture(
+            config=CaptureConfig(center_hz=CENTER, sample_rate=RATE, block_seconds=0.2)
+        )
+        cap.device_open_timeout_s = 0.5
+        cap.max_restarts_per_hour = 1
+        hang = threading.Event()
+        real_start = cap.device.start_stream
+
+        calls = {"n": 0}
+
+        def hung_start_stream():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                hang.wait(30)  # simulate a wedged driver on the first open
+            return real_start()
+
+        cap.device.start_stream = hung_start_stream
+        cap.start()
+        try:
+            assert cap.state == "starting"
+            # watchdog restarts past device_open_timeout_s; the second open
+            # succeeds and the capture comes up
+            assert wait_for(lambda: cap.state == "running", timeout=60)
+            assert cap.restart_count >= 1
+        finally:
+            hang.set()
+            cap.auto_restart = False
+            cap.stop()

@@ -149,3 +149,85 @@ class TestRealWorker:
         finally:
             mgr.stop_all()
         assert not mgr.workers
+
+
+class TestOrphanReaping:
+    """Boot-time cleanup of workers a crashed previous run left behind
+    (reference app.py:44)."""
+
+    def test_recorded_orphan_is_killed_exactly(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        from wavecap_tpu.trunking.process_manager import (
+            proc_starttime,
+            reap_orphan_workers,
+        )
+
+        # stand-in orphan: our own child, killed by exact (pid, starttime)
+        child = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+        try:
+            start = proc_starttime(child.pid)
+            assert start is not None
+            (tmp_path / "workers.json").write_text(
+                json.dumps(
+                    [
+                        {"pid": child.pid, "start": start},
+                        {"pid": child.pid, "start": start - 12345},  # stale/recycled
+                        {"pid": 2**22 + 999, "start": 1},  # long dead
+                    ]
+                )
+            )
+            killed = reap_orphan_workers(tmp_path)
+            assert killed == [child.pid]
+            child.wait(timeout=10)
+            assert not (tmp_path / "workers.json").exists()
+        finally:
+            if child.poll() is None:
+                child.kill()
+
+    def test_recycled_pid_not_touched(self, tmp_path):
+        import json
+        import os
+
+        from wavecap_tpu.trunking.process_manager import (
+            proc_starttime,
+            reap_orphan_workers,
+        )
+
+        # the reaper must never signal its own process, and must skip any
+        # pid whose starttime no longer matches (recycled pid)
+        (tmp_path / "workers.json").write_text(
+            json.dumps(
+                [
+                    {"pid": os.getpid(), "start": proc_starttime(os.getpid())},
+                    {"pid": os.getppid(), "start": -1},  # starttime mismatch
+                ]
+            )
+        )
+        assert reap_orphan_workers(tmp_path) == []
+
+    def test_manager_records_and_clears_workers_file(self, tmp_path):
+        import json
+        import os
+
+        class _PidProcess(_AliveProcess):
+            pid = os.getpid()  # a live pid whose starttime is readable
+
+        def factory(target, args):
+            return _PidProcess()
+
+        mgr = TrunkingProcessManager(
+            state_dir=tmp_path, process_factory=factory, pipe_factory=mp.Pipe
+        )
+        mgr.add_system({"id": "s1", "device_id": "dev0", "control_channels": [851e6]})
+        mgr.start()
+        try:
+            recs = json.loads((tmp_path / "workers.json").read_text())
+            assert recs and recs[0]["pid"] == os.getpid()
+            assert recs[0]["start"] is not None
+        finally:
+            mgr.workers["dev0"].process.terminated = True  # skip rpc wait
+            mgr.stop_all()
+        assert json.loads((tmp_path / "workers.json").read_text()) == []

@@ -168,6 +168,12 @@ class Capture:
         # health monitoring (reference capture.py:2012-2151)
         self.startup_timeout_s = 120.0
         self.watchdog_timeout_s = 30.0
+        # bound on device.configure + start_stream: a driver hang (SDRplay
+        # service wedge is the canonical case, reference sdrplay_recovery)
+        # leaves the thread stuck in a C call — the watchdog can't kill it,
+        # but it CAN restart the capture and, once restarts are exhausted,
+        # escalate to the driver-service recovery that actually clears it
+        self.device_open_timeout_s = 30.0
         # first dispatch of a freshly built program compiles synchronously;
         # remote TPU compiles can take many minutes, so the stall watchdog
         # must not fire during them (it would restart into a recompile loop)
@@ -181,6 +187,10 @@ class Capture:
         self._restart_times: list[float] = []
         self._health_thread: threading.Thread | None = None
         self._started_at = 0.0
+        # incremented on every start(): a reader thread that was hung in a
+        # driver C call past the stop() join timeout must exit (not race
+        # the replacement thread) if it ever wakes up
+        self._gen = 0
 
         self._compute_block_size()
 
@@ -447,6 +457,7 @@ class Capture:
             self._stop.clear()
             self._retune_pending = False
             self._started_at = time.time()
+            self._gen += 1
             self._rebuild_pipeline_if_needed()
             # publish the attributes only AFTER .start(): a concurrent
             # stop() (health monitor vs external caller) must never join a
@@ -499,6 +510,10 @@ class Capture:
                 )
             elif self.state == "running" and self.blocks_processed > 0:
                 stalled = now - self.last_block_time > self.watchdog_timeout_s
+            elif self.state == "starting":
+                # stuck inside device.configure/start_stream (reference
+                # opens devices under a subprocess timeout for this reason)
+                stalled = now - self._started_at > self.device_open_timeout_s
             if not (failed or thread_dead or stalled):
                 continue
             reason = (
@@ -560,6 +575,7 @@ class Capture:
     # -- the loop ----------------------------------------------------------
 
     def _run(self) -> None:
+        gen = self._gen
         try:
             self.device.configure(
                 DeviceConfig(
@@ -570,18 +586,23 @@ class Capture:
             )
             stream = self.device.start_stream()
         except Exception as e:  # pragma: no cover - device failures
-            self.state = "failed"
-            self.error = f"device start failed: {e}"
+            if gen == self._gen:
+                self.state = "failed"
+                self.error = f"device start failed: {e}"
             logger.exception("capture %s failed to start", self.id)
             return
-
+        if gen != self._gen:
+            # a watchdog restart replaced this thread while it was hung in
+            # the driver open: leave the replacement alone
+            stream.close()
+            return
         self.state = "running"
         chunk = max(8192, self.config.sample_rate // 20)
         buf = np.empty(0, np.complex64)
         n_batch = max(1, self.config.blocks_per_dispatch)
         blocks: list[np.ndarray] = []
         try:
-            while not self._stop.is_set():
+            while not self._stop.is_set() and gen == self._gen:
                 if self._retune_pending:
                     self._retune_pending = False
                     self.device.configure(

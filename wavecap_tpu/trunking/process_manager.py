@@ -61,6 +61,73 @@ def _default_process_factory(target, args) -> Any:
     return p
 
 
+# -- orphan reaping (reference app.py:44 boot-time worker cleanup) ----------
+#
+# A SIGKILLed service leaves its (daemonic, but reparented) worker
+# processes running and holding SDR devices open.  The manager records
+# every spawned worker's (pid, /proc starttime) in ``workers.json``; the
+# next boot kills EXACTLY those pids, and only if the starttime still
+# matches (so a recycled pid of an unrelated process is never touched).
+
+
+def proc_starttime(pid: int) -> int | None:
+    """Kernel start time of ``pid`` (clock ticks since boot), or None."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            data = f.read()
+        # comm can contain spaces/parens; fields resume after the last ')'
+        return int(data.rsplit(b") ", 1)[1].split()[19])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def reap_orphan_workers(state_dir: str | None) -> list[int]:
+    """Kill workers recorded by a previous (crashed) run.  Returns pids
+    actually signalled."""
+    import json
+    import os
+    import signal
+    from pathlib import Path
+
+    if not state_dir:
+        return []
+    path = Path(state_dir) / "workers.json"
+    if not path.exists():
+        return []
+    try:
+        entries = json.loads(path.read_text())
+    except (OSError, ValueError):
+        entries = []
+    killed = []
+    for ent in entries:
+        pid, start = ent.get("pid"), ent.get("start")
+        if not pid or pid == os.getpid():
+            continue
+        if start is None or proc_starttime(pid) != start:
+            continue  # exited, or the pid was recycled: leave it alone
+        try:
+            os.kill(pid, signal.SIGTERM)
+            killed.append(pid)
+        except OSError:
+            continue
+    deadline = time.time() + 3.0
+    for pid in killed:
+        while proc_starttime(pid) is not None and time.time() < deadline:
+            time.sleep(0.05)
+        if proc_starttime(pid) is not None:
+            try:
+                os.kill(pid, signal.SIGKILL)
+            except OSError:
+                pass
+    if killed:
+        logger.warning("reaped %d orphan trunking worker(s): %s", len(killed), killed)
+    try:
+        path.unlink()
+    except OSError:
+        pass
+    return killed
+
+
 class TrunkingProcessManager:
     """Spawn + supervise one trunking worker per device group."""
 
@@ -85,6 +152,8 @@ class TrunkingProcessManager:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._lock = threading.RLock()
+        # boot-time cleanup: workers a crashed previous run left behind
+        reap_orphan_workers(self.state_dir)
 
     # -- grouping ----------------------------------------------------------
 
@@ -135,6 +204,7 @@ class TrunkingProcessManager:
         )
         with self._lock:
             self.workers[key] = handle
+            self._record_workers()
         pump = threading.Thread(
             target=self._event_pump, args=(handle,), daemon=True
         )
@@ -214,3 +284,22 @@ class TrunkingProcessManager:
                 if handle.alive() and hasattr(handle.process, "terminate"):
                     handle.process.terminate()
         self.workers.clear()
+        self._record_workers()
+
+    def _record_workers(self) -> None:
+        """Persist live worker (pid, starttime) pairs for boot-time reaping."""
+        import json
+        from pathlib import Path
+
+        if not self.state_dir:
+            return
+        entries = []
+        for handle in self.workers.values():
+            pid = getattr(handle.process, "pid", None)
+            if isinstance(pid, int):
+                entries.append({"pid": pid, "start": proc_starttime(pid)})
+        try:
+            Path(self.state_dir).mkdir(parents=True, exist_ok=True)
+            (Path(self.state_dir) / "workers.json").write_text(json.dumps(entries))
+        except OSError:  # pragma: no cover
+            pass

@@ -54,6 +54,12 @@ def create_device_driver(cfg: config_mod.AppConfig):
             return SoapyDriver(d.device_args)
         except Exception as e:
             logger.warning("SoapySDR unavailable (%s); falling back to fake", e)
+    if d.driver == "rtl":  # pragma: no cover - hardware
+        from wavecap_tpu.devices.rtl import RtlDriver, rtl_available
+
+        if rtl_available():
+            return RtlDriver()
+        logger.warning("librtlsdr unavailable; falling back to fake")
     return FakeDriver()
 
 

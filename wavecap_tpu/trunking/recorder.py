@@ -47,6 +47,8 @@ class CallInfo:
     audio_seconds: float = 0.0
     source_location: dict | None = None  # LRRP GPS (reference trunking/system.py:3112)
     tdma_slot: int = 0  # Phase 2 timeslot (0 for FDMA)
+    algid: int | None = None  # encryption algorithm (MAC_PTT / ESS)
+    keyid: int | None = None
 
 
 class VoiceRecorder:
@@ -112,8 +114,12 @@ class VoiceRecorder:
 
     def _process_phase2(self, soft: np.ndarray, now: float) -> None:
         """Phase 2 TDMA voice: superframe fragments -> this call's timeslot
-        bursts, persisted as raw AMBE dibits (synthesis needs an AMBE+2
-        vocoder, reference selects VocoderType.AMBE2 at system.py:437)."""
+        bursts.  SACCH/FACCH bursts are MAC-decoded (PTT metadata /
+        encryption detect, END_PTT prompt call end — beyond the reference,
+        which never parses xCCH); voice bursts persist as raw AMBE dibits
+        (synthesis needs an AMBE+2 vocoder, reference selects
+        VocoderType.AMBE2 at system.py:437)."""
+        from wavecap_tpu.decoders import p25_mac
         from wavecap_tpu.decoders.p25_phase2 import P25P2SuperFrameDetector
 
         if self._p2 is None:
@@ -122,10 +128,32 @@ class VoiceRecorder:
         for frag in self._p2.process(soft):
             self.last_activity = now
             for ts, burst in frag.bursts():
-                if ts == slot:
-                    self._ambe_bursts.append(np.asarray(burst, np.uint8))
-                    if self.call:
-                        self.call.imbe_frames += 1  # burst count for phase2
+                if ts != slot:
+                    continue
+                mac = p25_mac.decode_burst(burst)
+                if mac is not None and mac[0] in (
+                    p25_mac.BURST_SACCH,
+                    p25_mac.BURST_FACCH,
+                ):
+                    self._handle_mac(p25_mac.parse_mac_pdu(mac[1]))
+                    continue
+                self._ambe_bursts.append(np.asarray(burst, np.uint8))
+                if self.call:
+                    self.call.imbe_frames += 1  # burst count for phase2
+
+    def _handle_mac(self, pdu: dict | None) -> None:
+        """Phase 2 MAC PDU -> call metadata / lifecycle."""
+        if pdu is None or self.call is None:
+            return
+        kind = pdu.get("mac")
+        if kind == "PTT":
+            self.call.source_id = pdu.get("source_id") or self.call.source_id
+            if pdu.get("encrypted"):
+                self.call.encrypted = True
+                self.call.algid = pdu.get("algid")
+                self.call.keyid = pdu.get("keyid")
+        elif kind in ("END_PTT", "IDLE"):
+            self.last_activity = 0.0  # terminator: end promptly
 
     def _handle_pdu(self, frame) -> None:
         """LRRP GPS reports ride in PDU data frames on the voice channel

@@ -170,3 +170,59 @@ class TestConfirmedPDU:
         frame = pf.decode_pdu(payload)
         assert frame.data == data and frame.crc32_valid
         assert frame.block_crc_ok == frame.block_total
+
+
+class TestVoiceSuperframes:
+    """Voice frames B-F have no sync (EMB instead) — recovered by cadence
+    from frame A. Beyond the reference, which stops at burst sync."""
+
+    def test_ambe_frames_roundtrip_single_slot(self):
+        import numpy as np
+
+        from wavecap_tpu.decoders.dmr import (
+            DIBIT_SYMBOLS,
+            DMRVoiceTracker,
+            build_voice_superframe,
+        )
+
+        rng = np.random.default_rng(11)
+        ambe = rng.integers(0, 2, (18, 72)).astype(np.uint8)
+        dibits = build_voice_superframe(ambe, rng=rng)
+        soft = DIBIT_SYMBOLS[dibits].astype(np.float32)
+        tr = DMRVoiceTracker()
+        # stream in odd-sized chunks: state must carry across
+        sfs = []
+        for i in range(0, len(soft), 301):
+            sfs.extend(tr.process(soft[i : i + 301]))
+        assert len(sfs) == 1
+        sf = sfs[0]
+        assert sf.kind == "BS_VOICE"
+        assert sf.ambe_bits.shape == (18, 72)
+        assert np.array_equal(sf.ambe_bits, ambe)
+        assert sf.embedded.shape == (5, 48)
+
+    def test_repeater_stride_skips_other_slot(self):
+        import numpy as np
+
+        from wavecap_tpu.decoders.dmr import (
+            DIBIT_SYMBOLS,
+            DMRVoiceTracker,
+            build_voice_superframe,
+        )
+
+        rng = np.random.default_rng(12)
+        ambe = rng.integers(0, 2, (18, 72)).astype(np.uint8)
+        dibits = build_voice_superframe(ambe, stride_bursts=2, rng=rng)
+        tr = DMRVoiceTracker(stride_bursts=2)
+        sfs = tr.process(DIBIT_SYMBOLS[dibits].astype(np.float32))
+        assert len(sfs) == 1
+        assert np.array_equal(sfs[0].ambe_bits, ambe)
+
+    def test_noise_only_finds_nothing(self):
+        import numpy as np
+
+        from wavecap_tpu.decoders.dmr import DMRVoiceTracker
+
+        rng = np.random.default_rng(13)
+        tr = DMRVoiceTracker()
+        assert tr.process(rng.normal(0, 1, 5000).astype(np.float32)) == []

@@ -125,3 +125,48 @@ class TestP25Attachment:
             assert st["syncCount"] >= 1 and st["frames"].get("TSDU", 0) >= 1
         finally:
             att.stop()
+
+
+class TestDmrAttachment:
+    def test_dmr_channel_decodes_csbk_and_voice(self):
+        """A 'dmr' attachment on a p25-mode channel's symbol fan-out
+        surfaces CSBK messages and voice superframes."""
+        import time as _t
+
+        import numpy as np
+
+        from wavecap_tpu.capture.attachments import DmrAttachment
+        from wavecap_tpu.decoders import dmr
+        from wavecap_tpu.utils.broadcast import FanOut
+
+        class FakeChannel:
+            id = "chd"
+
+            def __init__(self):
+                self.symbols = FanOut(maxsize=16)
+                self.audio = FanOut(maxsize=16)
+
+        ch = FakeChannel()
+        att = DmrAttachment(ch)
+        try:
+            csbk_bits = dmr.make_csbk_bits(
+                0x30, dst_id=800, src_id=900, channel=3  # PV_GRANT
+            )
+            burst = dmr.build_data_burst(csbk_bits, dmr.DataType.CSBK)
+            rng = np.random.default_rng(21)
+            ambe = rng.integers(0, 2, (18, 72)).astype(np.uint8)
+            voice = dmr.build_voice_superframe(ambe, rng=rng)
+            stream = np.concatenate([burst, voice])
+            soft = dmr.DIBIT_SYMBOLS[stream].astype(np.float32)
+            ch.symbols.publish({"soft": soft, "rssi": -50.0})
+            deadline = _t.time() + 10
+            while _t.time() < deadline and len(att.messages) < 2:
+                _t.sleep(0.1)
+            kinds = [m.get("type") for m in att.messages]
+            assert "PV_GRANT" in kinds
+            assert "VOICE_SUPERFRAME" in kinds
+            st = att.status()
+            assert st["voiceSuperframes"] == 1
+            assert st["ambeFramesHeld"] == 18
+        finally:
+            att.stop()

@@ -217,9 +217,72 @@ class P25Attachment(ChannelAttachment):
         return s
 
 
+class DmrAttachment(ChannelAttachment):
+    """DMR on a ``p25``-mode channel's soft symbols (both are 4800-baud
+    4FSK; the demod bank's symbol recovery serves either).  Decodes data
+    bursts (CSBK / voice LC headers / terminators via BPTC+Golay) and
+    tracks voice superframes, keeping the raw AMBE+2 frames for
+    export — the reference's DMR path never decodes burst content."""
+
+    kind = "dmr"
+
+    def __init__(self, channel, audio_rate: int = 48_000):
+        from wavecap_tpu.decoders.dmr import DMRDecoder, DMRVoiceTracker
+
+        self.decoder = DMRDecoder()
+        self.voice = DMRVoiceTracker()
+        self.ambe_frames: deque = deque(maxlen=2000)  # (18,72) bit arrays
+        super().__init__(channel, audio_rate)
+        self._sub.close()
+        self._sub = channel.symbols.subscribe(maxsize=64)
+
+    def process(self, payload) -> list:
+        from wavecap_tpu.decoders import dmr
+
+        if isinstance(payload, dict):
+            soft = np.asarray(payload.get("soft"), np.float32)
+        else:
+            soft = np.asarray(payload, np.float32)
+        out = []
+        for burst in self.decoder.process(soft):
+            parsed = dmr.decode_burst(burst)
+            if parsed is None:
+                continue
+            interesting = "opcode" in parsed or parsed.get("dataTypeName") in (
+                "VOICE_LC_HEADER",
+                "TERMINATOR_WITH_LC",
+            )
+            if interesting:
+                out.append({"time": time.time(), **parsed})
+        for sf in self.voice.process(soft):
+            self.ambe_frames.append(sf.ambe_bits)
+            out.append(
+                {
+                    "time": time.time(),
+                    "type": "VOICE_SUPERFRAME",
+                    "kind": sf.kind,
+                    "ambeFrames": int(sf.ambe_bits.shape[0]),
+                    "syncQuality": round(sf.sync_quality, 3),
+                }
+            )
+        return out
+
+    def status(self) -> dict:
+        s = super().status()
+        s.update(
+            {
+                "burstsFound": self.decoder.bursts_found,
+                "voiceSuperframes": self.voice.superframes_found,
+                "ambeFramesHeld": sum(a.shape[0] for a in self.ambe_frames),
+            }
+        )
+        return s
+
+
 ATTACHMENT_KINDS = {
     "pocsag": PocsagAttachment,
     "flex": FlexAttachment,
     "rds": RdsAttachment,
     "p25": P25Attachment,
+    "dmr": DmrAttachment,
 }

@@ -384,3 +384,154 @@ def build_data_burst(
     d[_ST_SECOND] = _bits_to_dibits(st[10:])
     d[SYNC_OFFSET : SYNC_OFFSET + 24] = SYNC_DIBITS[kind]
     return d
+
+
+# ---------------------------------------------------------------------------
+# Voice superframes (ETSI TS 102 361-1 6.1): each voice burst carries
+# three 72-bit AMBE+2 frames, the second straddling the 48-bit centre.
+# Frame A of a superframe carries the voice sync; frames B-F replace it
+# with EMB + embedded signalling, so they CANNOT be found by sync
+# correlation — they are recovered by cadence from frame A.  The
+# reference never gets here (its DMR decoder stops at burst sync); AMBE+2
+# synthesis needs a half-rate vocoder, so frames persist as .ambe.
+# ---------------------------------------------------------------------------
+
+_CACH_DIBITS = 12  # common announcement channel, start of burst
+_VOICE_HALF = SYNC_OFFSET - _CACH_DIBITS  # 54 dibits = 108 bits per half
+VOICE_FRAMES_PER_SUPERFRAME = 6
+AMBE_FRAME_BITS = 72
+
+
+def extract_ambe_frames(dibits: np.ndarray) -> np.ndarray:
+    """(3, 72) AMBE+2 frame bits from one 144-dibit voice burst."""
+    d = np.asarray(dibits, np.uint8)
+    first = _dibits_to_bits(d[_CACH_DIBITS:SYNC_OFFSET])
+    second = _dibits_to_bits(d[SYNC_OFFSET + 24 :])
+    return np.stack(
+        [
+            first[:AMBE_FRAME_BITS],
+            np.concatenate([first[AMBE_FRAME_BITS:], second[:36]]),
+            second[36:],
+        ]
+    )
+
+
+def burst_centre_bits(dibits: np.ndarray) -> np.ndarray:
+    """48-bit burst centre: voice sync (frame A) or EMB + embedded
+    signalling (frames B-F, reported raw)."""
+    return _dibits_to_bits(np.asarray(dibits, np.uint8)[SYNC_OFFSET : SYNC_OFFSET + 24])
+
+
+@dataclass
+class DMRVoiceSuperframe:
+    kind: str  # BS_VOICE | MS_VOICE
+    ambe_bits: np.ndarray  # (18, 72) — six bursts x three frames
+    embedded: np.ndarray  # (5, 48) raw centre bits of frames B-F
+    sync_quality: float
+
+
+class DMRVoiceTracker:
+    """Streaming voice superframe assembler.
+
+    ``stride_bursts=2`` models a repeater TDMA stream where the two
+    timeslots alternate (consecutive frames of one slot are 288 dibits
+    apart); ``1`` models a continuous single-slot transmission.
+    """
+
+    def __init__(self, sync_threshold: float = 0.75, stride_bursts: int = 1):
+        self._dec = DMRDecoder(sync_threshold)
+        self.stride = int(stride_bursts)
+        self._buf = np.zeros(0, np.float32)
+        self.superframes_found = 0
+
+    def process(self, soft: np.ndarray) -> list[DMRVoiceSuperframe]:
+        self._buf = np.concatenate([self._buf, np.asarray(soft, np.float32)])
+        out: list[DMRVoiceSuperframe] = []
+        span = BURST_DIBITS * (1 + (VOICE_FRAMES_PER_SUPERFRAME - 1) * self.stride)
+        while True:
+            # find the next voice-sync burst with a full superframe behind it
+            n = len(self._buf)
+            win_ok = n >= BURST_DIBITS
+            start = -1
+            kind, quality = "", 0.0
+            if win_ok:
+                win = np.lib.stride_tricks.sliding_window_view(self._buf, 24)
+                energies = np.einsum("ij,ij->i", win, win)
+                for k in ("BS_VOICE", "MS_VOICE"):
+                    sym = SYNC_SYMBOLS[k]
+                    nc = (win @ sym) / np.sqrt(
+                        np.maximum(energies * float(sym @ sym), 1e-12)
+                    )
+                    hits = np.nonzero(nc > self._dec.sync_threshold)[0]
+                    for h in hits:
+                        s = int(h) - SYNC_OFFSET
+                        if s >= 0 and (start < 0 or s < start):
+                            start, kind, quality = s, k, float(nc[h])
+                            break
+            if start < 0:
+                keep = span
+                if n > keep:
+                    self._buf = self._buf[-keep:]
+                break
+            if n - start < span:
+                self._buf = self._buf[start:]
+                break
+            frames = []
+            embedded = []
+            for i in range(VOICE_FRAMES_PER_SUPERFRAME):
+                a = start + i * self.stride * BURST_DIBITS
+                soft_burst = self._buf[a : a + BURST_DIBITS]
+                pos = soft_burst >= 0
+                outer = np.abs(soft_burst) >= 2.0
+                d = np.where(
+                    pos, np.where(outer, 1, 0), np.where(outer, 3, 2)
+                ).astype(np.uint8)
+                frames.append(extract_ambe_frames(d))
+                if i > 0:
+                    embedded.append(burst_centre_bits(d))
+            out.append(
+                DMRVoiceSuperframe(
+                    kind=kind,
+                    ambe_bits=np.concatenate(frames),
+                    embedded=np.stack(embedded),
+                    sync_quality=quality,
+                )
+            )
+            self.superframes_found += 1
+            self._buf = self._buf[start + span :]
+        return out
+
+
+def build_voice_superframe(
+    ambe_bits: np.ndarray | None = None,
+    kind: str = "BS_VOICE",
+    stride_bursts: int = 1,
+    rng=None,
+) -> np.ndarray:
+    """Synthesize a 6-burst voice superframe's dibits (tests).
+
+    ``ambe_bits`` is (18, 72); defaults to random frames.  With
+    ``stride_bursts=2`` the other slot's positions are filled with data
+    bursts, modelling a repeater TDMA stream.
+    """
+    rng = rng or np.random.default_rng(0)
+    if ambe_bits is None:
+        ambe_bits = rng.integers(0, 2, (18, AMBE_FRAME_BITS)).astype(np.uint8)
+    assert ambe_bits.shape == (18, AMBE_FRAME_BITS)
+    bursts = []
+    for i in range(VOICE_FRAMES_PER_SUPERFRAME):
+        f1, f2, f3 = ambe_bits[3 * i : 3 * i + 3]
+        first = np.concatenate([f1, f2[:36]])
+        second = np.concatenate([f2[36:], f3])
+        d = np.zeros(BURST_DIBITS, np.uint8)
+        d[:_CACH_DIBITS] = rng.integers(0, 4, _CACH_DIBITS)
+        d[_CACH_DIBITS:SYNC_OFFSET] = _bits_to_dibits(first)
+        d[SYNC_OFFSET + 24 :] = _bits_to_dibits(second)
+        if i == 0:
+            d[SYNC_OFFSET : SYNC_OFFSET + 24] = SYNC_DIBITS[kind]
+        else:  # EMB + embedded signalling stand-in (opaque to the tracker)
+            d[SYNC_OFFSET : SYNC_OFFSET + 24] = rng.integers(0, 4, 24)
+        bursts.append(d)
+        for _ in range(stride_bursts - 1):
+            bursts.append(build_test_burst("BS_DATA", rng=rng))
+    return np.concatenate(bursts)

@@ -366,3 +366,80 @@ class TestLiveRetune:
             assert wait_for(lambda: cap.blocks_processed >= 1, timeout=60)
         finally:
             cap.stop()
+
+
+class TestLiveMixedRebuild:
+    def test_running_mixed_capture_survives_add_remove(self):
+        """A running wbfm+p25 capture must keep flowing while channels are
+        added and removed live (control update within capacity; full
+        pipeline rebuild when a new mode bank appears)."""
+        stations = [
+            FakeStation(offset_hz=200_000.0, kind="wbfm", tone_hz=1000.0),
+            FakeStation(
+                offset_hz=-100_000.0, kind="nbfm", tone_hz=700.0, deviation_hz=4000.0
+            ),
+        ]
+        mgr = make_manager(stations)
+        cap = mgr.create_capture(
+            config=CaptureConfig(
+                center_hz=CENTER,
+                sample_rate=RATE,
+                block_seconds=0.2,
+                narrow_capacity=2,
+                wide_capacity=1,
+                p25_capacity=1,
+            )
+        )
+        wide = cap.create_channel(
+            ChannelSpec(id="w", mode="wbfm", frequency_hz=CENTER + 200_000.0)
+        )
+        cap.create_channel(ChannelSpec(id="p", mode="p25", frequency_hz=CENTER))
+        sub_w = wide.audio.subscribe()
+        cap.start()
+        try:
+            assert wait_for(lambda: cap.blocks_processed >= 2, timeout=120)
+            n0 = cap.blocks_processed
+
+            def tone_of(sub, min_len=12_000):
+                chunks = []
+                t0 = time.time()
+                while time.time() - t0 < 60:
+                    c = sub.get_nowait()
+                    if c is None:
+                        time.sleep(0.05)
+                        continue
+                    chunks.append(c)
+                    if sum(len(x) for x in chunks) >= min_len:
+                        break
+                audio = np.concatenate(chunks)
+                seg = audio - audio.mean()
+                s = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+                return float(np.fft.rfftfreq(len(seg), 1 / 48_000)[np.argmax(s)])
+
+            assert abs(tone_of(sub_w) - 1000.0) < 25
+
+            # live ADD within capacity: traced control update, no rebuild
+            narrow = cap.create_channel(
+                ChannelSpec(id="n", mode="nbfm", frequency_hz=CENTER - 100_000.0)
+            )
+            sub_n = narrow.audio.subscribe()
+            assert abs(tone_of(sub_n) - 700.0) < 25
+            assert cap.state == "running" and cap.restart_count == 0
+
+            # live REMOVE, then re-add at the same frequency
+            cap.remove_channel("n")
+            n_rm = cap.blocks_processed
+            assert wait_for(lambda: cap.blocks_processed > n_rm, timeout=60)
+            narrow2 = cap.create_channel(
+                ChannelSpec(id="n2", mode="nbfm", frequency_hz=CENTER - 100_000.0)
+            )
+            sub_n2 = narrow2.audio.subscribe()
+            assert abs(tone_of(sub_n2) - 700.0) < 25
+
+            # the wide channel never stopped
+            sub_w2 = wide.audio.subscribe()
+            assert abs(tone_of(sub_w2) - 1000.0) < 25
+            assert cap.state == "running" and cap.restart_count == 0
+            assert cap.blocks_processed > n0
+        finally:
+            cap.stop()

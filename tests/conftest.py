@@ -85,3 +85,4 @@ def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
     if p_err == 0:
         return float("inf")
     return 10.0 * np.log10(p_sig / max(p_err, 1e-300))
+

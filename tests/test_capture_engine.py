@@ -269,38 +269,88 @@ class TestDispatchModes:
     def test_pipelined_depth_matches_sync(self):
         assert abs(self._run_capture(pipeline_depth=0) - 900.0) < 20
 
-    def test_watchdog_suppressed_during_long_compile(self, monkeypatch):
-        """A first dispatch that blocks far past startup_timeout_s must not
-        trigger a restart while _compiling is set (VERDICT: compile-vs-
-        watchdog race)."""
+    def test_watchdog_suppressed_during_long_compile(self):
+        """A mid-stream dispatch that blocks far past watchdog_timeout_s —
+        the recompile after a pipeline rebuild — must not trigger a restart
+        while the program is warming up (VERDICT: compile-vs-watchdog
+        race)."""
         stations = [FakeStation(offset_hz=100_000.0, kind="tone")]
         mgr = make_manager(stations)
         cap = mgr.create_capture(
             config=CaptureConfig(center_hz=CENTER, sample_rate=RATE, block_seconds=0.2)
         )
-        cap.startup_timeout_s = 0.5
-        cap.watchdog_timeout_s = 0.5
         cap.create_channel(
             ChannelSpec(id="ch1", mode="nbfm", frequency_hz=CENTER + 100_000.0)
         )
-        cap._rebuild_pipeline_if_needed()
-        real_step = cap._jit_step
-
-        slow_once = {"done": False}
-
-        def slow_step(batch, state, ctl):
-            if not slow_once["done"]:
-                slow_once["done"] = True
-                time.sleep(3.0)  # 6x the startup timeout
-            return real_step(batch, state, ctl)
-
-        cap._jit_step = slow_step
         cap.start()
         try:
-            assert wait_for(lambda: cap.blocks_processed >= 1, timeout=60)
+            assert wait_for(lambda: cap.blocks_processed >= 2, timeout=120)
+            # stream is warm: make the watchdog aggressive, then fake a
+            # rebuild whose first dispatch "compiles" for 6x the timeout
+            cap.watchdog_timeout_s = 0.5
+            real_step = cap._jit_step
+            slow_once = {"done": False}
+
+            def slow_step(batch, state, ctl):
+                # sleep only inside the engine's compile window so the
+                # test exercises exactly the guarded path
+                if not slow_once["done"] and cap._compiling:
+                    slow_once["done"] = True
+                    time.sleep(3.0)
+                return real_step(batch, state, ctl)
+
+            n0 = cap.blocks_processed
+            cap._jit_step = slow_step
+
+            # keep de-warming until the slow dispatch actually enters: a
+            # dispatch already in flight with the old step re-warms the
+            # program in its finally, which would disarm the test
+            def arm():
+                cap._program_warm = False  # what a pipeline rebuild does
+                return slow_once["done"]
+
+            assert wait_for(arm, timeout=60)
+            assert wait_for(lambda: cap.blocks_processed >= n0 + 2, timeout=60)
             assert cap.restart_count == 0, "watchdog restarted during compile"
             assert cap.state == "running"
         finally:
+            cap.stop()
+
+    def test_watchdog_fires_when_compile_budget_blown(self):
+        """The compile gate is a budget, not a blank check: a dispatch
+        stuck past compile_timeout_s still restarts."""
+        stations = [FakeStation(offset_hz=100_000.0, kind="tone")]
+        mgr = make_manager(stations)
+        cap = mgr.create_capture(
+            config=CaptureConfig(center_hz=CENTER, sample_rate=RATE, block_seconds=0.2)
+        )
+        cap.create_channel(
+            ChannelSpec(id="ch1", mode="nbfm", frequency_hz=CENTER + 100_000.0)
+        )
+        cap.start()
+        try:
+            assert wait_for(lambda: cap.blocks_processed >= 2, timeout=120)
+            cap.watchdog_timeout_s = 0.5
+            cap.compile_timeout_s = 1.0
+            real_step = cap._jit_step
+            slow_once = {"done": False}
+
+            def slow_step(batch, state, ctl):
+                if not slow_once["done"] and cap._compiling:
+                    slow_once["done"] = True
+                    time.sleep(6.0)  # blows the 1 s compile budget
+                return real_step(batch, state, ctl)
+
+            cap._jit_step = slow_step
+
+            def arm():
+                cap._program_warm = False
+                return slow_once["done"]
+
+            assert wait_for(arm, timeout=60)
+            assert wait_for(lambda: cap.restart_count >= 1, timeout=60)
+        finally:
+            cap.auto_restart = False
             cap.stop()
 
 

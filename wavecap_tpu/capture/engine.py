@@ -187,6 +187,9 @@ class Capture:
         self._restart_times: list[float] = []
         self._health_thread: threading.Thread | None = None
         self._started_at = 0.0
+        # owner intent: True between start() and stop(); health-monitor
+        # restarts may only run while this holds
+        self._desired_running = False
         # incremented on every start(): a reader thread that was hung in a
         # driver C call past the stop() join timeout must exit (not race
         # the replacement thread) if it ever wakes up
@@ -450,8 +453,18 @@ class Capture:
     # -- lifecycle ---------------------------------------------------------
 
     def start(self) -> None:
+        self._desired_running = True
+        self._start_locked()
+
+    def _start_internal(self) -> None:
+        """Health-monitor restart path: only starts if no external stop()
+        landed since the restart decision (a restart must never resurrect
+        a capture its owner just shut down)."""
+        self._start_locked()
+
+    def _start_locked(self) -> None:
         with self._lock:
-            if self.state == "running":
+            if not self._desired_running or self.state == "running":
                 return
             self.state = "starting"
             self._stop.clear()
@@ -497,10 +510,17 @@ class Capture:
             failed = self.state == "failed"
             thread_dead = self._thread is not None and not self._thread.is_alive()
             stalled = False
-            if self._compiling:
-                # first dispatch after a pipeline (re)build: only a blown
-                # compile budget counts as a stall
-                stalled = now - self._compile_started > self.compile_timeout_s
+            in_flight = bool(self._pending) or self._fetching > 0
+            if self._compiling or (self.blocks_processed == 0 and in_flight):
+                # program warm-up: the first dispatch compiles synchronously
+                # and the first batch's *execution* completes on the fetch
+                # thread (during which the reader is paced by the pipeline
+                # limit, so no heartbeats arrive) — only a blown compile
+                # budget counts as a stall until the first block lands
+                stalled = (
+                    now - max(self._compile_started, self.last_block_time)
+                    > self.compile_timeout_s
+                )
             elif self.state == "running" and self.blocks_processed == 0:
                 # last_block_time doubles as a pre-dispatch heartbeat, so a
                 # long first compile extends the startup window
@@ -528,12 +548,14 @@ class Capture:
                 self._restart_times.append(now)
                 self.restart_count += 1
                 try:
-                    self.stop()
-                    self.start()
+                    self._do_stop()
+                    self._start_internal()
                 except Exception:
                     self.state = "failed"
                     self.error = reason
                     return
+                if not self._desired_running:
+                    return  # owner shut us down mid-restart: stay stopped
                 continue  # keep monitoring from this thread
             # plain restarts exhausted: escalate to driver-service recovery
             # (reference sdrplay_recovery.py health monitor) before failing
@@ -545,17 +567,32 @@ class Capture:
                 if result.get("ok"):
                     self._restart_times = []
                     try:
-                        self.stop()
-                        self.start()
+                        self._do_stop()
+                        self._start_internal()
+                        if not self._desired_running:
+                            return
                         continue
                     except Exception:  # pragma: no cover
                         pass
+            # out of options: tear the worker threads down too — a capture
+            # declared failed must not keep reading the device forever
+            self._do_stop()
             self.state = "failed"
             self.error = reason
             return
 
     def stop(self) -> None:
-        self._stop.set()
+        with self._lock:
+            # under the same lock as _start_locked: a health-monitor
+            # restart in flight must observe the shutdown and stand down
+            self._desired_running = False
+        self._do_stop()
+
+    def _do_stop(self) -> None:
+        """Teardown without clearing owner intent (health-monitor restarts
+        stop-then-start while the capture is still desired running)."""
+        with self._lock:
+            self._stop.set()
         with self._pend_cv:
             self._pend_cv.notify_all()
         for attr in ("_thread", "_fetch_thread"):

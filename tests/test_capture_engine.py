@@ -493,3 +493,57 @@ class TestLiveMixedRebuild:
             assert cap.blocks_processed > n0
         finally:
             cap.stop()
+
+
+class TestPipelineRebuildRace:
+    def test_inflight_dispatch_cannot_clobber_rebuilt_state(self):
+        """A dispatch in flight across a pipeline rebuild must not write its
+        (old-structure) output state back over the fresh state: the next
+        dispatch would pair the new program with a state that lacks the new
+        bank (KeyError on the new mode)."""
+        import threading
+
+        mgr = make_manager([FakeStation(offset_hz=200_000.0, kind="wbfm")])
+        cap = mgr.create_capture(
+            config=CaptureConfig(
+                center_hz=CENTER,
+                sample_rate=RATE,
+                block_seconds=0.1,
+                narrow_capacity=2,
+                wide_capacity=1,
+            )
+        )
+        cap.create_channel(
+            ChannelSpec(id="w", mode="wbfm", frequency_hz=CENTER + 200_000.0)
+        )
+        # pipeline for {wide} is now built; wrap the jitted step so the
+        # in-flight dispatch blocks until we've rebuilt underneath it
+        real_step = cap._jit_step
+        entered = threading.Event()
+        release = threading.Event()
+
+        def gated_step(batch, state, ctl):
+            entered.set()
+            assert release.wait(60)
+            return real_step(batch, state, ctl)
+
+        cap._jit_step = gated_step
+        n_batch = max(1, cap.config.blocks_per_dispatch)
+        blocks = [np.zeros(cap.block_size, np.complex64) for _ in range(n_batch)]
+        t = threading.Thread(target=cap._dispatch_blocks, args=(blocks,))
+        t.start()
+        assert entered.wait(60)
+        # rebuild while the old-program dispatch is mid-flight: adds the
+        # nbfm bank, resets _dev_state to the new structure
+        cap.create_channel(
+            ChannelSpec(id="n", mode="nbfm", frequency_hz=CENTER - 100_000.0)
+        )
+        assert "nbfm" in cap._dev_state.banks
+        release.set()
+        t.join(60)
+        assert not t.is_alive()
+        # the old dispatch's write-back must have been dropped
+        assert "nbfm" in cap._dev_state.banks
+        # and the new program runs cleanly against the preserved state
+        cap._dispatch_blocks(blocks)
+        assert cap.state != "failed", cap.error

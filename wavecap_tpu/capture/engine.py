@@ -135,6 +135,7 @@ class Capture:
         self._jit_step: Callable | None = None
         self._pipe_cfg: pl.CapturePipelineConfig | None = None
         self._dev_state = None
+        self._pipe_gen = 0
         self._ctl = None
         self._ctl_dirty = True
         self._retune_pending = False
@@ -376,6 +377,11 @@ class Capture:
             )
             self._init_state = pl.jit_pipeline_init(new_cfg)
             self._dev_state = self._init_state()
+            # Tag the state with the program that produced it: an in-flight
+            # dispatch snapshot from the OLD program must not write its
+            # output state back over this fresh one (the structures differ —
+            # e.g. a bank mode that only exists in the new config).
+            self._pipe_gen += 1
             self._program_warm = False
 
     def _build_control(self) -> Any:
@@ -699,6 +705,7 @@ class Capture:
             jit_step = self._jit_step
             ctl = self._ctl
             state = self._dev_state
+            pipe_gen = self._pipe_gen
             channels = list(self.channels.values())
         assert jit_step is not None
         if self.config.transport == "i16":
@@ -744,7 +751,10 @@ class Capture:
             # watchdog sees a stale last_block_time and restarts needlessly
             self.last_block_time = time.time()
         with self._lock:
-            self._dev_state = state
+            if self._pipe_gen == pipe_gen:
+                self._dev_state = state
+            # else: the pipeline was rebuilt while this batch was in flight;
+            # its output state belongs to the old program — drop it.
         # Hand the device handles to the fetch thread; block here only when
         # more than pipeline_depth batches are already in flight (device or
         # relay can't keep up) so dispatch paces itself to the real rate.

@@ -1,29 +1,45 @@
-// Monitor view: captures, live spectrum/waterfall, channel grid with
-// tuning, squelch, audio playback and attachments.
+// Monitor view: captures, live spectrum/waterfall, channel cards with
+// tuning, squelch, audio playback, stream links, decoder message feeds,
+// classified-channel overlay and a bookmark bar.
+// Mirrors the reference frontend's RadioPanel/ChannelList/ChannelCard/
+// ChannelSettings/RdsDisplay/StreamLinks/BookmarkManager features
+// (frontend/src/features/channel/, components/BookmarkManager.react.tsx).
 
 import { api } from "../api.js";
 import {
-  el, clear, fmtHz, badge, smeter, toast, modal, confirmDlg,
+  el, clear, fmtHz, fmtTime, badge, smeter, toast, modal, confirmDlg,
 } from "../ui.js";
 import { getState, subscribe, refreshCaptures } from "../store.js";
 import { SpectrumView } from "../spectrum.js";
 import { ChannelPlayer } from "../audio.js";
+import { listBookmarks, addBookmark, removeBookmark } from "../bookmarks.js";
 
 const MODES = ["nbfm", "wbfm", "am", "ssb", "sam", "p25", "dmr"];
 
 const players = new Map();   // chid -> ChannelPlayer (persist across rerenders)
+const expanded = new Set();  // chid set: expanded channel cards
+const msgCache = new Map();  // chid -> {time, list}
 let spectrum = null;         // active SpectrumView
 let spectrumCid = null;
 let selectedCid = null;
+let classified = null;       // classified-channels payload for selected capture
+let classifiedTimer = null;
+let vuTimer = null;
+let streamFormats = null;
 
 function stopSpectrum() {
   spectrum?.close();
   spectrum = null;
   spectrumCid = null;
+  clearInterval(classifiedTimer);
+  classifiedTimer = null;
+  classified = null;
 }
 
 export function unmountMonitor() {
   stopSpectrum();
+  clearInterval(vuTimer);
+  vuTimer = null;
   // keep audio playing across tab switches on purpose
 }
 
@@ -42,9 +58,11 @@ async function createCaptureDlg() {
           { value: "9600000", label: "9.6 MHz" },
           { value: "10000000", label: "10 MHz" },
         ] },
+      { name: "gainDb", label: "Gain (dB, blank = auto)", type: "number",
+        optional: true, value: "" },
       ...(devices.length > 1 ? [{
         name: "deviceId", label: "Device", type: "select",
-        options: devices.map((d) => ({ value: d.id, label: d.label || d.id })),
+        options: devices.map((d) => ({ value: d.id, label: d.nickname || d.label || d.id })),
       }] : []),
       { name: "autoStart", label: "Start immediately", type: "checkbox", value: true },
     ],
@@ -55,6 +73,7 @@ async function createCaptureDlg() {
       centerHz: vals.centerHz * 1e6,
       sampleRate: Number(vals.sampleRate),
       deviceId: vals.deviceId,
+      ...(vals.gainDb !== undefined ? { gainDb: vals.gainDb } : {}),
       autoStart: vals.autoStart,
     });
     toast("Capture created");
@@ -62,12 +81,18 @@ async function createCaptureDlg() {
   } catch (e) { toast(e.message, true); }
 }
 
-async function addChannelDlg(cap, presetHz) {
+async function addChannelDlg(cap, presetHz, presetMode) {
+  let hint = null;
+  if (presetHz) {
+    try { hint = await api.get(`/frequencies/identify?hz=${presetHz}`); }
+    catch { /* optional */ }
+  }
   const vals = await modal({
     title: "New channel",
     fields: [
-      { name: "name", label: "Name", value: "" },
-      { name: "mode", label: "Mode", type: "select", value: "nbfm",
+      { name: "name", label: "Name", value: hint?.name || "" },
+      { name: "mode", label: "Mode", type: "select",
+        value: presetMode || hint?.modeHint || "nbfm",
         options: MODES.map((m) => ({ value: m })) },
       { name: "frequencyHz", label: "Frequency (MHz)", type: "number",
         value: ((presetHz ?? cap.centerHz) / 1e6).toFixed(4), step: "0.0001" },
@@ -88,19 +113,131 @@ async function addChannelDlg(cap, presetHz) {
   } catch (e) { toast(e.message, true); }
 }
 
+// ---------------------------------------------------------------------------
+// channel cards
+// ---------------------------------------------------------------------------
+
+function togglePlay(ch) {
+  if (players.has(ch.id)) {
+    players.get(ch.id).close();
+    players.delete(ch.id);
+  } else {
+    players.set(ch.id, new ChannelPlayer(`/stream/channels/${ch.id}`));
+  }
+  render();
+}
+
+const squelchDebounce = new Map();
+
+function patchSquelch(ch, value) {
+  clearTimeout(squelchDebounce.get(ch.id));
+  squelchDebounce.set(ch.id, setTimeout(() => {
+    api.patch(`/channels/${ch.id}`, { squelchDb: value })
+      .catch((e) => toast(e.message, true));
+  }, 300));
+}
+
+function streamLinks(ch) {
+  const base = `${location.origin}/api/v1/stream/channels/${ch.id}`;
+  const links = [["pcm (ws)", `${base}`.replace(/^http/, "ws")]];
+  for (const fmt of streamFormats || []) {
+    if (["mp3", "opus", "aac"].includes(fmt))
+      links.push([fmt, `${base}.${fmt}`]);
+  }
+  links.push(["raw pcm", `${base}.pcm`]);
+  return el("div", { class: "stream-links" },
+    el("span", { class: "muted" }, "streams:"),
+    links.map(([label, url]) =>
+      el("a", { href: url, class: "mono", title: "copy URL",
+        onClick: (e) => {
+          e.preventDefault();
+          navigator.clipboard?.writeText(url);
+          toast(`${label} URL copied`);
+        } }, label)));
+}
+
+function msgLine(m) {
+  if (m.decoder === "rds") {
+    const pi = m.pi !== undefined && m.pi !== null
+      ? "PI 0x" + Number(m.pi).toString(16).toUpperCase() : "";
+    return `${fmtTime(m.time)}  RDS ${pi}  PS "${m.ps ?? ""}"  RT "${m.radiotext ?? m.rt ?? ""}"`;
+  }
+  if (m.decoder === "pocsag")
+    return `${fmtTime(m.time)}  POCSAG ${m.address ?? ""}${m.alias ? ` (${m.alias})` : ""}  ${m.message ?? m.text ?? ""}`;
+  if (m.decoder === "flex")
+    return `${fmtTime(m.time)}  FLEX ${m.capcode ?? ""}  ${m.message ?? m.text ?? ""}`;
+  if (m.decoder === "p25")
+    return `${fmtTime(m.time)}  P25 ${m.kind ?? m.opcodeName ?? ""}  ${JSON.stringify(m.fields ?? m)}`;
+  if (m.decoder === "dmr")
+    return `${fmtTime(m.time)}  DMR ${m.kind ?? ""}  ${JSON.stringify(m.fields ?? m)}`;
+  return `${fmtTime(m.time)}  ${m.decoder}  ${JSON.stringify(m)}`;
+}
+
+async function fetchMessages(chid) {
+  const c = msgCache.get(chid);
+  if (c && Date.now() - c.time < 2500) return c.list;
+  try {
+    const list = await api.get(`/channels/${chid}/messages?limit=40`);
+    msgCache.set(chid, { time: Date.now(), list });
+    const box = document.getElementById(`msgs-${chid}`);
+    if (box) {
+      box.textContent = list.length
+        ? list.map(msgLine).join("\n") : "no decoder messages yet";
+      box.scrollTop = box.scrollHeight;
+    }
+    return list;
+  } catch { return []; }
+}
+
+function channelDetail(cap, ch) {
+  const playing = players.get(ch.id);
+  const sqOn = ch.squelchDb !== null && ch.squelchDb !== undefined;
+  const sqSlider = el("input", {
+    type: "range", min: -120, max: 0, step: 1,
+    value: sqOn ? ch.squelchDb : -120, disabled: !sqOn,
+    onInput: (e) => {
+      const v = Number(e.target.value);
+      sqVal.textContent = `${v} dB`;
+      patchSquelch(ch, v);
+    },
+  });
+  const sqVal = el("span", { class: "mono muted" },
+    sqOn ? `${ch.squelchDb} dB` : "open");
+  const sqToggle = el("input", { type: "checkbox", onChange: (e) => {
+    const on = e.target.checked;
+    sqSlider.disabled = !on;
+    const v = on ? Number(sqSlider.value) : null;
+    sqVal.textContent = on ? `${sqSlider.value} dB` : "open";
+    api.patch(`/channels/${ch.id}`, { squelchDb: v })
+      .catch((er) => toast(er.message, true));
+  } });
+  sqToggle.checked = sqOn;
+
+  // VU meter driven by the shared poll timer (canvas id looked up there)
+  const vu = el("canvas", {
+    id: `vu-${ch.id}`, width: 160, height: 10, class: "vu",
+  });
+
+  fetchMessages(ch.id);
+  return el("tr", { class: "detail-row" },
+    el("td", { colspan: 6 },
+      el("div", { class: "chan-detail" },
+        el("div", { class: "chan-controls" },
+          el("label", { class: "inline" }, "Squelch", sqToggle, sqSlider, sqVal),
+          el("label", { class: "inline" }, "VU", vu,
+            playing ? null : el("span", { class: "muted" }, "(not playing)")),
+          streamLinks(ch)),
+        el("div", { class: "logbox", id: `msgs-${ch.id}`,
+          style: "max-height:120px; margin-top:6px" },
+          "loading messages…"))));
+}
+
 function channelRow(cap, ch) {
   const playing = players.has(ch.id);
+  const isOpen = expanded.has(ch.id);
   const playBtn = el("button", {
     class: `small ${playing ? "primary" : ""}`,
-    onClick: () => {
-      if (players.has(ch.id)) {
-        players.get(ch.id).close();
-        players.delete(ch.id);
-      } else {
-        players.set(ch.id, new ChannelPlayer(`/stream/channels/${ch.id}`));
-      }
-      render();
-    },
+    onClick: () => togglePlay(ch),
   }, playing ? "■ Stop" : "▶ Listen");
 
   const vol = el("input", {
@@ -113,8 +250,13 @@ function channelRow(cap, ch) {
     },
   });
 
-  return el("tr", {},
-    el("td", {}, el("span", { class: "mono" }, ch.name || ch.id)),
+  const row = el("tr", {},
+    el("td", {},
+      el("span", { class: "clickable", onClick: () => {
+        if (isOpen) expanded.delete(ch.id); else expanded.add(ch.id);
+        render();
+      } }, isOpen ? "▾ " : "▸ "),
+      el("span", { class: "mono" }, ch.name || ch.id)),
     el("td", {}, ch.mode),
     el("td", { class: "mono clickable", title: "Retune",
       onClick: async () => {
@@ -133,6 +275,14 @@ function channelRow(cap, ch) {
     el("td", {}, smeter(ch.rssiDb)),
     el("td", {}, playBtn, " ", el("span", { class: "vol" }, vol)),
     el("td", {},
+      el("button", { class: "small", title: "Bookmark this frequency",
+        onClick: () => {
+          addBookmark({ name: ch.name || ch.id, freqHz: ch.frequencyHz,
+            mode: ch.mode });
+          toast("Bookmarked");
+          render();
+        } }, "☆"),
+      " ",
       el("button", { class: "small", title: "Decoder attachments",
         onClick: () => attachmentsDlg(ch) }, "⚙"),
       " ",
@@ -140,15 +290,17 @@ function channelRow(cap, ch) {
         if (!(await confirmDlg(`Delete channel ${ch.name || ch.id}?`))) return;
         players.get(ch.id)?.close();
         players.delete(ch.id);
+        expanded.delete(ch.id);
         await api.del(`/channels/${ch.id}`).catch((e) => toast(e.message, true));
         refreshCaptures();
       } }, "✕")));
+  return isOpen ? [row, channelDetail(cap, ch)] : [row];
 }
 
 async function attachmentsDlg(ch) {
   let current = [];
   try { current = await api.get(`/channels/${ch.id}/attachments`); } catch {}
-  const kinds = ["rds", "pocsag", "flex", "p25"];
+  const kinds = ["rds", "pocsag", "flex", "p25", "dmr"];
   const active = new Set(current.map((a) => a.kind ?? a));
   const vals = await modal({
     title: `Attachments — ${ch.name || ch.id}`,
@@ -168,6 +320,52 @@ async function attachmentsDlg(ch) {
   }
   toast("Attachments updated");
 }
+
+// ---------------------------------------------------------------------------
+// classified channels + bookmarks
+// ---------------------------------------------------------------------------
+
+async function pollClassified(cid) {
+  try { classified = await api.get(`/captures/${cid}/classified-channels`); }
+  catch { classified = null; }
+}
+
+function classifiedTable(cap) {
+  const chans = classified?.channels || [];
+  if (!chans.length) return null;
+  return el("details", { class: "classified" },
+    el("summary", {}, `Classified signals (${chans.length})`),
+    el("table", {},
+      el("thead", {}, el("tr", {},
+        el("th", {}, "Frequency"), el("th", {}, "Kind"),
+        el("th", { class: "num" }, "Occupancy"),
+        el("th", { class: "num" }, "Mean dB"), el("th", {}, ""))),
+      el("tbody", {}, chans.map((c) => el("tr", {},
+        el("td", { class: "mono" }, fmtHz(c.frequency_hz)),
+        el("td", {}, c.kind),
+        el("td", { class: "num" }, `${(c.occupancy * 100).toFixed(0)}%`),
+        el("td", { class: "num" }, c.mean_db?.toFixed(1)),
+        el("td", {}, el("button", { class: "small",
+          onClick: () => addChannelDlg(cap, c.frequency_hz,
+            c.kind === "control" ? "p25" : undefined) }, "+ add")))))));
+}
+
+function bookmarkBar(cap) {
+  const marks = listBookmarks();
+  if (!marks.length) return null;
+  return el("div", { class: "bookmarks" },
+    el("span", { class: "muted" }, "★"),
+    marks.map((b) => el("span", { class: "bookmark" },
+      el("a", { title: `${fmtHz(b.freqHz)} ${b.mode}`,
+        onClick: () => addChannelDlg(cap, b.freqHz, b.mode) },
+        `${b.name || fmtHz(b.freqHz)}`),
+      el("a", { class: "x", title: "remove", onClick: () => {
+        removeBookmark(b);
+        render();
+      } }, "×"))));
+}
+
+// ---------------------------------------------------------------------------
 
 function capturePanel(cap) {
   const isSel = cap.id === selectedCid;
@@ -189,13 +387,19 @@ function capturePanel(cap) {
     el("button", { class: "small", onClick: async () => {
       const vals = await modal({
         title: "Retune capture",
-        fields: [{ name: "f", label: "Center (MHz)", type: "number",
-          value: (cap.centerHz / 1e6).toFixed(4), step: "0.001" }],
+        fields: [
+          { name: "f", label: "Center (MHz)", type: "number",
+            value: (cap.centerHz / 1e6).toFixed(4), step: "0.001" },
+          { name: "gain", label: "Gain (dB, blank = keep)", type: "number",
+            optional: true, value: "" },
+        ],
         submitLabel: "Tune",
       });
       if (!vals) return;
-      api.patch(`/captures/${cap.id}`, { centerHz: vals.f * 1e6 })
-        .then(refreshCaptures).catch((e) => toast(e.message, true));
+      api.patch(`/captures/${cap.id}`, {
+        centerHz: vals.f * 1e6,
+        ...(vals.gain !== undefined ? { gainDb: vals.gain } : {}),
+      }).then(refreshCaptures).catch((e) => toast(e.message, true));
     } }, "Retune"),
     el("button", { class: "small danger", onClick: async () => {
       if (!(await confirmDlg(`Delete capture ${cap.id}?`))) return;
@@ -215,20 +419,34 @@ function capturePanel(cap) {
           markers: () => {
             const c = getState().captures.find((x) => x.id === cap.id);
             return (c?.channels || []).map((ch) => ({
-              freqHz: ch.frequencyHz, name: ch.name || ch.mode,
+              id: ch.id, freqHz: ch.frequencyHz, name: ch.name || ch.mode,
             }));
           },
+          onMarkerDrag: (chid, hz) => {
+            api.patch(`/channels/${chid}`, { frequencyHz: hz })
+              .then(refreshCaptures)
+              .catch((e) => toast(e.message, true));
+          },
+          classified: () => classified?.channels || [],
         });
         spectrumCid = cap.id;
+        pollClassified(cap.id);
+        clearInterval(classifiedTimer);
+        classifiedTimer = setInterval(() => pollClassified(cap.id), 5000);
       }
       kids.push(spectrum.root);
       kids.push(el("div", { class: "spec-legend" },
         el("span", {}, "click trace to add a channel · hover for frequency"),
         el("span", { class: "right" },
           `blocks ${cap.blocksProcessed} · ${cap.blockMs} ms/block · overflow ${cap.overflowCount}`)));
+      const ct = classifiedTable(cap);
+      if (ct) kids.push(ct);
     } else if (spectrumCid === cap.id) {
       stopSpectrum();
     }
+
+    const bm = bookmarkBar(cap);
+    if (bm) kids.push(bm);
 
     const chans = cap.channels || [];
     kids.push(el("div", { style: "margin-top:10px" },
@@ -238,7 +456,7 @@ function capturePanel(cap) {
               el("th", {}, "Name"), el("th", {}, "Mode"),
               el("th", {}, "Frequency"), el("th", {}, "Signal"),
               el("th", {}, "Audio"), el("th", {}, ""))),
-            el("tbody", {}, chans.map((ch) => channelRow(cap, ch))))
+            el("tbody", {}, chans.flatMap((ch) => channelRow(cap, ch))))
         : el("div", { class: "empty" }, "No channels — click the spectrum or Add channel"),
       el("div", { style: "margin-top:8px" },
         el("button", { class: "small", onClick: () => addChannelDlg(cap) },
@@ -267,12 +485,34 @@ function render() {
           "No captures. Create one, or apply a recipe from the Recipes tab."));
 }
 
+function pollVu() {
+  for (const [chid, p] of players) {
+    const cv = document.getElementById(`vu-${chid}`);
+    if (!cv) continue;
+    const ctx = cv.getContext("2d");
+    ctx.fillStyle = "#121211";
+    ctx.fillRect(0, 0, cv.width, cv.height);
+    const lvl = Math.min(1, p.level * 3);
+    ctx.fillStyle = lvl > 0.85 ? "#d95926" : "#3987e5";
+    ctx.fillRect(0, 0, cv.width * lvl, cv.height);
+  }
+  // refresh expanded channels' message feeds
+  for (const chid of expanded) fetchMessages(chid);
+}
+
 export function mountMonitor(container) {
   rootEl = container;
   unsub?.();
   unsub = subscribe((what) => {
     if (what === "captures" || what === "devices") render();
   });
+  if (!streamFormats) {
+    api.get("/stream/formats")
+      .then((f) => { streamFormats = f.formats ?? f; })
+      .catch(() => { streamFormats = ["pcm16"]; });
+  }
+  clearInterval(vuTimer);
+  vuTimer = setInterval(pollVu, 150);
   render();
   return () => { unsub?.(); unsub = null; unmountMonitor(); rootEl = null; };
 }

@@ -68,7 +68,11 @@ class ServerHarness:
 def harness():
     cfg = config_from_dict(
         {
-            "server": {"host": "127.0.0.1", "port": 0},
+            # the whole module shares one server: stay clear of the per-IP
+            # rate limiter (its own behavior is pinned in
+            # test_httpd_hardening)
+            "server": {"host": "127.0.0.1", "port": 0,
+                       "rate_limit_per_min": 100000},
             "device": {"driver": "fake"},
         }
     )
@@ -612,3 +616,78 @@ class TestClientDisconnectRelease:
         h.stop()  # joins the loop thread; hang here was the bug
         assert time.time() - t0 < 8.0
         s.close()
+
+
+class TestTalkgroupEditing:
+    """Live talkgroup directory mutation (reference trunking/api.py
+    talkgroup update + config.py load_talkgroups_csv)."""
+
+    @pytest.fixture()
+    def sid(self, client):
+        r = client.post(
+            "/trunking/systems",
+            json={
+                "id": "tged",
+                "control_channels": [851.2e6],
+                "sample_rate": 960_000,
+                "talkgroups": [{"tgid": 100, "name": "Dispatch"}],
+            },
+        )
+        assert r.status_code == 201, r.text
+        yield "tged"
+        client.delete("/trunking/systems/tged")
+
+    def test_put_replaces_and_merges(self, client, sid):
+        r = client.put(
+            f"/trunking/systems/{sid}/talkgroups",
+            json=[{"tgid": 200, "name": "Fire", "priority": 1}],
+        )
+        assert r.status_code == 200 and r.json()["count"] == 1
+        tgs = client.get(f"/trunking/systems/{sid}/talkgroups").json()
+        assert [t["tgid"] for t in tgs] == [200]
+        r = client.put(
+            f"/trunking/systems/{sid}/talkgroups",
+            json={"merge": True, "talkgroups": [{"tgid": 300, "name": "EMS"}]},
+        )
+        assert r.json()["count"] == 2
+
+    def test_patch_single_talkgroup(self, client, sid):
+        r = client.patch(
+            f"/trunking/systems/{sid}/talkgroups/100",
+            json={"name": "Dispatch North", "priority": 2, "record": False},
+        )
+        assert r.status_code == 200, r.text
+        out = r.json()
+        assert out["name"] == "Dispatch North"
+        assert out["priority"] == 2 and out["record"] is False
+        # patching an unknown tgid materializes the default entry
+        r = client.patch(
+            f"/trunking/systems/{sid}/talkgroups/999", json={"monitor": False}
+        )
+        assert r.status_code == 200 and r.json()["monitor"] is False
+        tgs = {t["tgid"] for t in
+               client.get(f"/trunking/systems/{sid}/talkgroups").json()}
+        assert {100, 999} <= tgs
+
+    def test_csv_import_merges(self, client, sid):
+        csv_text = (
+            "Decimal,Alpha Tag,Category,Priority\n"
+            "501,PD Patrol,Police,1\n"
+            "502,FD Tac 2,Fire,3\n"
+        )
+        r = client.post(
+            f"/trunking/systems/{sid}/talkgroups/import", json={"csv": csv_text}
+        )
+        assert r.status_code == 200, r.text
+        assert r.json()["imported"] == 2
+        tgs = {t["tgid"]: t for t in
+               client.get(f"/trunking/systems/{sid}/talkgroups").json()}
+        assert tgs[501]["name"] == "PD Patrol"
+        assert tgs[501]["category"] == "Police"
+        assert tgs[100]["name"] == "Dispatch"  # merge keeps existing
+
+    def test_csv_import_rejects_empty(self, client, sid):
+        r = client.post(
+            f"/trunking/systems/{sid}/talkgroups/import", json={"csv": "  "}
+        )
+        assert r.status_code == 422

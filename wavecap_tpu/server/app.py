@@ -22,7 +22,11 @@ import numpy as np
 
 from wavecap_tpu.capture import Capture, CaptureConfig, CaptureManager, ChannelSpec
 from wavecap_tpu.devices import FakeDriver, FileReplayDriver
-from wavecap_tpu.trunking import TrunkingManager, TrunkingSystemConfig
+from wavecap_tpu.trunking import (
+    TalkgroupConfig,
+    TrunkingManager,
+    TrunkingSystemConfig,
+)
 from wavecap_tpu.utils import config as config_mod
 from wavecap_tpu.utils.observability import (
     ERROR_TRACKER,
@@ -745,6 +749,90 @@ def build_router(state: AppState) -> Router:
                 }
                 for t in sys_.config.talkgroups.values()
             ]
+        )
+
+    def _tg_from_dict(d: dict) -> TalkgroupConfig:
+        return TalkgroupConfig(
+            tgid=int(d["tgid"]),
+            name=str(d.get("name", "")),
+            category=str(d.get("category", "")),
+            priority=int(d.get("priority", 5)),
+            record=bool(d.get("record", True)),
+            monitor=bool(d.get("monitor", True)),
+        )
+
+    @r.put(v1 + "/trunking/systems/{sid}/talkgroups")
+    async def tk_talkgroups_put(req: Request) -> Response:
+        """Replace (or merge into) the live talkgroup directory.  Recorders
+        consult ``config.talkgroup(tgid)`` per call, so edits apply to the
+        next grant without a restart (reference trunking/api.py talkgroup
+        update path)."""
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+        body = req.json()
+        items = body if isinstance(body, list) else body.get("talkgroups", [])
+        merge = isinstance(body, dict) and bool(body.get("merge"))
+        try:
+            tgs = {int(t["tgid"]): _tg_from_dict(t) for t in items}
+        except (KeyError, TypeError, ValueError) as e:
+            raise HttpError(422, f"bad talkgroup entry: {e}")
+        if merge:
+            sys_.config.talkgroups.update(tgs)
+        else:
+            sys_.config.talkgroups = tgs
+        return Response.json({"ok": True, "count": len(sys_.config.talkgroups)})
+
+    @r.patch(v1 + "/trunking/systems/{sid}/talkgroups/{tgid}")
+    async def tk_talkgroup_patch(req: Request) -> Response:
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+            tgid = int(req.params["tgid"])
+        except KeyError:
+            raise HttpError(404)
+        except ValueError:
+            raise HttpError(422, "tgid must be an integer")
+        tg = sys_.config.talkgroups.get(tgid)
+        if tg is None:
+            tg = sys_.config.talkgroup(tgid)  # materialize the default
+            sys_.config.talkgroups[tgid] = tg
+        body = req.json() or {}
+        for field_name in ("name", "category"):
+            if field_name in body:
+                setattr(tg, field_name, str(body[field_name]))
+        if "priority" in body:
+            tg.priority = int(body["priority"])
+        for flag in ("record", "monitor"):
+            if flag in body:
+                setattr(tg, flag, bool(body[flag]))
+        return Response.json(
+            {
+                "tgid": tg.tgid, "name": tg.name, "category": tg.category,
+                "priority": tg.priority, "record": tg.record,
+                "monitor": tg.monitor,
+            }
+        )
+
+    @r.post(v1 + "/trunking/systems/{sid}/talkgroups/import")
+    async def tk_talkgroups_import(req: Request) -> Response:
+        """Import a RadioReference-style CSV (body ``{"csv": "..."}``);
+        merges into the live directory (reference config.py
+        load_talkgroups_csv)."""
+        from wavecap_tpu.trunking.config import parse_talkgroups_csv
+
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+        text = (req.json() or {}).get("csv", "")
+        if not text.strip():
+            raise HttpError(422, "csv body required")
+        tgs = parse_talkgroups_csv(text.splitlines())
+        sys_.config.talkgroups.update(tgs)
+        return Response.json(
+            {"ok": True, "imported": len(tgs),
+             "count": len(sys_.config.talkgroups)}
         )
 
     @r.get(v1 + "/trunking/systems/{sid}/calls")

@@ -90,6 +90,12 @@ export function modal({ title, fields, submitLabel = "Create" }) {
       } else if (f.type === "checkbox") {
         input = el("input", { type: "checkbox", name: f.name });
         input.checked = !!f.value;
+      } else if (f.type === "textarea") {
+        input = el("textarea", {
+          name: f.name, rows: f.rows ?? 8,
+          placeholder: f.placeholder ?? "",
+        });
+        input.value = f.value ?? "";
       } else {
         input = el("input", {
           type: f.type || "text", name: f.name,

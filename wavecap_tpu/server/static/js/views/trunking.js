@@ -1,9 +1,14 @@
-// Trunking view: P25 systems, control-channel status, calls, talkgroups,
-// live event feed and voice audio.
+// Trunking view: P25 systems, control-channel status, calls, an editable
+// talkgroup directory, activity summary, TSBK message log, network config
+// (neighbor sites + services), live event feed and voice audio.
+// Mirrors the reference frontend's trunking feature set
+// (frontend/src/features/trunking/: ActiveCallsTable, ActivitySummary,
+// CallEventLog, ControlChannelPanel, MessageLog, NetworkConfigPanel,
+// SystemStatusPanel, TalkgroupDirectory).
 
 import { api, openWs } from "../api.js";
 import {
-  el, clear, fmtHz, fmtTime, badge, toast, modal, confirmDlg,
+  el, clear, fmtHz, fmtTime, fmtDur, badge, toast, modal, confirmDlg,
 } from "../ui.js";
 import { getState, subscribe, refreshTrunking } from "../store.js";
 import { ChannelPlayer } from "../audio.js";
@@ -15,7 +20,9 @@ let eventsWs = null;
 const eventLog = [];
 let voicePlayer = null;
 let voiceSid = null;
-let detail = { calls: null, talkgroups: null, locations: null, fetched: 0 };
+let detail = {
+  calls: null, talkgroups: null, locations: null, messages: null, fetched: 0,
+};
 
 function stopVoice() {
   voicePlayer?.close();
@@ -38,6 +45,12 @@ async function createSystemDlg() {
           { value: "2400000", label: "2.4 MHz" },
           { value: "9600000", label: "9.6 MHz" },
         ] },
+      { name: "huntMode", label: "Hunt mode", type: "select", value: "hunt",
+        options: [
+          { value: "fixed", label: "fixed — stay on the configured CC" },
+          { value: "hunt", label: "hunt — cycle the list on sync loss" },
+          { value: "scan", label: "scan — measure all, pick the best" },
+        ] },
       { name: "start", label: "Start immediately", type: "checkbox", value: true },
     ],
   });
@@ -48,13 +61,17 @@ async function createSystemDlg() {
   try {
     await api.post("/trunking/systems", {
       id: vals.id, name: vals.name, control_channels: ccs,
-      sample_rate: Number(vals.sampleRate),
+      sample_rate: Number(vals.sampleRate), hunt_mode: vals.huntMode,
     });
     if (vals.start) await api.post(`/trunking/systems/${vals.id}/start`);
     toast("System created");
     refreshTrunking();
   } catch (e) { toast(e.message, true); }
 }
+
+// ---------------------------------------------------------------------------
+// calls + activity
+// ---------------------------------------------------------------------------
 
 function callsTable(calls) {
   const act = calls?.active || [];
@@ -65,11 +82,18 @@ function callsTable(calls) {
       ? el("table", {},
           el("thead", {}, el("tr", {},
             el("th", {}, "Talkgroup"), el("th", {}, "Source"),
-            el("th", {}, "Frequency"), el("th", {}, "Started"))),
-          el("tbody", {}, act.map((c) => el("tr", {},
+            el("th", {}, "Frequency"), el("th", {}, "Slot"),
+            el("th", {}, "Started"))),
+          el("tbody", {}, act.map((c) => el("tr", { class: "active-call" },
             el("td", {}, `${c.talkgroup || ""} (${c.tgid})`),
-            el("td", { class: "mono" }, c.sourceId ?? "—"),
+            el("td", { class: "mono" },
+              c.sourceId ?? "—",
+              c.sourceLocation
+                ? el("span", { class: "muted", title: "LRRP GPS" },
+                    ` 📍${c.sourceLocation.latitude?.toFixed(3)},${c.sourceLocation.longitude?.toFixed(3)}`)
+                : null),
             el("td", { class: "mono" }, fmtHz(c.frequencyHz)),
+            el("td", { class: "num" }, c.tdmaSlot ?? "—"),
             el("td", {}, fmtTime(c.startTime))))))
       : el("div", { class: "empty" }, "No active calls"),
     el("h2", { style: "margin-top:12px" }, "Call history"),
@@ -78,28 +102,141 @@ function callsTable(calls) {
           el("thead", {}, el("tr", {},
             el("th", {}, "Talkgroup"), el("th", {}, "Source"),
             el("th", {}, "Frequency"), el("th", {}, "Start"),
+            el("th", { class: "num" }, "Duration"),
             el("th", { class: "num" }, "Voice frames"))),
-          el("tbody", {}, hist.map((c) => el("tr", {},
+          el("tbody", {}, hist.slice(-40).reverse().map((c) => el("tr", {},
             el("td", {}, `${c.talkgroup || ""} (${c.tgid})`),
             el("td", { class: "mono" }, c.sourceId ?? "—"),
             el("td", { class: "mono" }, fmtHz(c.frequencyHz)),
             el("td", {}, fmtTime(c.startTime)),
+            el("td", { class: "num" },
+              c.durationS !== undefined ? fmtDur(c.durationS)
+                : c.endTime ? fmtDur(c.endTime - c.startTime) : "—"),
             el("td", { class: "num" }, c.imbeFrames ?? 0)))))
       : el("div", { class: "empty" }, "No completed calls yet"));
 }
 
-function tgTable(tgs) {
-  if (!tgs?.length) return el("div", { class: "empty" }, "No talkgroups configured");
-  return el("table", {},
-    el("thead", {}, el("tr", {},
-      el("th", {}, "TGID"), el("th", {}, "Name"), el("th", {}, "Category"),
-      el("th", { class: "num" }, "Priority"), el("th", {}, "Record"))),
-    el("tbody", {}, tgs.map((t) => el("tr", {},
-      el("td", { class: "mono" }, t.tgid),
-      el("td", {}, t.name),
-      el("td", {}, t.category || "—"),
-      el("td", { class: "num" }, t.priority),
-      el("td", {}, t.record ? "yes" : "no")))));
+function activitySummary(calls) {
+  const hist = calls?.history || [];
+  const act = calls?.active || [];
+  if (!hist.length && !act.length) return null;
+  const now = Date.now() / 1000;
+  const recent = hist.filter((c) => now - (c.startTime || 0) < 600);
+  const byTg = new Map();
+  for (const c of hist) {
+    const k = `${c.talkgroup || ""} (${c.tgid})`;
+    const dur = c.durationS ?? (c.endTime ? c.endTime - c.startTime : 0);
+    const e = byTg.get(k) || { calls: 0, airtime: 0 };
+    e.calls += 1;
+    e.airtime += dur || 0;
+    byTg.set(k, e);
+  }
+  const top = [...byTg.entries()].sort((a, b) => b[1].calls - a[1].calls)
+    .slice(0, 5);
+  return el("div", {},
+    el("h2", {}, "Activity"),
+    el("div", { class: "tiles" },
+      el("div", { class: "tile" },
+        el("div", { class: "v" }, act.length), el("div", { class: "k" }, "Active now")),
+      el("div", { class: "tile" },
+        el("div", { class: "v" }, recent.length),
+        el("div", { class: "k" }, "Calls / 10 min")),
+      el("div", { class: "tile" },
+        el("div", { class: "v" }, hist.length),
+        el("div", { class: "k" }, "Total calls")),
+      el("div", { class: "tile" },
+        el("div", { class: "v" },
+          fmtDur(hist.reduce((s, c) =>
+            s + (c.durationS ?? (c.endTime ? c.endTime - c.startTime : 0) ?? 0), 0))),
+        el("div", { class: "k" }, "Airtime"))),
+    top.length ? el("table", { style: "margin-top:6px" },
+      el("thead", {}, el("tr", {},
+        el("th", {}, "Busiest talkgroups"), el("th", { class: "num" }, "Calls"),
+        el("th", { class: "num" }, "Airtime"))),
+      el("tbody", {}, top.map(([k, v]) => el("tr", {},
+        el("td", {}, k),
+        el("td", { class: "num" }, v.calls),
+        el("td", { class: "num" }, fmtDur(v.airtime)))))) : null);
+}
+
+// ---------------------------------------------------------------------------
+// talkgroup directory (editable)
+// ---------------------------------------------------------------------------
+
+async function editTgDlg(sid, tg) {
+  const vals = await modal({
+    title: tg ? `Edit TG ${tg.tgid}` : "Add talkgroup",
+    fields: [
+      ...(tg ? [] : [{ name: "tgid", label: "TGID", type: "number", value: "" }]),
+      { name: "name", label: "Name", value: tg?.name || "" },
+      { name: "category", label: "Category", value: tg?.category || "" },
+      { name: "priority", label: "Priority (1 = highest)", type: "number",
+        value: tg?.priority ?? 5, min: 1, max: 9 },
+      { name: "record", label: "Record calls", type: "checkbox",
+        value: tg ? tg.record : true },
+      { name: "monitor", label: "Monitor (follow grants)", type: "checkbox",
+        value: tg ? tg.monitor : true },
+    ],
+    submitLabel: "Save",
+  });
+  if (!vals) return;
+  const tgid = tg ? tg.tgid : vals.tgid;
+  if (!Number.isFinite(tgid)) { toast("TGID required", true); return; }
+  try {
+    await api.patch(`/trunking/systems/${sid}/talkgroups/${tgid}`, {
+      name: vals.name, category: vals.category, priority: vals.priority,
+      record: vals.record, monitor: vals.monitor,
+    });
+    toast("Talkgroup saved");
+    detail.fetched = 0;
+    render();
+  } catch (e) { toast(e.message, true); }
+}
+
+async function importTgDlg(sid) {
+  const vals = await modal({
+    title: "Import talkgroups (RadioReference CSV)",
+    fields: [{
+      name: "csv", label: "CSV (Decimal, Alpha Tag, Category, Priority)",
+      type: "textarea", rows: 10,
+      placeholder: "Decimal,Alpha Tag,Category\n101,PD Dispatch,Police",
+    }],
+    submitLabel: "Import",
+  });
+  if (!vals || !vals.csv?.trim()) return;
+  try {
+    const out = await api.post(
+      `/trunking/systems/${sid}/talkgroups/import`, { csv: vals.csv });
+    toast(`Imported ${out.imported} talkgroups`);
+    detail.fetched = 0;
+    render();
+  } catch (e) { toast(e.message, true); }
+}
+
+function tgTable(sid, tgs) {
+  const head = el("div", { class: "toolbar", style: "margin:0 0 6px" },
+    el("h2", { style: "margin:0" }, "Talkgroups"),
+    el("span", { class: "spacer" }),
+    el("button", { class: "small", onClick: () => editTgDlg(sid, null) }, "+ Add"),
+    el("button", { class: "small", onClick: () => importTgDlg(sid) }, "Import CSV"));
+  if (!tgs?.length)
+    return el("div", {}, head,
+      el("div", { class: "empty" }, "No talkgroups configured — unknown TGs are recorded by default"));
+  return el("div", {}, head,
+    el("table", {},
+      el("thead", {}, el("tr", {},
+        el("th", {}, "TGID"), el("th", {}, "Name"), el("th", {}, "Category"),
+        el("th", { class: "num" }, "Priority"), el("th", {}, "Record"),
+        el("th", {}, "Monitor"), el("th", {}, ""))),
+      el("tbody", {}, tgs.map((t) => el("tr", {},
+        el("td", { class: "mono" }, t.tgid),
+        el("td", {}, t.name),
+        el("td", {}, t.category || "—"),
+        el("td", { class: "num" }, t.priority),
+        el("td", {}, t.record ? "✓" : "—"),
+        el("td", {}, t.monitor ? "✓" : "—"),
+        el("td", {}, el("button", { class: "small",
+          onClick: () => editTgDlg(sid, t) }, "Edit")))))));
 }
 
 function locTable(locs) {
@@ -115,6 +252,110 @@ function locTable(locs) {
       el("td", { class: "num" }, l.speedKmh?.toFixed(0) ?? "—"),
       el("td", {}, fmtTime(l.time))))));
 }
+
+// ---------------------------------------------------------------------------
+// message log + network config
+// ---------------------------------------------------------------------------
+
+function msgSummary(m) {
+  const skip = new Set(["time", "type", "nac", "crc_ok", "mfid", "opcode"]);
+  const parts = [];
+  for (const [k, v] of Object.entries(m)) {
+    if (skip.has(k) || v === null || v === undefined) continue;
+    parts.push(`${k}=${typeof v === "number" && k.includes("frequency")
+      ? fmtHz(v) : JSON.stringify(v)}`);
+    if (parts.length >= 5) break;
+  }
+  return parts.join(" ");
+}
+
+function messageLog(messages) {
+  if (!messages?.length)
+    return el("div", { class: "empty" }, "No control-channel messages yet");
+  return el("table", { class: "msglog" },
+    el("thead", {}, el("tr", {},
+      el("th", {}, "Time"), el("th", {}, "Type"), el("th", {}, "Fields"))),
+    el("tbody", {}, messages.slice(-60).reverse().map((m) => el("tr", {},
+      el("td", { class: "mono" }, fmtTime(m.time)),
+      el("td", { class: "mono" }, m.type),
+      el("td", { class: "mono muted", style: "font-size:11px" },
+        msgSummary(m))))));
+}
+
+function networkPanel(sys) {
+  const adj = sys.adjacentSites || [];
+  const svc = sys.services;
+  const idens = Object.entries(sys.identifiers || {});
+  return el("div", {},
+    el("h2", {}, "Network"),
+    adj.length
+      ? el("table", {},
+          el("thead", {}, el("tr", {},
+            el("th", {}, "System"), el("th", {}, "RFSS"), el("th", {}, "Site"),
+            el("th", {}, "Frequency"), el("th", {}, "Seen"))),
+          el("tbody", {}, adj.map((a) => el("tr", {},
+            el("td", { class: "mono" }, a.systemId ?? "—"),
+            el("td", { class: "num" }, a.rfssId),
+            el("td", { class: "num" }, a.siteId),
+            el("td", { class: "mono" }, fmtHz(a.frequencyHz)),
+            el("td", {}, fmtTime(a.lastSeen))))))
+      : el("div", { class: "empty" }, "No adjacent sites announced"),
+    idens.length ? el("div", { style: "margin-top:8px" },
+      el("h2", {}, "Channel identifiers"),
+      el("table", {},
+        el("thead", {}, el("tr", {},
+          el("th", {}, "Iden"), el("th", {}, "Base"), el("th", {}, "Spacing"),
+          el("th", {}, "Offset"), el("th", { class: "num" }, "TDMA slots"))),
+        el("tbody", {}, idens.map(([id, v]) => el("tr", {},
+          el("td", { class: "num" }, id),
+          el("td", { class: "mono" }, fmtHz(v.base_hz ?? v.baseHz)),
+          el("td", { class: "mono" }, fmtHz(v.spacing_hz ?? v.spacingHz)),
+          el("td", { class: "mono" }, fmtHz(v.tx_offset_hz ?? v.txOffsetHz)),
+          el("td", { class: "num" }, v.slots_per_carrier ?? v.slotsPerCarrier ?? 1)))))) : null,
+    svc ? el("div", { style: "margin-top:8px" },
+      el("h2", {}, "System services"),
+      el("div", { class: "mono sec", style: "font-size:12px" },
+        msgSummary(svc))) : null);
+}
+
+function ccPanel(sys) {
+  const ccm = sys.ccMeasurements || [];
+  const maxP = Math.max(...ccm.map((m) => m.powerDb ?? m.power_db ?? -120), -119);
+  return el("div", {},
+    el("h2", {}, "Control-channel candidates",
+      el("span", { class: "muted", style: "font-size:11px; margin-left:8px" },
+        "power + SNR + sync-verified; +6 dB better roams while locked")),
+    ccm.length
+      ? el("table", {},
+          el("thead", {}, el("tr", {},
+            el("th", {}, "Frequency"), el("th", {}, "Signal"),
+            el("th", { class: "num" }, "SNR"), el("th", {}, "Sync"),
+            el("th", {}, ""))),
+          el("tbody", {}, ccm.map((m) => {
+            const p = m.powerDb ?? m.power_db;
+            const pct = p === undefined || p === null
+              ? 0 : Math.max(4, Math.min(100, (p + 120) / (maxP + 125) * 100));
+            const locked = (m.frequencyHz ?? m.freq_hz) === sys.controlChannelHz;
+            return el("tr", {},
+              el("td", { class: "mono" },
+                fmtHz(m.frequencyHz ?? m.freq_hz),
+                locked ? el("span", { class: "badge locked",
+                  style: "margin-left:6px" }, "locked") : null),
+              el("td", {}, el("span", { class: "smeter" },
+                el("span", { class: "bar" },
+                  el("span", { class: "fill", style: `width:${pct}%` })),
+                el("span", { class: "db" },
+                  p?.toFixed?.(1) !== undefined ? `${p.toFixed(1)} dB` : "—"))),
+              el("td", { class: "num" },
+                (m.snrDb ?? m.snr_db)?.toFixed?.(1) ?? "—"),
+              el("td", {},
+                (m.syncDetected ?? m.syncOk) ? `✓ ${m.crcOk ?? 0} crc` : "—"),
+              el("td", {}, fmtTime(m.time)));
+          })))
+      : el("div", { class: "empty" }, "No measurements yet"));
+}
+
+// ---------------------------------------------------------------------------
 
 function systemDetail(sys) {
   const tiles = el("div", { class: "tiles" },
@@ -159,40 +400,24 @@ function systemDetail(sys) {
     },
   }, voiceOn ? "■ Voice on (stop)" : "▶ Listen to calls");
 
-  const adj = sys.adjacentSites || [];
-  const ccm = sys.ccMeasurements || [];
-
   return el("div", {},
     tiles,
     el("div", { style: "margin-bottom:12px" }, voiceBtn),
     el("div", { class: "row" },
-      el("div", { class: "panel" }, callsTable(detail.calls)),
       el("div", { class: "panel" },
-        el("h2", {}, "Talkgroups"), tgTable(detail.talkgroups),
+        activitySummary(detail.calls),
+        callsTable(detail.calls)),
+      el("div", { class: "panel" },
+        tgTable(sys.id, detail.talkgroups),
         el("h2", { style: "margin-top:12px" }, "Locations"),
         locTable(detail.locations))),
     el("div", { class: "row" },
+      el("div", { class: "panel" }, ccPanel(sys), networkPanel(sys)),
       el("div", { class: "panel" },
-        el("h2", {}, "Control-channel candidates"),
-        ccm.length
-          ? el("table", {},
-              el("thead", {}, el("tr", {},
-                el("th", {}, "Frequency"), el("th", { class: "num" }, "Power"),
-                el("th", { class: "num" }, "SNR"), el("th", {}, "Sync"))),
-              el("tbody", {}, ccm.map((m) => el("tr", {},
-                el("td", { class: "mono" }, fmtHz(m.frequencyHz ?? m.freq_hz)),
-                el("td", { class: "num" },
-                  (m.powerDb ?? m.power_db)?.toFixed?.(1) ?? "—"),
-                el("td", { class: "num" },
-                  (m.snrDb ?? m.snr_db)?.toFixed?.(1) ?? "—"),
-                el("td", {}, (m.syncOk ?? m.sync_ok) ? "✓" : "—")))))
-          : el("div", { class: "empty" }, "No measurements yet"),
-        adj.length ? el("div", {},
-          el("h2", { style: "margin-top:12px" }, "Adjacent sites"),
-          el("div", { class: "mono sec" },
-            adj.map((a) => JSON.stringify(a)).join("\n"))) : null),
-      el("div", { class: "panel" },
-        el("h2", {}, "Event feed"),
+        el("h2", {}, "Control-channel messages"),
+        el("div", { style: "max-height:300px; overflow-y:auto" },
+          messageLog(detail.messages)),
+        el("h2", { style: "margin-top:12px" }, "Event feed"),
         el("div", { class: "logbox", id: "tk-events" },
           eventLog.slice(-200).map((e) =>
             `${fmtTime(e.time)}  ${e.type ?? ""}  ${JSON.stringify(e)}`)
@@ -204,14 +429,16 @@ async function fetchDetail(sid) {
   if (now - detail.fetched < 2000) return;
   detail.fetched = now;
   try {
-    const [calls, tgs, locs] = await Promise.all([
+    const [calls, tgs, locs, msgs] = await Promise.all([
       api.get(`/trunking/systems/${sid}/calls`),
       api.get(`/trunking/systems/${sid}/talkgroups`),
       api.get(`/trunking/systems/${sid}/locations`),
+      api.get(`/trunking/systems/${sid}/messages?limit=60`),
     ]);
     detail.calls = calls;
     detail.talkgroups = tgs;
     detail.locations = locs;
+    detail.messages = msgs;
     render();
   } catch { /* system may be starting */ }
 }

@@ -125,30 +125,36 @@ def np_mean(vals: list[float]) -> float:
 
 
 def load_talkgroups_csv(path: str | Path) -> dict[int, TalkgroupConfig]:
-    """RadioReference-style CSV: Decimal, Alpha Tag/Description, Category…"""
-    out: dict[int, TalkgroupConfig] = {}
+    """RadioReference-style CSV file: Decimal, Alpha Tag/Description, Category…"""
     with open(path, newline="") as f:
-        reader = csv.DictReader(f)
-        for row in reader:
-            low = {k.lower().strip(): (v or "").strip() for k, v in row.items() if k}
-            tgid_s = low.get("decimal") or low.get("tgid") or low.get("dec")
-            if not tgid_s:
-                continue
-            try:
-                tgid = int(tgid_s)
-            except ValueError:
-                continue
-            name = (
-                low.get("alpha tag")
-                or low.get("alphatag")
-                or low.get("description")
-                or low.get("name")
-                or f"TG {tgid}"
-            )
-            out[tgid] = TalkgroupConfig(
-                tgid=tgid,
-                name=name,
-                category=low.get("category", low.get("tag", "")),
-                priority=int(low.get("priority") or 5),
-            )
+        return parse_talkgroups_csv(f)
+
+
+def parse_talkgroups_csv(f) -> dict[int, TalkgroupConfig]:
+    """Parse RadioReference-style talkgroup CSV from any line iterable
+    (file object or ``text.splitlines()``)."""
+    out: dict[int, TalkgroupConfig] = {}
+    reader = csv.DictReader(f)
+    for row in reader:
+        low = {k.lower().strip(): (v or "").strip() for k, v in row.items() if k}
+        tgid_s = low.get("decimal") or low.get("tgid") or low.get("dec")
+        if not tgid_s:
+            continue
+        try:
+            tgid = int(tgid_s)
+        except ValueError:
+            continue
+        name = (
+            low.get("alpha tag")
+            or low.get("alphatag")
+            or low.get("description")
+            or low.get("name")
+            or f"TG {tgid}"
+        )
+        out[tgid] = TalkgroupConfig(
+            tgid=tgid,
+            name=name,
+            category=low.get("category", low.get("tag", "")),
+            priority=int(low.get("priority") or 5),
+        )
     return out

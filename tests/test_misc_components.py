@@ -148,13 +148,23 @@ class TestDmrAttachment:
 
         ch = FakeChannel()
         att = DmrAttachment(ch)
+        audio_sub = ch.audio.subscribe(maxsize=16)
         try:
             csbk_bits = dmr.make_csbk_bits(
                 0x30, dst_id=800, src_id=900, channel=3  # PV_GRANT
             )
             burst = dmr.build_data_burst(csbk_bits, dmr.DataType.CSBK)
             rng = np.random.default_rng(21)
-            ambe = rng.integers(0, 2, (18, 72)).astype(np.uint8)
+            # real encoder frames so the superframe synthesizes voice, not
+            # concealment noise
+            from wavecap_tpu.decoders.ambe_vocoder import AmbeEncoder
+
+            t = np.arange(int(0.6 * 8000)) / 8000.0
+            x = np.zeros_like(t)
+            for k, a in ((1, 1.0), (2, 0.6), (3, 0.45), (4, 0.3), (5, 0.2)):
+                x += a * np.sin(2 * np.pi * 160.0 * k * t)
+            tone = (0.3 * x / np.max(np.abs(x))).astype(np.float32)
+            ambe = AmbeEncoder().encode(tone)[:18]
             voice = dmr.build_voice_superframe(ambe, rng=rng)
             stream = np.concatenate([burst, voice])
             soft = dmr.DIBIT_SYMBOLS[stream].astype(np.float32)
@@ -168,5 +178,15 @@ class TestDmrAttachment:
             st = att.status()
             assert st["voiceSuperframes"] == 1
             assert st["ambeFramesHeld"] == 18
+            # the superframe must have synthesized audible PCM on the
+            # channel audio stream (the reference has no DMR audio path)
+            pcm = audio_sub.get_nowait()
+            assert pcm is not None and len(pcm) == 18 * 160
+            assert st["ambeFramesDecoded"] == 18
+            seg = pcm[800:] - np.mean(pcm[800:])
+            spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+            f = float(np.fft.rfftfreq(len(seg), 1 / 8000)[np.argmax(spec)])
+            assert abs(f - 160.0) < 25.0, f
         finally:
+            audio_sub.close()
             att.stop()

@@ -220,17 +220,21 @@ class P25Attachment(ChannelAttachment):
 class DmrAttachment(ChannelAttachment):
     """DMR on a ``p25``-mode channel's soft symbols (both are 4800-baud
     4FSK; the demod bank's symbol recovery serves either).  Decodes data
-    bursts (CSBK / voice LC headers / terminators via BPTC+Golay) and
-    tracks voice superframes, keeping the raw AMBE+2 frames for
-    export — the reference's DMR path never decodes burst content."""
+    bursts (CSBK / voice LC headers / terminators via BPTC+Golay), tracks
+    voice superframes, and synthesizes their AMBE+2 frames to 8 kHz PCM on
+    the channel audio stream via the native half-rate vocoder (raw frames
+    also kept for export) — the reference's DMR path never decodes burst
+    content and needs DSD-FME for any audio."""
 
     kind = "dmr"
 
     def __init__(self, channel, audio_rate: int = 48_000):
+        from wavecap_tpu.decoders.ambe_vocoder import AmbeDecoder
         from wavecap_tpu.decoders.dmr import DMRDecoder, DMRVoiceTracker
 
         self.decoder = DMRDecoder()
         self.voice = DMRVoiceTracker()
+        self.vocoder = AmbeDecoder()
         self.ambe_frames: deque = deque(maxlen=2000)  # (18,72) bit arrays
         super().__init__(channel, audio_rate)
         self._sub.close()
@@ -256,6 +260,11 @@ class DmrAttachment(ChannelAttachment):
                 out.append({"time": time.time(), **parsed})
         for sf in self.voice.process(soft):
             self.ambe_frames.append(sf.ambe_bits)
+            # half-rate synthesis: 18 frames -> 360 ms of 8 kHz PCM on the
+            # channel's audio stream (the reference needs DSD-FME for this)
+            pcm = self.vocoder.decode_frames(sf.ambe_bits)
+            if pcm is not None and len(pcm):
+                self.channel.audio.publish(pcm)
             out.append(
                 {
                     "time": time.time(),
@@ -263,6 +272,7 @@ class DmrAttachment(ChannelAttachment):
                     "kind": sf.kind,
                     "ambeFrames": int(sf.ambe_bits.shape[0]),
                     "syncQuality": round(sf.sync_quality, 3),
+                    "audioSeconds": round(len(pcm) / 8000.0, 3) if pcm is not None else 0.0,
                 }
             )
         return out
@@ -274,6 +284,8 @@ class DmrAttachment(ChannelAttachment):
                 "burstsFound": self.decoder.bursts_found,
                 "voiceSuperframes": self.voice.superframes_found,
                 "ambeFramesHeld": sum(a.shape[0] for a in self.ambe_frames),
+                "ambeFramesDecoded": self.vocoder.frames_decoded,
+                "ambeFramesFailed": self.vocoder.frames_failed,
             }
         )
         return s

@@ -392,8 +392,9 @@ def build_data_burst(
 # Frame A of a superframe carries the voice sync; frames B-F replace it
 # with EMB + embedded signalling, so they CANNOT be found by sync
 # correlation — they are recovered by cadence from frame A.  The
-# reference never gets here (its DMR decoder stops at burst sync); AMBE+2
-# synthesis needs a half-rate vocoder, so frames persist as .ambe.
+# reference never gets here (its DMR decoder stops at burst sync); frames
+# synthesize PCM through the native half-rate vocoder
+# (decoders/ambe_vocoder.py) and also persist as .ambe.
 # ---------------------------------------------------------------------------
 
 _CACH_DIBITS = 12  # common announcement channel, start of burst

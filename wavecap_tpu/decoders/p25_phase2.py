@@ -98,16 +98,37 @@ class P25P2SuperFrameDetector:
                 if n > keep:
                     self._buf = self._buf[-keep:]
                 break
-            off = int(hits[0])
+            # Fragment syncs come in pairs 180 dibits apart (positions 360
+            # and 540).  Prefer a pair-verified hit: a lone spurious
+            # correlation inside voice payload must not misalign (or, worse,
+            # consume) the real fragment behind it.
+            hit_set = {int(h) for h in hits}
+            off = -1
+            frag_start = -1
+            for h in sorted(hit_set):
+                if h + 180 in hit_set and h - SYNC_POSITIONS[0] >= 0:
+                    off, frag_start = h, h - SYNC_POSITIONS[0]
+                    break
+            if off < 0:
+                # no verified pair: fall back to the first hit with enough
+                # history (stream may start mid-fragment)
+                for h in sorted(hit_set):
+                    fs = (
+                        h - SYNC_POSITIONS[0]
+                        if h >= SYNC_POSITIONS[0]
+                        else h - SYNC_POSITIONS[1]
+                    )
+                    if fs >= 0:
+                        off, frag_start = h, fs
+                        break
+            if off < 0:
+                # every sync belongs to a fragment that began before the
+                # buffer: wait for the next fragment, bounded
+                keep = FRAGMENT_DIBITS + len(sync)
+                if n > keep:
+                    self._buf = self._buf[-keep:]
+                break
             self.sync_count += 1
-            # sync at fragment position 360: fragment starts at off-360
-            frag_start = off - SYNC_POSITIONS[0]
-            if frag_start < 0:
-                # not enough history; try aligning to the 540 sync instead
-                frag_start = off - SYNC_POSITIONS[1]
-            if frag_start < 0:
-                self._buf = self._buf[off + 1 :]
-                continue
             if n - frag_start < FRAGMENT_DIBITS:
                 self._buf = self._buf[frag_start:]
                 break
@@ -163,3 +184,65 @@ def build_test_fragment(payload_dibits: np.ndarray | None = None) -> np.ndarray:
     for pos in SYNC_POSITIONS:
         frag[pos : pos + 20] = SYNC_DIBITS
     return frag
+
+
+# ---------------------------------------------------------------------------
+# Voice bursts (4V): AMBE+2 frame transport within a timeslot burst.
+#
+# TIA-102.BBAC interleaves ESS/ISCH fields around the four voice frames of
+# a 4V burst; the reference never parses voice bursts at all (bursts
+# persist raw).  This codec uses a documented in-framework layout — the
+# four 72-bit frames packed contiguously after the optional in-fragment
+# sync — so Phase 2 calls synthesize audio end-to-end through the native
+# half-rate vocoder (decoders/ambe_vocoder.py) and tests can round-trip
+# fragments.  Off-air DVSI bursts would additionally need the spec's
+# exact field interleave.
+# ---------------------------------------------------------------------------
+
+AMBE_FRAME_BITS = 72
+VOICE_FRAMES_PER_BURST = 4
+_VOICE_DIBITS = VOICE_FRAMES_PER_BURST * AMBE_FRAME_BITS // 2  # 144
+
+
+def _burst_has_sync(dibits: np.ndarray) -> bool:
+    d = np.asarray(dibits, np.uint8)
+    return len(d) >= 20 and int(np.sum(d[:20] == SYNC_DIBITS)) >= 16
+
+
+def _dibits_to_bits(d: np.ndarray) -> np.ndarray:
+    d = np.asarray(d, np.uint8)
+    out = np.empty(2 * len(d), np.uint8)
+    out[0::2] = (d >> 1) & 1
+    out[1::2] = d & 1
+    return out
+
+
+def _bits_to_dibits(b: np.ndarray) -> np.ndarray:
+    b = np.asarray(b, np.uint8)
+    return (b[0::2] << 1) | b[1::2]
+
+
+def extract_voice_frames(burst_dibits: np.ndarray) -> np.ndarray:
+    """(4, 72) AMBE+2 frame bits from one 180-dibit timeslot burst; the
+    in-fragment sync (bursts at fragment positions 2/3) is auto-detected
+    and skipped."""
+    d = np.asarray(burst_dibits, np.uint8)
+    start = 20 if _burst_has_sync(d) else 0
+    bits = _dibits_to_bits(d[start : start + _VOICE_DIBITS])
+    return bits.reshape(VOICE_FRAMES_PER_BURST, AMBE_FRAME_BITS)
+
+
+def build_voice_burst(
+    frames: np.ndarray, with_sync: bool = False, rng=None
+) -> np.ndarray:
+    """(4, 72) frame bits -> 180-dibit timeslot burst (tests/harness)."""
+    rng = rng or np.random.default_rng(0)
+    frames = np.asarray(frames, np.uint8)
+    assert frames.shape == (VOICE_FRAMES_PER_BURST, AMBE_FRAME_BITS)
+    body = _bits_to_dibits(frames.reshape(-1))
+    d = rng.integers(0, 4, BURST_DIBITS).astype(np.uint8)
+    start = 20 if with_sync else 0
+    if with_sync:
+        d[:20] = SYNC_DIBITS
+    d[start : start + _VOICE_DIBITS] = body
+    return d

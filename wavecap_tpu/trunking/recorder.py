@@ -62,6 +62,7 @@ class VoiceRecorder:
         self.call: CallInfo | None = None
         self.framer = P25Framer()
         self._p2 = None  # lazy Phase 2 superframe detector
+        self._ambe_vocoder = None  # lazy AMBE+2 half-rate vocoder
         self._ambe_bursts: list[np.ndarray] = []
         self.decoder = VoiceDecoder()
         self.audio = FanOut(maxsize=32)  # live PCM subscribers
@@ -80,6 +81,7 @@ class VoiceRecorder:
         self.framer.reset()
         if self._p2 is not None:
             self._p2.reset()
+        self._ambe_vocoder = None  # fresh vocoder state per call
         self._imbe = []
         self._pcm = []
         self._ambe_bursts = []
@@ -116,14 +118,21 @@ class VoiceRecorder:
         """Phase 2 TDMA voice: superframe fragments -> this call's timeslot
         bursts.  SACCH/FACCH bursts are MAC-decoded (PTT metadata /
         encryption detect, END_PTT prompt call end — beyond the reference,
-        which never parses xCCH); voice bursts persist as raw AMBE dibits
-        (synthesis needs an AMBE+2 vocoder, reference selects
-        VocoderType.AMBE2 at system.py:437)."""
+        which never parses xCCH); voice bursts synthesize PCM through the
+        native AMBE+2 half-rate vocoder (decoders/ambe_vocoder.py — the
+        reference selects VocoderType.AMBE2 at system.py:437 but needs an
+        external binary to act on it) and also persist as raw dibits."""
         from wavecap_tpu.decoders import p25_mac
-        from wavecap_tpu.decoders.p25_phase2 import P25P2SuperFrameDetector
+        from wavecap_tpu.decoders.ambe_vocoder import AmbeDecoder
+        from wavecap_tpu.decoders.p25_phase2 import (
+            P25P2SuperFrameDetector,
+            extract_voice_frames,
+        )
 
         if self._p2 is None:
             self._p2 = P25P2SuperFrameDetector()
+        if self._ambe_vocoder is None:
+            self._ambe_vocoder = AmbeDecoder()
         slot = self.call.tdma_slot if self.call else 0
         for frag in self._p2.process(soft):
             self.last_activity = now
@@ -140,6 +149,12 @@ class VoiceRecorder:
                 self._ambe_bursts.append(np.asarray(burst, np.uint8))
                 if self.call:
                     self.call.imbe_frames += 1  # burst count for phase2
+                pcm = self._ambe_vocoder.decode_frames(
+                    extract_voice_frames(burst)
+                )
+                if pcm is not None and len(pcm):
+                    self._pcm.append(pcm)
+                    self.audio.publish(pcm)
 
     def _handle_mac(self, pdu: dict | None) -> None:
         """Phase 2 MAC PDU -> call metadata / lifecycle."""

@@ -691,3 +691,78 @@ class TestTalkgroupEditing:
             f"/trunking/systems/{sid}/talkgroups/import", json={"csv": "  "}
         )
         assert r.status_code == 422
+
+
+class TestTrunkingApiLongTail:
+    """Hunt-mode, CC enable/lock, scan trigger, vocoders, voice-streams,
+    global calls, message clear (reference trunking/api.py surface)."""
+
+    @pytest.fixture()
+    def sid(self, client):
+        r = client.post(
+            "/trunking/systems",
+            json={
+                "id": "tlt",
+                "control_channels": [851.2e6, 852.5e6],
+                "sample_rate": 2_400_000,
+            },
+        )
+        assert r.status_code == 201, r.text
+        yield "tlt"
+        client.delete("/trunking/systems/tlt")
+
+    def test_vocoders_always_available(self, client):
+        v = client.get("/trunking/vocoders").json()
+        assert v["imbe"] and v["ambe2"] and v["anyAvailable"]
+        assert v["ambe2Backend"] == "native"
+
+    def test_hunt_mode_get_patch(self, client, sid):
+        assert client.get(f"/trunking/systems/{sid}/hunt-mode").json() == {
+            "huntMode": "hunt"
+        }
+        r = client.patch(
+            f"/trunking/systems/{sid}/hunt-mode", json={"huntMode": "scan"}
+        )
+        assert r.json() == {"huntMode": "scan"}
+        assert client.patch(
+            f"/trunking/systems/{sid}/hunt-mode", json={"huntMode": "bogus"}
+        ).status_code == 422
+
+    def test_cc_channels_enable_and_lock(self, client, sid):
+        chans = client.get(f"/trunking/systems/{sid}/channels").json()
+        assert {c["frequencyHz"] for c in chans} == {851.2e6, 852.5e6}
+        assert all(c["enabled"] and c["configured"] for c in chans)
+        # disable one: it leaves the hunt list but stays visible
+        r = client.patch(
+            f"/trunking/systems/{sid}/channels/852500000/enabled",
+            json={"enabled": False},
+        )
+        assert r.json()["enabled"] is False
+        chans = {c["frequencyHz"]: c for c in
+                 client.get(f"/trunking/systems/{sid}/channels").json()}
+        assert chans[852.5e6]["enabled"] is False
+        # lock the other
+        r = client.post(
+            f"/trunking/systems/{sid}/channels/851200000/lock", json={}
+        )
+        assert r.json()["locked"] is True
+        chans = {c["frequencyHz"]: c for c in
+                 client.get(f"/trunking/systems/{sid}/channels").json()}
+        assert chans[851.2e6]["locked"] is True
+        # unlock
+        client.post(
+            f"/trunking/systems/{sid}/channels/851200000/lock",
+            json={"locked": False},
+        )
+        chans = {c["frequencyHz"]: c for c in
+                 client.get(f"/trunking/systems/{sid}/channels").json()}
+        assert chans[851.2e6]["locked"] is False
+
+    def test_scan_voice_streams_calls_messages(self, client, sid):
+        assert client.post(f"/trunking/systems/{sid}/scan").json()["ok"]
+        # not started: no recorder pool yet
+        assert client.get(f"/trunking/systems/{sid}/voice-streams").json() == []
+        assert client.get("/trunking/calls").json() == []
+        assert client.delete(f"/trunking/systems/{sid}/messages").json() == {
+            "cleared": 0
+        }

@@ -835,6 +835,120 @@ def build_router(state: AppState) -> Router:
              "count": len(sys_.config.talkgroups)}
         )
 
+    @r.get(v1 + "/trunking/calls")
+    async def tk_all_calls(req: Request) -> Response:
+        """Active calls across every system (reference trunking/api.py
+        GET /calls)."""
+        out = []
+        for sys_ in state.trunking.systems.values():
+            for c in sys_.status()["activeCalls"]:
+                out.append({"systemId": sys_.config.id, **c})
+        return Response.json(out)
+
+    @r.get(v1 + "/trunking/vocoders")
+    async def tk_vocoders(req: Request) -> Response:
+        """Vocoder availability (reference GET /vocoders).  Both rates are
+        always available here: the native MBE synthesizers need no
+        external binary; libmbe upgrades the IMBE path when installed."""
+        from wavecap_tpu.decoders.voice import vocoder_backend
+
+        return Response.json(
+            {
+                "imbe": True,
+                "ambe2": True,
+                "anyAvailable": True,
+                "imbeBackend": vocoder_backend(),
+                "ambe2Backend": "native",
+            }
+        )
+
+    def _get_system(req: Request):
+        try:
+            return state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+
+    @r.get(v1 + "/trunking/systems/{sid}/hunt-mode")
+    async def tk_hunt_mode_get(req: Request) -> Response:
+        sys_ = _get_system(req)
+        return Response.json({"huntMode": sys_.config.hunt_mode.value})
+
+    @r.patch(v1 + "/trunking/systems/{sid}/hunt-mode")
+    async def tk_hunt_mode_set(req: Request) -> Response:
+        sys_ = _get_system(req)
+        mode = (req.json() or {}).get("huntMode")
+        try:
+            sys_.set_hunt_mode(str(mode))
+        except ValueError:
+            raise HttpError(422, f"unknown hunt mode {mode!r}")
+        return Response.json({"huntMode": sys_.config.hunt_mode.value})
+
+    @r.get(v1 + "/trunking/systems/{sid}/channels")
+    async def tk_cc_channels(req: Request) -> Response:
+        """Control-channel candidate table with measurements and operator
+        overrides (reference GET .../channels)."""
+        sys_ = _get_system(req)
+        measurements = {
+            m["frequencyHz"]: m for m in sys_.scanner.status()
+        }
+        out = []
+        for f in sys_._candidates() + sorted(sys_.disabled_ccs):
+            if any(c["frequencyHz"] == f for c in out):
+                continue
+            m = measurements.get(f, {})
+            out.append(
+                {
+                    "frequencyHz": f,
+                    "enabled": f not in sys_.disabled_ccs,
+                    "locked": sys_.cc_lock_override == f,
+                    "current": sys_._cc_current_freq == f,
+                    "configured": f in sys_.config.control_channels,
+                    **{k: v for k, v in m.items() if k != "frequencyHz"},
+                }
+            )
+        return Response.json(out)
+
+    @r.patch(v1 + "/trunking/systems/{sid}/channels/{freq}/enabled")
+    async def tk_cc_enable(req: Request) -> Response:
+        sys_ = _get_system(req)
+        try:
+            freq = float(req.params["freq"])
+        except ValueError:
+            raise HttpError(422, "freq must be Hz")
+        enabled = bool((req.json() or {}).get("enabled", True))
+        sys_.set_cc_enabled(freq, enabled)
+        return Response.json({"frequencyHz": freq, "enabled": enabled})
+
+    @r.post(v1 + "/trunking/systems/{sid}/channels/{freq}/lock")
+    async def tk_cc_lock(req: Request) -> Response:
+        """Pin hunting to one CC; body ``{"locked": false}`` clears."""
+        sys_ = _get_system(req)
+        try:
+            freq = float(req.params["freq"])
+        except ValueError:
+            raise HttpError(422, "freq must be Hz")
+        locked = bool((req.json() or {}).get("locked", True))
+        sys_.set_cc_lock(freq if locked else None)
+        return Response.json({"frequencyHz": freq, "locked": locked})
+
+    @r.post(v1 + "/trunking/systems/{sid}/scan")
+    async def tk_scan(req: Request) -> Response:
+        """Force re-verification of every CC candidate."""
+        sys_ = _get_system(req)
+        sys_.trigger_scan()
+        return Response.json({"ok": True})
+
+    @r.get(v1 + "/trunking/systems/{sid}/voice-streams")
+    async def tk_voice_streams(req: Request) -> Response:
+        return Response.json(_get_system(req).voice_streams())
+
+    @r.delete(v1 + "/trunking/systems/{sid}/messages")
+    async def tk_messages_clear(req: Request) -> Response:
+        sys_ = _get_system(req)
+        n = len(sys_.message_log)
+        sys_.message_log.clear()
+        return Response.json({"cleared": n})
+
     @r.get(v1 + "/trunking/systems/{sid}/calls")
     async def tk_calls(req: Request) -> Response:
         try:

@@ -73,6 +73,11 @@ class TrunkingSystem:
         self.cc_locked: float | None = None
         self.cc_lock_time = 0.0
         self.last_tsbk_time = 0.0
+        # operator overrides (reference trunking/api.py per-channel
+        # enable/lock): disabled CCs are excluded from hunting; a lock
+        # override pins hunting to one frequency
+        self.disabled_ccs: set[float] = set()
+        self.cc_lock_override: float | None = None
 
         self.capture = None
         self.monitor: ControlChannelMonitor | None = None
@@ -296,16 +301,18 @@ class TrunkingSystem:
     def _candidates(self) -> list[float]:
         """Configured CCs + learned in-band adjacent-site CCs (reference
         roams via network_config adjacent sites)."""
+        if self.cc_lock_override is not None:
+            return [self.cc_lock_override]
         candidates = list(self.config.control_channels)
-        if not self.capture:
-            return candidates
-        half_bw = self.capture.config.sample_rate / 2
-        center = self.capture.config.center_hz
-        for site in self.adjacent_sites.values():
-            f = site.get("frequencyHz")
-            if f and f not in candidates and abs(f - center) < half_bw:
-                candidates.append(f)
-        return candidates
+        if self.capture:
+            half_bw = self.capture.config.sample_rate / 2
+            center = self.capture.config.center_hz
+            for site in self.adjacent_sites.values():
+                f = site.get("frequencyHz")
+                if f and f not in candidates and abs(f - center) < half_bw:
+                    candidates.append(f)
+        enabled = [f for f in candidates if f not in self.disabled_ccs]
+        return enabled or candidates  # never hunt an empty list
 
     def _measure_control_channels(self) -> None:
         """Per-CC power/SNR from the capture spectrum (reference cc_scanner.py)."""
@@ -354,6 +361,53 @@ class TrunkingSystem:
         self.cc_locked = None
         self._emit("control_roam" if reason == "roam" else "control_hunt", {"frequencyHz": freq})
         self._save_state()
+
+    # -- operator controls (reference trunking/api.py) ----------------------
+
+    def set_hunt_mode(self, mode: str) -> None:
+        self.config.hunt_mode = HuntMode(mode)
+
+    def set_cc_enabled(self, freq: float, enabled: bool) -> None:
+        """Exclude/include one control-channel candidate from hunting."""
+        if enabled:
+            self.disabled_ccs.discard(freq)
+        else:
+            self.disabled_ccs.add(freq)
+
+    def set_cc_lock(self, freq: float | None) -> None:
+        """Pin hunting to one frequency (None clears); retunes immediately
+        when running on a different CC."""
+        with self._lock:
+            self.cc_lock_override = freq
+            if (
+                freq is not None
+                and self.state == "running"
+                and self._cc_current_freq != freq
+            ):
+                self._retune_cc(freq, [freq], time.time(), reason="manual-lock")
+
+    def trigger_scan(self) -> None:
+        """Force re-verification of every candidate: drop cached
+        measurements so the hunt loop re-probes them all."""
+        self.scanner.measurements.clear()
+        self.scanner.last_roam_check = 0.0
+
+    def voice_streams(self) -> list[dict]:
+        """Per-recorder status (reference GET .../voice-streams)."""
+        if self.pool is None:
+            return []
+        return [
+            {
+                "recorderId": r.id,
+                "channelId": r.channel_id,
+                "state": r.state,
+                "tgid": r.call.tgid if r.call else None,
+                "talkgroup": r.call.talkgroup_name if r.call else None,
+                "frequencyHz": r.call.frequency_hz if r.call else None,
+                "startTime": r.call.start_time if r.call else None,
+            }
+            for r in self.pool.recorders
+        ]
 
     def _check_hunt(self) -> None:
         if self.config.hunt_mode == HuntMode.FIXED:

@@ -21,7 +21,8 @@ const eventLog = [];
 let voicePlayer = null;
 let voiceSid = null;
 let detail = {
-  calls: null, talkgroups: null, locations: null, messages: null, fetched: 0,
+  calls: null, talkgroups: null, locations: null, messages: null,
+  channels: null, voiceStreams: null, huntMode: "hunt", fetched: 0,
 };
 
 function stopVoice() {
@@ -319,40 +320,92 @@ function networkPanel(sys) {
 }
 
 function ccPanel(sys) {
-  const ccm = sys.ccMeasurements || [];
-  const maxP = Math.max(...ccm.map((m) => m.powerDb ?? m.power_db ?? -120), -119);
+  const chans = detail.channels || [];
+  const maxP = Math.max(...chans.map((m) => m.powerDb ?? -120), -119);
+  const huntSel = el("select", {
+    onChange: (e) => {
+      api.patch(`/trunking/systems/${sys.id}/hunt-mode`,
+        { huntMode: e.target.value })
+        .then(() => toast(`Hunt mode: ${e.target.value}`))
+        .catch((er) => toast(er.message, true));
+    } },
+    ...["fixed", "hunt", "scan"].map((m) =>
+      el("option", { value: m, selected: m === detail.huntMode }, m)));
   return el("div", {},
-    el("h2", {}, "Control-channel candidates",
-      el("span", { class: "muted", style: "font-size:11px; margin-left:8px" },
-        "power + SNR + sync-verified; +6 dB better roams while locked")),
-    ccm.length
+    el("div", { class: "toolbar", style: "margin:0 0 6px" },
+      el("h2", { style: "margin:0" }, "Control channels",
+        el("span", { class: "muted", style: "font-size:11px; margin-left:8px" },
+          "power + SNR + sync-verified; +6 dB better roams while locked")),
+      el("span", { class: "spacer" }),
+      el("label", { class: "inline", style: "font-size:12px" },
+        "hunt ", huntSel),
+      el("button", { class: "small", title: "re-verify all candidates",
+        onClick: () => api.post(`/trunking/systems/${sys.id}/scan`)
+          .then(() => { toast("Scan triggered"); detail.fetched = 0; render(); })
+          .catch((er) => toast(er.message, true)) }, "Scan")),
+    chans.length
       ? el("table", {},
           el("thead", {}, el("tr", {},
             el("th", {}, "Frequency"), el("th", {}, "Signal"),
             el("th", { class: "num" }, "SNR"), el("th", {}, "Sync"),
             el("th", {}, ""))),
-          el("tbody", {}, ccm.map((m) => {
-            const p = m.powerDb ?? m.power_db;
+          el("tbody", {}, chans.map((m) => {
+            const p = m.powerDb;
             const pct = p === undefined || p === null
               ? 0 : Math.max(4, Math.min(100, (p + 120) / (maxP + 125) * 100));
-            const locked = (m.frequencyHz ?? m.freq_hz) === sys.controlChannelHz;
-            return el("tr", {},
+            return el("tr", { class: m.enabled ? "" : "muted" },
               el("td", { class: "mono" },
-                fmtHz(m.frequencyHz ?? m.freq_hz),
-                locked ? el("span", { class: "badge locked",
-                  style: "margin-left:6px" }, "locked") : null),
+                fmtHz(m.frequencyHz),
+                m.current ? el("span", { class: "badge locked",
+                  style: "margin-left:6px" }, "current") : null,
+                m.locked ? el("span", { class: "badge",
+                  style: "margin-left:6px" }, "pinned") : null),
               el("td", {}, el("span", { class: "smeter" },
                 el("span", { class: "bar" },
                   el("span", { class: "fill", style: `width:${pct}%` })),
                 el("span", { class: "db" },
                   p?.toFixed?.(1) !== undefined ? `${p.toFixed(1)} dB` : "—"))),
-              el("td", { class: "num" },
-                (m.snrDb ?? m.snr_db)?.toFixed?.(1) ?? "—"),
+              el("td", { class: "num" }, m.snrDb?.toFixed?.(1) ?? "—"),
               el("td", {},
-                (m.syncDetected ?? m.syncOk) ? `✓ ${m.crcOk ?? 0} crc` : "—"),
-              el("td", {}, fmtTime(m.time)));
+                m.syncDetected ? `✓ ${m.crcOk ?? 0} crc` : "—"),
+              el("td", {},
+                el("button", { class: "small",
+                  title: m.enabled ? "exclude from hunting" : "re-enable",
+                  onClick: () => api.patch(
+                    `/trunking/systems/${sys.id}/channels/${m.frequencyHz}/enabled`,
+                    { enabled: !m.enabled })
+                    .then(() => { detail.fetched = 0; render(); })
+                    .catch((er) => toast(er.message, true)),
+                }, m.enabled ? "disable" : "enable"),
+                " ",
+                el("button", { class: "small",
+                  title: "pin hunting to this frequency",
+                  onClick: () => api.post(
+                    `/trunking/systems/${sys.id}/channels/${m.frequencyHz}/lock`,
+                    { locked: !m.locked })
+                    .then(() => { detail.fetched = 0; render(); })
+                    .catch((er) => toast(er.message, true)),
+                }, m.locked ? "unpin" : "pin")));
           })))
       : el("div", { class: "empty" }, "No measurements yet"));
+}
+
+function voiceStreamsTable() {
+  const vs = detail.voiceStreams || [];
+  if (!vs.length) return null;
+  return el("div", { style: "margin-top:8px" },
+    el("h2", {}, "Voice recorders"),
+    el("table", {},
+      el("thead", {}, el("tr", {},
+        el("th", {}, "Recorder"), el("th", {}, "State"),
+        el("th", {}, "Talkgroup"), el("th", {}, "Frequency"),
+        el("th", {}, "Started"))),
+      el("tbody", {}, vs.map((v) => el("tr", {},
+        el("td", { class: "mono" }, `#${v.recorderId} (${v.channelId})`),
+        el("td", {}, badge(v.state)),
+        el("td", {}, v.tgid ? `${v.talkgroup || ""} (${v.tgid})` : "—"),
+        el("td", { class: "mono" }, v.frequencyHz ? fmtHz(v.frequencyHz) : "—"),
+        el("td", {}, v.startTime ? fmtTime(v.startTime) : "—"))))));
 }
 
 // ---------------------------------------------------------------------------
@@ -412,7 +465,8 @@ function systemDetail(sys) {
         el("h2", { style: "margin-top:12px" }, "Locations"),
         locTable(detail.locations))),
     el("div", { class: "row" },
-      el("div", { class: "panel" }, ccPanel(sys), networkPanel(sys)),
+      el("div", { class: "panel" },
+        ccPanel(sys), voiceStreamsTable(), networkPanel(sys)),
       el("div", { class: "panel" },
         el("h2", {}, "Control-channel messages"),
         el("div", { style: "max-height:300px; overflow-y:auto" },
@@ -429,16 +483,22 @@ async function fetchDetail(sid) {
   if (now - detail.fetched < 2000) return;
   detail.fetched = now;
   try {
-    const [calls, tgs, locs, msgs] = await Promise.all([
+    const [calls, tgs, locs, msgs, chans, vstreams, hunt] = await Promise.all([
       api.get(`/trunking/systems/${sid}/calls`),
       api.get(`/trunking/systems/${sid}/talkgroups`),
       api.get(`/trunking/systems/${sid}/locations`),
       api.get(`/trunking/systems/${sid}/messages?limit=60`),
+      api.get(`/trunking/systems/${sid}/channels`),
+      api.get(`/trunking/systems/${sid}/voice-streams`),
+      api.get(`/trunking/systems/${sid}/hunt-mode`),
     ]);
     detail.calls = calls;
     detail.talkgroups = tgs;
     detail.locations = locs;
     detail.messages = msgs;
+    detail.channels = chans;
+    detail.voiceStreams = vstreams;
+    detail.huntMode = hunt.huntMode;
     render();
   } catch { /* system may be starting */ }
 }

@@ -766,3 +766,107 @@ class TestTrunkingApiLongTail:
         assert client.delete(f"/trunking/systems/{sid}/messages").json() == {
             "cleared": 0
         }
+
+
+class TestReferencePathParity:
+    """Reference api.py path aliases and the remaining endpoint long tail:
+    capture channels/snapshot, channel start/stop + metrics history/extended,
+    device name/refresh/sdrplay aliases, frequency identify alias,
+    frontend-log ingestion, scanner pause/lock/patch, shutdown."""
+
+    def test_capture_channel_aliases_and_stop(self, client):
+        cid = client.post(
+            "/captures", json={"centerHz": 155e6, "sampleRate": 800_000}
+        ).json()["id"]
+        ch = client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 155.05e6},
+        ).json()
+        chans = client.get(f"/captures/{cid}/channels").json()
+        assert [c["id"] for c in chans] == [ch["id"]]
+        # per-channel stop/start toggles the publish gate
+        assert client.post(f"/channels/{ch['id']}/stop").json()["state"] == "stopped"
+        assert client.post(f"/channels/{ch['id']}/start").json()["state"] == "active"
+        hist = client.get(f"/channels/{ch['id']}/metrics/history").json()
+        assert isinstance(hist, list)
+        ext = client.get(f"/channels/{ch['id']}/metrics/extended").json()
+        assert ext["id"] == ch["id"] and "audioSubscribers" in ext
+        assert client.get(f"/channels/{ch['id']}/decode/pocsag").json() == []
+        client.delete(f"/captures/{cid}")
+
+    def test_device_name_alias_and_refresh(self, client):
+        did = client.get("/devices").json()[0]["id"]
+        r = client.patch(f"/devices/{did}/name", json={"nickname": "roof"})
+        assert r.json()["nickname"] == "roof"
+        assert client.get(f"/devices/{did}/name").json()["nickname"] == "roof"
+        assert client.post("/devices/refresh").json()["count"] >= 1
+        assert client.get("/devices/sdrplay/health").status_code == 200
+
+    def test_frequency_identify_alias(self, client):
+        a = client.get("/frequencies/identify?hz=100100000").json()
+        b = client.get("/frequency/identify?hz=100100000").json()
+        assert a == b
+
+    def test_frontend_logs_roundtrip(self, client):
+        client.delete("/frontend-logs")
+        r = client.post(
+            "/frontend-logs",
+            json=[{"level": "error", "message": "boom", "source": "spa"}],
+        )
+        assert r.json()["ok"]
+        logs = client.get("/frontend-logs").json()
+        assert logs[-1]["message"] == "boom"
+        # /log/frontend is the same store
+        assert client.get("/log/frontend").json()[-1]["message"] == "boom"
+        assert client.delete("/frontend-logs").json()["cleared"] >= 1
+
+    def test_scanner_pause_lock_patch_lockouts(self, client):
+        cid = client.post(
+            "/captures", json={"centerHz": 155e6, "sampleRate": 800_000}
+        ).json()["id"]
+        ch = client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 155.05e6},
+        ).json()
+        sc = client.post("/scanners", json={
+            "captureId": cid, "channelId": ch["id"], "autoStart": True,
+            "entries": [
+                {"frequencyHz": 155.05e6}, {"frequencyHz": 155.10e6},
+            ],
+        }).json()
+        sid = sc["id"]
+        assert client.post(f"/scanners/{sid}/pause").json()["state"] == "paused"
+        assert client.post(f"/scanners/{sid}/resume").json()["state"] == "scanning"
+        assert client.post(f"/scanners/{sid}/lock").json()["state"] == "locked"
+        assert client.post(f"/scanners/{sid}/unlock").json()["state"] == "scanning"
+        st = client.patch(f"/scanners/{sid}", json={"dwellS": 1.5, "mode": "priority"}).json()
+        assert st["mode"] == "priority"
+        client.post(f"/scanners/{sid}/lockout",
+                    json={"frequencyHz": 155.10e6})
+        st = client.get(f"/scanners/{sid}").json()
+        assert any(e["lockedOut"] for e in st["entries"])
+        st = client.delete(f"/scanners/{sid}/lockout/155100000").json()
+        assert not any(e["lockedOut"] for e in st["entries"])
+        client.post(f"/scanners/{sid}/lockout", json={"frequencyHz": 155.05e6})
+        st = client.delete(f"/scanners/{sid}/lockouts").json()
+        assert not any(e["lockedOut"] for e in st["entries"])
+        client.delete(f"/scanners/{sid}")
+        client.delete(f"/captures/{cid}")
+
+    def test_shutdown_endpoint_fires_runner_callback(self):
+        cfg = config_from_dict(
+            {"server": {"host": "127.0.0.1", "port": 0,
+                        "rate_limit_per_min": 100000},
+             "device": {"driver": "fake"}}
+        )
+        h = ServerHarness(cfg).start()
+        fired = threading.Event()
+        h.server.state.on_shutdown_request = fired.set
+        try:
+            with httpx.Client(base_url=h.base, timeout=30) as c:
+                r = c.post("/shutdown")
+                assert r.json()["shuttingDown"]
+            assert fired.wait(10)
+            assert h.server.state.shutdown_requested
+        finally:
+            h.stop()

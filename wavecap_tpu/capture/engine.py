@@ -847,6 +847,10 @@ class Capture:
             if self.iq_subs.active:
                 self.iq_subs.publish(blocks[b])
             for ch in channels:
+                if ch.state == "stopped":
+                    # per-channel stop (reference POST /channels/{id}/stop):
+                    # slot keeps running traced, host just stops publishing
+                    continue
                 if ch.mode_group == "p25":
                     grp = out.get("p25")
                     if grp is None:

@@ -49,10 +49,11 @@ class ScannerService:
         self.capture = capture
         self.channel_id = channel_id
         self.config = config
-        self.state = "stopped"  # stopped|scanning|holding
+        self.state = "stopped"  # stopped|scanning|holding|paused|locked
         self.current_index = 0
         self.hits: dict[float, int] = {}
         self._stop = threading.Event()
+        self._hold = threading.Event()  # pause/lock: suspend retuning
         self._thread: threading.Thread | None = None
 
     def start(self) -> None:
@@ -77,6 +78,32 @@ class ScannerService:
             if abs(e.frequency_hz - frequency_hz) < 1.0:
                 e.locked_out = locked
 
+    def clear_lockouts(self) -> None:
+        for e in self.config.entries:
+            e.locked_out = False
+
+    def pause(self) -> None:
+        """Suspend retuning, stay on the current frequency (reference
+        POST /scanners/{sid}/pause)."""
+        if self.state != "stopped":
+            self._hold.set()
+            self.state = "paused"
+
+    def resume(self) -> None:
+        if self.state in ("paused", "locked"):
+            self._hold.clear()
+            self.state = "scanning"
+
+    def lock(self) -> None:
+        """Hold the current channel while the operator listens (reference
+        POST /scanners/{sid}/lock); unlock resumes the scan."""
+        if self.state != "stopped":
+            self._hold.set()
+            self.state = "locked"
+
+    def unlock(self) -> None:
+        self.resume()
+
     def _order(self) -> list:
         entries = [e for e in self.config.entries if not e.locked_out]
         if self.config.mode == ScanMode.PRIORITY:
@@ -96,6 +123,8 @@ class ScannerService:
             for entry in entries:
                 if self._stop.is_set():
                     return
+                while self._hold.is_set() and not self._stop.is_set():
+                    time.sleep(0.1)
                 try:
                     self.capture.update_channel(
                         self.channel_id, frequency_hz=entry.frequency_hz

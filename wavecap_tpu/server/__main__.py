@@ -54,6 +54,8 @@ async def _run(args) -> int:
             loop.add_signal_handler(sig, stop.set)
         except NotImplementedError:  # pragma: no cover
             pass
+    # POST /shutdown resolves the same event as SIGINT/SIGTERM
+    server.state.on_shutdown_request = lambda: loop.call_soon_threadsafe(stop.set)
     try:
         await server.start()
         print(f"wavecap_tpu listening on {cfg.server.host}:{server.port}")

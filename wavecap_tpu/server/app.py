@@ -100,6 +100,11 @@ class AppState:
         self.scanners: dict = {}
         self.attachments: dict = {}  # (channel_id, kind) -> attachment
         self.nicknames = self._load_nicknames()
+        from collections import deque
+
+        self.frontend_logs: deque = deque(maxlen=1000)
+        self.shutdown_requested = False
+        self.on_shutdown_request = None  # set by the server runner
 
     # -- device nicknames (persisted next to trunking state) --------------
 
@@ -299,6 +304,26 @@ def build_router(state: AppState) -> Router:
             raise HttpError(501, "uhubctl not installed")
         return Response.json(await asyncio.to_thread(state.usb.list_hubs))
 
+    @r.get(v1 + "/devices/{did}/name")
+    async def device_name_get(req: Request) -> Response:
+        """Reference path alias for the nickname store."""
+        did = req.params["did"]
+        return Response.json({"id": did, "nickname": state.nicknames.get(did)})
+
+    @r.patch(v1 + "/devices/{did}/name")
+    async def device_name_patch(req: Request) -> Response:
+        nick = (req.json() or {}).get("nickname")
+        state.set_nickname(req.params["did"], nick)
+        return Response.json({"id": req.params["did"], "nickname": nick})
+
+    @r.post(v1 + "/devices/refresh")
+    async def devices_refresh(req: Request) -> Response:
+        """Re-enumerate SDR hardware (reference POST /devices/refresh)."""
+        devices = await asyncio.to_thread(state.captures.list_devices)
+        return Response.json(
+            {"count": len(devices), "devices": [d.id for d in devices]}
+        )
+
     @r.post(v1 + "/devices/usb/power-cycle")
     async def usb_power_cycle(req: Request) -> Response:
         """Power-cycle a USB port (reference uhubctl.py integration)."""
@@ -312,6 +337,28 @@ def build_router(state: AppState) -> Router:
             float(body.get("delaySeconds", 2.0)),
         )
         return Response.json(result)
+
+    @r.post(v1 + "/devices/usb/power-cycle-all")
+    async def usb_power_cycle_all(req: Request) -> Response:
+        """Power-cycle every detected SDR hub port (reference
+        POST /devices/usb/power-cycle-all)."""
+        if not state.usb.available():
+            raise HttpError(501, "uhubctl not installed")
+        delay = float((req.json() or {}).get("delaySeconds", 2.0))
+        hubs = await asyncio.to_thread(state.usb.list_hubs)
+        results = []
+        for hub in hubs:
+            for port in hub.get("ports", []):
+                results.append(
+                    await asyncio.to_thread(
+                        state.usb.power_cycle, hub["hub"], str(port["port"]), delay
+                    )
+                )
+        return Response.json({"cycled": len(results), "results": results})
+
+    # reference path aliases (api.py /devices/sdrplay/*)
+    r.get(v1 + "/devices/sdrplay/health")(devices_health)
+    r.post(v1 + "/devices/sdrplay/restart-service")(device_service_restart)
 
     # ---- captures ----
     @r.get(v1 + "/captures")
@@ -388,6 +435,17 @@ def build_router(state: AppState) -> Router:
                 "sampleRate": cap.config.sample_rate,
                 "db": [round(float(x), 1) for x in frame],
             }
+        )
+
+    r.get(v1 + "/captures/{cid}/spectrum/snapshot")(capture_spectrum)
+
+    @r.get(v1 + "/captures/{cid}/channels")
+    async def capture_channels(req: Request) -> Response:
+        """Channels of one capture (reference GET /captures/{cid}/channels;
+        also embedded in the capture status)."""
+        cap = state.get_capture(req.params["cid"])
+        return Response.json(
+            [channel_json(cap, ch) for ch in cap.channels.values()]
         )
 
     @r.get(v1 + "/captures/{cid}/classified-channels")
@@ -493,6 +551,69 @@ def build_router(state: AppState) -> Router:
             ]
         return Response.json(out)
 
+    @r.get(v1 + "/channels/{chid}/metrics/history")
+    async def channel_metrics_history(req: Request) -> Response:
+        """RSSI over time (reference GET .../metrics/history)."""
+        cap, ch = state.find_channel(req.params["chid"])
+        limit = int(req.query.get("limit", "300"))
+        return Response.json(
+            [{"time": t, "rssiDb": v} for t, v in ch.rssi_history[-limit:]]
+        )
+
+    @r.get(v1 + "/channels/{chid}/metrics/extended")
+    async def channel_metrics_extended(req: Request) -> Response:
+        """Extended metrics incl. stream fan-out and attachment state
+        (reference GET .../metrics/extended)."""
+        cap, ch = state.find_channel(req.params["chid"])
+        hist = [v for _, v in ch.rssi_history[-60:]]
+        return Response.json(
+            {
+                "id": ch.id,
+                "captureId": cap.id,
+                "state": ch.state,
+                "rssiDb": round(ch.rssi_db, 1),
+                "rssiMeanDb": round(float(np.mean(hist)), 1) if hist else None,
+                "rssiPeakDb": round(float(np.max(hist)), 1) if hist else None,
+                "audioSubscribers": ch.audio.count,
+                "symbolSubscribers": ch.symbols.count,
+                "basebandSubscribers": ch.baseband.count,
+                "squelchDb": ch.spec.squelch_db,
+                "attachments": [
+                    k for (cid, k) in state.attachments if cid == ch.id
+                ],
+            }
+        )
+
+    @r.post(v1 + "/channels/{chid}/start")
+    async def channel_start(req: Request) -> Response:
+        cap, ch = state.find_channel(req.params["chid"])
+        ch.state = "active"
+        return Response.json(channel_json(cap, ch))
+
+    @r.post(v1 + "/channels/{chid}/stop")
+    async def channel_stop(req: Request) -> Response:
+        """Stop publishing a channel's streams without freeing its slot
+        (reference POST /channels/{id}/stop)."""
+        cap, ch = state.find_channel(req.params["chid"])
+        ch.state = "stopped"
+        return Response.json(channel_json(cap, ch))
+
+    @r.get(v1 + "/channels/{chid}/decode/pocsag")
+    async def channel_decode_pocsag(req: Request) -> Response:
+        """POCSAG messages only (reference GET .../decode/pocsag; the
+        generic feed is GET .../messages)."""
+        cap, ch = state.find_channel(req.params["chid"])
+        att = state.attachments.get((ch.id, "pocsag"))
+        msgs = list(att.messages) if att is not None else []
+        aliases = state.config.pocsag_aliases
+        out = []
+        for m in msgs[-int(req.query.get("limit", "100")):]:
+            entry = dict(m)
+            if m.get("address") in aliases:
+                entry["alias"] = aliases[m["address"]]
+            out.append(entry)
+        return Response.json(out)
+
     # ---- frequency identify / recipes ----
     @r.get(v1 + "/frequencies/identify")
     async def freq_identify(req: Request) -> Response:
@@ -511,6 +632,8 @@ def build_router(state: AppState) -> Router:
                 "modeHint": namers.mode_hint(hz),
             }
         )
+
+    r.get(v1 + "/frequency/identify")(freq_identify)  # reference path alias
 
     def _recipe_dirs():
         from pathlib import Path as _P
@@ -673,6 +796,54 @@ def build_router(state: AppState) -> Router:
     @r.get(v1 + "/logs")
     async def logs(req: Request) -> Response:
         return Response.json(LOG_RING.tail(int(req.query.get("limit", "200"))))
+
+    # ---- frontend log ingestion (reference api.py /frontend-logs +
+    # /log/frontend: browser clients ship their console errors here) ----
+
+    @r.post(v1 + "/frontend-logs")
+    async def frontend_logs_post(req: Request) -> Response:
+        body = req.json()
+        entries = body if isinstance(body, list) else [body or {}]
+        for e in entries[:100]:
+            state.frontend_logs.append(
+                {
+                    "time": time.time(),
+                    "level": str(e.get("level", "info"))[:16],
+                    "message": str(e.get("message", ""))[:2000],
+                    "source": str(e.get("source", "frontend"))[:128],
+                }
+            )
+        return Response.json({"ok": True, "count": len(state.frontend_logs)})
+
+    @r.get(v1 + "/frontend-logs")
+    async def frontend_logs_get(req: Request) -> Response:
+        limit = int(req.query.get("limit", "200"))
+        return Response.json(list(state.frontend_logs)[-limit:])
+
+    @r.delete(v1 + "/frontend-logs")
+    async def frontend_logs_clear(req: Request) -> Response:
+        n = len(state.frontend_logs)
+        state.frontend_logs.clear()
+        return Response.json({"cleared": n})
+
+    # reference also mounts the same store at /log/frontend and POST /logs
+    r.post(v1 + "/log/frontend")(frontend_logs_post)
+    r.get(v1 + "/log/frontend")(frontend_logs_get)
+    r.delete(v1 + "/log/frontend")(frontend_logs_clear)
+    r.post(v1 + "/logs")(frontend_logs_post)
+
+    @r.post(v1 + "/shutdown")
+    async def shutdown(req: Request) -> Response:
+        """Graceful server shutdown (reference POST /shutdown)."""
+        loop = asyncio.get_running_loop()
+
+        def _later():
+            state.shutdown_requested = True
+            if state.on_shutdown_request is not None:
+                state.on_shutdown_request()
+
+        loop.call_later(0.2, _later)  # let the response flush first
+        return Response.json({"ok": True, "shuttingDown": True})
 
     # ---- trunking ----
     @r.get(v1 + "/trunking/systems")
@@ -1095,6 +1266,24 @@ def build_router(state: AppState) -> Router:
             )
             await asyncio.sleep(2.0)
 
+    @r.websocket(v1 + "/stream/system")
+    async def ws_system(req: Request, ws: WebSocket) -> None:
+        """System metrics snapshots every 2 s (reference WS /stream/system)."""
+        while not ws.closed:
+            m = system_metrics()
+            m["type"] = "system"
+            m["time"] = time.time()
+            m["captures"] = {
+                c.id: {
+                    "state": c.state,
+                    "blocksProcessed": c.blocks_processed,
+                    "blockMs": round(c.block_ms, 2),
+                }
+                for c in state.captures.captures.values()
+            }
+            await ws.send_json(m)
+            await asyncio.sleep(2.0)
+
     @r.websocket(v1 + "/stream/logs")
     async def ws_logs(req: Request, ws: WebSocket) -> None:
         q: asyncio.Queue = asyncio.Queue(maxsize=200)
@@ -1222,6 +1411,72 @@ def build_router(state: AppState) -> Router:
             raise HttpError(404)
         body = req.json()
         svc.lockout(float(body["frequencyHz"]), bool(body.get("locked", True)))
+        return Response.json(svc.status())
+
+    def _get_scanner(req: Request):
+        svc = state.scanners.get(req.params["sid"])
+        if svc is None:
+            raise HttpError(404)
+        return svc
+
+    @r.post(v1 + "/scanners/{sid}/pause")
+    async def scanner_pause(req: Request) -> Response:
+        svc = _get_scanner(req)
+        svc.pause()
+        return Response.json(svc.status())
+
+    @r.post(v1 + "/scanners/{sid}/resume")
+    async def scanner_resume(req: Request) -> Response:
+        svc = _get_scanner(req)
+        svc.resume()
+        return Response.json(svc.status())
+
+    @r.post(v1 + "/scanners/{sid}/lock")
+    async def scanner_lock(req: Request) -> Response:
+        svc = _get_scanner(req)
+        svc.lock()
+        return Response.json(svc.status())
+
+    @r.post(v1 + "/scanners/{sid}/unlock")
+    async def scanner_unlock(req: Request) -> Response:
+        svc = _get_scanner(req)
+        svc.unlock()
+        return Response.json(svc.status())
+
+    @r.patch(v1 + "/scanners/{sid}")
+    async def scanner_patch(req: Request) -> Response:
+        """Update dwell/hold/squelch/mode live (reference PATCH
+        /scanners/{sid})."""
+        from wavecap_tpu.capture.scanner import ScanMode
+
+        svc = _get_scanner(req)
+        body = req.json() or {}
+        try:
+            if "mode" in body:
+                svc.config.mode = ScanMode(body["mode"])
+            if "dwellS" in body:
+                svc.config.dwell_s = float(body["dwellS"])
+            if "holdS" in body:
+                svc.config.hold_s = float(body["holdS"])
+            if "squelchDb" in body:
+                svc.config.squelch_db = float(body["squelchDb"])
+        except ValueError as e:
+            raise HttpError(422, str(e))
+        return Response.json(svc.status())
+
+    @r.delete(v1 + "/scanners/{sid}/lockout/{freq}")
+    async def scanner_lockout_delete(req: Request) -> Response:
+        svc = _get_scanner(req)
+        try:
+            svc.lockout(float(req.params["freq"]), False)
+        except ValueError:
+            raise HttpError(422, "freq must be Hz")
+        return Response.json(svc.status())
+
+    @r.delete(v1 + "/scanners/{sid}/lockouts")
+    async def scanner_lockouts_clear(req: Request) -> Response:
+        svc = _get_scanner(req)
+        svc.clear_lockouts()
         return Response.json(svc.status())
 
     @r.delete(v1 + "/scanners/{sid}")

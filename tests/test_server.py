@@ -870,3 +870,23 @@ class TestReferencePathParity:
             assert h.server.state.shutdown_requested
         finally:
             h.stop()
+
+
+class TestTalkgroupPostAndActiveCalls:
+    def test_post_talkgroups_and_active_calls_alias(self, client):
+        r = client.post(
+            "/trunking/systems",
+            json={"id": "tpa", "control_channels": [851.2e6]},
+        )
+        assert r.status_code == 201
+        try:
+            r = client.post(
+                "/trunking/systems/tpa/talkgroups",
+                json=[{"tgid": 7, "name": "Ops"}],
+            )
+            assert r.status_code == 201 and r.json()["count"] == 1
+            assert client.get(
+                "/trunking/systems/tpa/calls/active"
+            ).json() == []
+        finally:
+            client.delete("/trunking/systems/tpa")

@@ -985,6 +985,25 @@ def build_router(state: AppState) -> Router:
             }
         )
 
+    @r.post(v1 + "/trunking/systems/{sid}/talkgroups")
+    async def tk_talkgroups_post(req: Request) -> Response:
+        """Add/update talkgroups (merge semantics — reference POST
+        .../talkgroups)."""
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+        body = req.json()
+        items = body if isinstance(body, list) else [body or {}]
+        try:
+            for t in items:
+                sys_.config.talkgroups[int(t["tgid"])] = _tg_from_dict(t)
+        except (KeyError, TypeError, ValueError) as e:
+            raise HttpError(422, f"bad talkgroup entry: {e}")
+        return Response.json(
+            {"ok": True, "count": len(sys_.config.talkgroups)}, status=201
+        )
+
     @r.post(v1 + "/trunking/systems/{sid}/talkgroups/import")
     async def tk_talkgroups_import(req: Request) -> Response:
         """Import a RadioReference-style CSV (body ``{"csv": "..."}``);
@@ -1141,6 +1160,11 @@ def build_router(state: AppState) -> Router:
         return Response.json(
             {"active": sys_.status()["activeCalls"], "history": hist}
         )
+
+    @r.get(v1 + "/trunking/systems/{sid}/calls/active")
+    async def tk_calls_active(req: Request) -> Response:
+        """Active calls only (reference GET .../calls/active)."""
+        return Response.json(_get_system(req).status()["activeCalls"])
 
     @r.get(v1 + "/trunking/systems/{sid}/locations")
     async def tk_locations(req: Request) -> Response:

@@ -1,5 +1,8 @@
-// App shell: sidebar nav + hash router over the view modules.
+// App shell: sidebar nav + hash router over the view modules, global
+// health status bar, and frontend error shipping (reference
+// ErrorStatusBar.react.tsx + POST /frontend-logs).
 
+import { api } from "./api.js";
 import { el, clear } from "./ui.js";
 import { getState, subscribe, connectStateWs, refreshAll } from "./store.js";
 import { mountMonitor } from "./views/monitor.js";
@@ -51,16 +54,65 @@ function route() {
   unmount = VIEWS[currentView()].mount(contentEl);
 }
 
+// ---------------------------------------------------------------------------
+// global status bar: unhealthy captures / failed systems / error rates
+// ---------------------------------------------------------------------------
+
+let statusEl = null;
+
+function renderStatusBar() {
+  if (!statusEl) return;
+  const s = getState();
+  const problems = [];
+  for (const c of s.captures) {
+    if (c.state === "failed")
+      problems.push(`capture ${c.id} failed${c.error ? `: ${c.error}` : ""}`);
+  }
+  for (const t of s.trunking) {
+    if (t.state === "failed")
+      problems.push(`system ${t.id} failed${t.error ? `: ${t.error}` : ""}`);
+  }
+  if (!s.connected) problems.push("server connection lost — reconnecting");
+  clear(statusEl);
+  if (!problems.length) {
+    statusEl.style.display = "none";
+    return;
+  }
+  statusEl.style.display = "flex";
+  statusEl.append(
+    el("span", { class: "dot err" }),
+    el("span", {}, problems.join(" · ")));
+}
+
+// ship uncaught SPA errors to the server's frontend-log store
+function shipError(message, source) {
+  try {
+    api.post("/frontend-logs", [{ level: "error", message, source }])
+      .catch(() => {});
+  } catch { /* never recurse */ }
+}
+
+window.addEventListener("error", (e) =>
+  shipError(`${e.message} @ ${e.filename}:${e.lineno}`, "window.onerror"));
+window.addEventListener("unhandledrejection", (e) =>
+  shipError(String(e.reason), "unhandledrejection"));
+
 function boot() {
   const app = document.getElementById("app");
   navEl = el("nav", { class: "side" });
+  statusEl = el("div", { class: "status-bar" });
   contentEl = el("main", { class: "content" });
-  app.append(navEl, contentEl);
-  subscribe((what) => { if (what === "conn") renderNav(); });
+  const right = el("div", { class: "main-col" }, statusEl, contentEl);
+  app.append(navEl, right);
+  subscribe((what) => {
+    if (what === "conn") renderNav();
+    renderStatusBar();
+  });
   connectStateWs();
   refreshAll();
   window.addEventListener("hashchange", route);
   route();
+  renderStatusBar();
 }
 
 boot();

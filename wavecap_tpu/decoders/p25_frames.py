@@ -483,7 +483,12 @@ def encode_tsbk_block(
 
 
 def build_tsdu_frame(nac: int, tsbk_dibit_blocks: list) -> np.ndarray:
-    """Assemble a complete on-air TSDU: sync + NID + payload + statuses."""
+    """Assemble a complete on-air TSDU: sync + NID + payload + statuses.
+
+    A standard-length TSDU carries exactly 3 TSBK blocks (TIA-102.BAAA);
+    the streaming framer consumes the fixed TSDU body length, so frames
+    built with fewer blocks only decode via the offline TSBK parser, not
+    the live path — pass 3 blocks (repeat or end-mark) for on-air use."""
     payload = np.concatenate(list(tsbk_dibit_blocks))
     head = np.concatenate([FRAME_SYNC_DIBITS, encode_nid(nac, DUID.TSDU)])
     # statuses within head region: position 35 (inside NID)

@@ -95,7 +95,18 @@ class Profiler:
                 self.prof._count[self.section] += 1
             return False
 
-    def measure(self, section: str) -> "Profiler._Section":
+    class _NullSection:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    _NULL = _NullSection()
+
+    def measure(self, section: str):
+        if not self.enabled:
+            return self._NULL
         return self._Section(self, section)
 
     def report(self, reset: bool = False) -> dict:

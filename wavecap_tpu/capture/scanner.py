@@ -166,6 +166,9 @@ class ScannerService:
             "state": self.state,
             "mode": self.config.mode.value,
             "channelId": self.channel_id,
+            "dwellS": self.config.dwell_s,
+            "holdS": self.config.hold_s,
+            "squelchDb": self.config.squelch_db,
             "currentFrequencyHz": cur.frequency_hz if cur else None,
             "entries": [
                 {

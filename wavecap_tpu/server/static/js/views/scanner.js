@@ -57,11 +57,52 @@ function scannerPanel(s) {
       el("span", { class: "muted mono" },
         s.currentFrequencyHz ? `now ${fmtHz(s.currentFrequencyHz)}` : ""),
       el("span", { class: "spacer" }),
-      s.state === "running"
-        ? el("button", { class: "small", onClick: () =>
-            api.post(`/scanners/${s.id}/stop`).then(refreshScanners) }, "Stop")
-        : el("button", { class: "small primary", onClick: () =>
-            api.post(`/scanners/${s.id}/start`).then(refreshScanners) }, "Start"),
+      s.state === "stopped"
+        ? el("button", { class: "small primary", onClick: () =>
+            api.post(`/scanners/${s.id}/start`).then(refreshScanners) }, "Start")
+        : el("button", { class: "small", onClick: () =>
+            api.post(`/scanners/${s.id}/stop`).then(refreshScanners) }, "Stop"),
+      s.state === "paused" || s.state === "locked"
+        ? el("button", { class: "small primary", title: "resume scanning",
+            onClick: () =>
+              api.post(`/scanners/${s.id}/resume`).then(refreshScanners) },
+            "▶ Resume")
+        : el("button", { class: "small", title: "stay on the current frequency",
+            disabled: s.state === "stopped",
+            onClick: () =>
+              api.post(`/scanners/${s.id}/pause`).then(refreshScanners) },
+            "⏸ Pause"),
+      el("button", { class: "small",
+        title: "hold the current channel while listening",
+        disabled: s.state === "stopped" || s.state === "locked",
+        onClick: () =>
+          api.post(`/scanners/${s.id}/lock`).then(refreshScanners) },
+        "Hold"),
+      el("button", { class: "small", title: "edit dwell/hold/squelch/mode",
+        onClick: async () => {
+          const vals = await modal({
+            title: `Scanner ${s.id} settings`,
+            fields: [
+              { name: "mode", label: "Mode", type: "select", value: s.mode,
+                options: [{ value: "sequential" }, { value: "priority" },
+                          { value: "activity" }] },
+              { name: "dwellS", label: "Dwell (s)", type: "number",
+                value: s.dwellS ?? 0.5, step: "0.1" },
+              { name: "holdS", label: "Hold (s)", type: "number",
+                value: s.holdS ?? 2, step: "0.5" },
+              { name: "squelchDb", label: "Squelch (dBFS)", type: "number",
+                value: s.squelchDb ?? -60 },
+            ],
+            submitLabel: "Save",
+          });
+          if (!vals) return;
+          api.patch(`/scanners/${s.id}`, vals).then(refreshScanners)
+            .catch((e) => toast(e.message, true));
+        } }, "⚙"),
+      el("button", { class: "small", title: "clear all lockouts",
+        onClick: () =>
+          api.del(`/scanners/${s.id}/lockouts`).then(refreshScanners)
+            .catch((e) => toast(e.message, true)) }, "Clear lockouts"),
       el("button", { class: "small danger", onClick: async () => {
         if (!(await confirmDlg(`Delete scanner ${s.id}?`))) return;
         await api.del(`/scanners/${s.id}`).catch((e) => toast(e.message, true));

@@ -443,3 +443,51 @@ class TestPhase2Voice:
         assert out is not None
         ambe = list(tmp_path.glob("*.ambe"))
         assert ambe and ambe[0].stat().st_size >= 2 * 180
+
+    def test_recorder_synthesizes_phase2_voice_pcm(self, tmp_path):
+        """Voice bursts carrying real encoder AMBE+2 frames synthesize
+        non-silent 8 kHz PCM: published live, written to the call WAV."""
+        from wavecap_tpu.decoders.ambe_vocoder import AmbeEncoder
+        from wavecap_tpu.decoders.p25_phase2 import (
+            FRAGMENT_DIBITS,
+            build_test_fragment,
+            build_voice_burst,
+        )
+        from wavecap_tpu.trunking.recorder import CallInfo, VoiceRecorder
+        from wavecap_tpu.utils.wavio import read_audio_wav
+
+        t = np.arange(int(0.5 * 8000)) / 8000.0
+        x = np.zeros_like(t)
+        for k, a in ((1, 1.0), (2, 0.6), (3, 0.45), (4, 0.3)):
+            x += a * np.sin(2 * np.pi * 155.0 * k * t)
+        tone = (0.3 * x / np.max(np.abs(x))).astype(np.float32)
+        frames = AmbeEncoder().encode(tone)
+        assert frames.shape[0] >= 8
+
+        frag = np.zeros(FRAGMENT_DIBITS, np.uint8)
+        # slot-1 bursts are fragment positions 1 and 3 (3 carries sync)
+        frag[180:360] = build_voice_burst(frames[0:4])
+        frag[540:720] = build_voice_burst(frames[4:8], with_sync=True)
+        frag = build_test_fragment(frag)
+
+        rec = VoiceRecorder(0, "voice0", protocol="p25_phase2")
+        call = CallInfo(tgid=9, source_id=1, frequency_hz=851e6,
+                        start_time=0.0, tdma_slot=1)
+        rec.assign(call)
+        sub = rec.audio.subscribe(maxsize=16)
+        soft = pf.DIBIT_SYMBOLS[frag].astype(np.float32)
+        rec.process_symbols(
+            np.concatenate([soft, np.zeros(800, np.float32)]), now=1.0
+        )
+        live = sub.get_nowait()
+        assert live is not None and len(live) == 4 * 160
+        out = rec.finalize(tmp_path, min_duration_s=0.0, now=2.0)
+        assert out is not None and out.audio_seconds > 0
+        wavs = list(tmp_path.glob("*.wav"))
+        assert wavs, "call WAV missing"
+        audio, rate = read_audio_wav(wavs[0])
+        assert rate == 8000 and len(audio) == 8 * 160
+        seg = audio[320:] - np.mean(audio[320:])
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        f = float(np.fft.rfftfreq(len(seg), 1 / 8000)[np.argmax(spec)])
+        assert abs(f - 155.0) < 25.0, f

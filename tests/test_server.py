@@ -890,3 +890,45 @@ class TestTalkgroupPostAndActiveCalls:
             ).json() == []
         finally:
             client.delete("/trunking/systems/tpa")
+
+
+class TestRecordingsBrowser:
+    def test_list_and_fetch_wav(self, client, tmp_path):
+        import wave
+
+        r = client.post(
+            "/trunking/systems",
+            json={"id": "trec", "control_channels": [851.2e6],
+                  "recording_dir": str(tmp_path)},
+        )
+        assert r.status_code == 201, r.text
+        try:
+            # drop a recorder-shaped artifact pair into the directory
+            name = "20260818_120000_tg42_src7"
+            with wave.open(str(tmp_path / f"{name}.wav"), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(b"\x00\x01" * 800)
+            (tmp_path / f"{name}.json").write_text(json.dumps({
+                "tgid": 42, "talkgroup": "Ops", "sourceId": 7,
+                "startTime": 1787000000.0, "audioSeconds": 0.1,
+            }))
+            recs = client.get("/trunking/systems/trec/recordings").json()
+            assert len(recs) == 1
+            assert recs[0]["name"] == name and recs[0]["hasAudio"]
+            assert recs[0]["tgid"] == 42
+            wav = client.get(f"/trunking/systems/trec/recordings/{name}.wav")
+            assert wav.status_code == 200
+            assert wav.headers["content-type"] == "audio/wav"
+            assert wav.content[:4] == b"RIFF"
+            # traversal attempts are rejected
+            bad = client.get(
+                "/trunking/systems/trec/recordings/..%2Fetc%2Fpasswd.wav"
+            )
+            assert bad.status_code in (404, 422)
+            assert client.get(
+                "/trunking/systems/trec/recordings/nope123.wav"
+            ).status_code == 404
+        finally:
+            client.delete("/trunking/systems/trec")

@@ -1132,6 +1132,48 @@ def build_router(state: AppState) -> Router:
     async def tk_voice_streams(req: Request) -> Response:
         return Response.json(_get_system(req).voice_streams())
 
+    # ---- call recordings browser (artifact files the recorders write:
+    # WAV + metadata JSON + raw .imbe/.ambe codewords) ----
+
+    @r.get(v1 + "/trunking/systems/{sid}/recordings")
+    async def tk_recordings(req: Request) -> Response:
+        sys_ = _get_system(req)
+        d = Path(sys_.config.recording_dir)
+        limit = int(req.query.get("limit", "100"))
+        out = []
+        if d.is_dir():
+            for j in sorted(d.glob("*.json"))[-limit:]:
+                try:
+                    meta = json.loads(j.read_text())
+                except (OSError, ValueError):
+                    continue
+                base = j.stem
+                out.append(
+                    {
+                        "name": base,
+                        "hasAudio": (d / f"{base}.wav").exists(),
+                        "hasCodewords": (d / f"{base}.imbe").exists()
+                        or (d / f"{base}.ambe").exists(),
+                        **meta,
+                    }
+                )
+        out.reverse()  # newest first
+        return Response.json(out)
+
+    @r.get(v1 + "/trunking/systems/{sid}/recordings/{name}.wav")
+    async def tk_recording_wav(req: Request) -> Response:
+        sys_ = _get_system(req)
+        name = req.params["name"]
+        # artifact names come from the recorder's own stamp pattern; reject
+        # anything that could escape the recordings directory
+        if not name.replace("_", "").replace("-", "").isalnum():
+            raise HttpError(422, "bad recording name")
+        path = Path(sys_.config.recording_dir) / f"{name}.wav"
+        if not path.is_file():
+            raise HttpError(404)
+        data = await asyncio.to_thread(path.read_bytes)
+        return Response(body=data, content_type="audio/wav")
+
     @r.delete(v1 + "/trunking/systems/{sid}/messages")
     async def tk_messages_clear(req: Request) -> Response:
         sys_ = _get_system(req)

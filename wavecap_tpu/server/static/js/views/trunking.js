@@ -390,6 +390,29 @@ function ccPanel(sys) {
       : el("div", { class: "empty" }, "No measurements yet"));
 }
 
+function recordingsTable(sys) {
+  const recs = detail.recordings || [];
+  if (!recs.length) return null;
+  return el("div", { style: "margin-top:8px" },
+    el("h2", {}, "Recorded calls"),
+    el("table", {},
+      el("thead", {}, el("tr", {},
+        el("th", {}, "Time"), el("th", {}, "Talkgroup"),
+        el("th", {}, "Source"), el("th", { class: "num" }, "Audio"),
+        el("th", {}, "Play"))),
+      el("tbody", {}, recs.slice(0, 25).map((m) => el("tr", {},
+        el("td", {}, fmtTime(m.startTime)),
+        el("td", {}, `${m.talkgroup || ""} (${m.tgid})`),
+        el("td", { class: "mono" }, m.sourceId ?? "—"),
+        el("td", { class: "num" },
+          m.audioSeconds ? fmtDur(m.audioSeconds) : "—"),
+        el("td", {}, m.hasAudio
+          ? el("audio", { controls: true, preload: "none",
+              style: "height:24px; max-width:220px",
+              src: `/api/v1/trunking/systems/${sys.id}/recordings/${m.name}.wav` })
+          : el("span", { class: "muted" }, "codewords only")))))));
+}
+
 function voiceStreamsTable() {
   const vs = detail.voiceStreams || [];
   if (!vs.length) return null;
@@ -459,7 +482,8 @@ function systemDetail(sys) {
     el("div", { class: "row" },
       el("div", { class: "panel" },
         activitySummary(detail.calls),
-        callsTable(detail.calls)),
+        callsTable(detail.calls),
+        recordingsTable(sys)),
       el("div", { class: "panel" },
         tgTable(sys.id, detail.talkgroups),
         el("h2", { style: "margin-top:12px" }, "Locations"),
@@ -483,15 +507,17 @@ async function fetchDetail(sid) {
   if (now - detail.fetched < 2000) return;
   detail.fetched = now;
   try {
-    const [calls, tgs, locs, msgs, chans, vstreams, hunt] = await Promise.all([
-      api.get(`/trunking/systems/${sid}/calls`),
-      api.get(`/trunking/systems/${sid}/talkgroups`),
-      api.get(`/trunking/systems/${sid}/locations`),
-      api.get(`/trunking/systems/${sid}/messages?limit=60`),
-      api.get(`/trunking/systems/${sid}/channels`),
-      api.get(`/trunking/systems/${sid}/voice-streams`),
-      api.get(`/trunking/systems/${sid}/hunt-mode`),
-    ]);
+    const [calls, tgs, locs, msgs, chans, vstreams, hunt, recs] =
+      await Promise.all([
+        api.get(`/trunking/systems/${sid}/calls`),
+        api.get(`/trunking/systems/${sid}/talkgroups`),
+        api.get(`/trunking/systems/${sid}/locations`),
+        api.get(`/trunking/systems/${sid}/messages?limit=60`),
+        api.get(`/trunking/systems/${sid}/channels`),
+        api.get(`/trunking/systems/${sid}/voice-streams`),
+        api.get(`/trunking/systems/${sid}/hunt-mode`),
+        api.get(`/trunking/systems/${sid}/recordings?limit=25`),
+      ]);
     detail.calls = calls;
     detail.talkgroups = tgs;
     detail.locations = locs;
@@ -499,6 +525,7 @@ async function fetchDetail(sid) {
     detail.channels = chans;
     detail.voiceStreams = vstreams;
     detail.huntMode = hunt.huntMode;
+    detail.recordings = recs;
     render();
   } catch { /* system may be starting */ }
 }

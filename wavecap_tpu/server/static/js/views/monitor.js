@@ -325,6 +325,34 @@ async function attachmentsDlg(ch) {
 // classified channels + bookmarks
 // ---------------------------------------------------------------------------
 
+async function createTrunkingFromCC(freqHz) {
+  // reference CreateTrunkingWizard: seed a P25 system from a classified
+  // control channel, then hand off to the Trunking tab
+  const vals = await modal({
+    title: `Trunking system on ${(freqHz / 1e6).toFixed(4)} MHz`,
+    fields: [
+      { name: "id", label: "System id", value: "sys1" },
+      { name: "name", label: "Name", value: "" },
+      { name: "sampleRate", label: "Sample rate (Hz)", type: "select",
+        value: "2400000",
+        options: [
+          { value: "960000", label: "960 kHz" },
+          { value: "2400000", label: "2.4 MHz" },
+        ] },
+      { name: "start", label: "Start immediately", type: "checkbox",
+        value: true },
+    ],
+  });
+  if (!vals) return;
+  try {
+    await api.post("/trunking/systems", {
+      id: vals.id, name: vals.name, control_channels: [freqHz],
+      sample_rate: Number(vals.sampleRate), autoStart: vals.start,
+    });
+    toast("Trunking system created — see the Trunking tab");
+  } catch (e) { toast(e.message, true); }
+}
+
 async function pollClassified(cid) {
   try { classified = await api.get(`/captures/${cid}/classified-channels`); }
   catch { classified = null; }
@@ -345,9 +373,16 @@ function classifiedTable(cap) {
         el("td", {}, c.kind),
         el("td", { class: "num" }, `${(c.occupancy * 100).toFixed(0)}%`),
         el("td", { class: "num" }, c.mean_db?.toFixed(1)),
-        el("td", {}, el("button", { class: "small",
-          onClick: () => addChannelDlg(cap, c.frequency_hz,
-            c.kind === "control" ? "p25" : undefined) }, "+ add")))))));
+        el("td", {},
+          el("button", { class: "small",
+            onClick: () => addChannelDlg(cap, c.frequency_hz,
+              c.kind === "control" ? "p25" : undefined) }, "+ add"),
+          c.kind === "control"
+            ? el("button", { class: "small", style: "margin-left:4px",
+                title: "create a trunking system on this control channel",
+                onClick: () => createTrunkingFromCC(c.frequency_hz) },
+                "+ trunking")
+            : null))))));
 }
 
 function bookmarkBar(cap) {

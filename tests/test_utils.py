@@ -1,0 +1,137 @@
+"""Utility layer: WAV IO + packing, FanOut semantics, namers,
+RadioReference parsing (reference utils/packing.py, device_namer.py,
+frequency_namer.py, radioreference.py test tiers)."""
+
+import numpy as np
+import pytest
+
+from wavecap_tpu.utils import namers
+from wavecap_tpu.utils.broadcast import FanOut
+from wavecap_tpu.utils.radioreference import parse_talkgroups_response
+from wavecap_tpu.utils.wavio import (
+    pack_f32,
+    pack_iq16,
+    pack_pcm16,
+    read_audio_wav,
+    read_iq_wav,
+    write_audio_wav,
+    write_iq_wav,
+)
+
+
+class TestWavIo:
+    def test_iq_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        iq = (rng.standard_normal(5000) + 1j * rng.standard_normal(5000)) * 0.2
+        iq = np.clip(iq.real, -0.99, 0.99) + 1j * np.clip(iq.imag, -0.99, 0.99)
+        iq = iq.astype(np.complex64)
+        p = tmp_path / "iq.wav"
+        write_iq_wav(p, iq, 48_000)
+        back, rate = read_iq_wav(p)
+        assert rate == 48_000 and len(back) == len(iq)
+        # int16 quantization bound (complex: sqrt(2) x one-component step)
+        assert np.max(np.abs(back - iq)) < 3.0 / 32768
+
+    def test_audio_roundtrip(self, tmp_path):
+        t = np.arange(4800) / 48_000
+        audio = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        p = tmp_path / "a.wav"
+        write_audio_wav(p, audio, 48_000)
+        back, rate = read_audio_wav(p)
+        assert rate == 48_000
+        assert np.max(np.abs(back - audio)) < 2.0 / 32768
+
+    def test_clipping_is_bounded(self, tmp_path):
+        audio = np.array([2.0, -2.0, 0.5], np.float32)
+        p = tmp_path / "c.wav"
+        write_audio_wav(p, audio, 8000)
+        back, _ = read_audio_wav(p)
+        assert np.all(np.abs(back) <= 1.0)
+        assert back[0] > 0.9 and back[1] < -0.9
+
+    def test_pack_functions(self):
+        audio = np.array([0.0, 0.5, -0.5, 1.0, -1.0], np.float32)
+        p16 = pack_pcm16(audio)
+        assert p16.dtype == np.int16
+        assert p16[3] == 32767 and p16[4] in (-32767, -32768)
+        iq = np.array([0.25 + 0.5j], np.complex64)
+        i16 = pack_iq16(iq)
+        assert i16.dtype == np.int16 and len(i16) == 2
+        assert abs(int(i16[0]) - 8192) <= 1 and abs(int(i16[1]) - 16384) <= 1
+        f = pack_f32(audio)
+        assert isinstance(f, bytes) and len(f) == 20
+        assert np.allclose(np.frombuffer(f, np.float32), audio)
+
+
+class TestFanOut:
+    def test_publish_and_drop_oldest(self):
+        f = FanOut(maxsize=2)
+        sub = f.subscribe()
+        assert f.active and f.count == 1
+        for i in range(4):
+            f.publish(i)
+        # capacity 2: oldest were dropped, newest kept in order
+        assert sub.get_nowait() == 2
+        assert sub.get_nowait() == 3
+        assert sub.get_nowait() is None
+        assert sub.dropped == 2
+
+    def test_close_detaches(self):
+        f = FanOut()
+        sub = f.subscribe()
+        sub.close()
+        assert not f.active and f.count == 0
+        f.publish("x")  # no crash, nothing delivered
+        assert sub.get_nowait() in (None, "x")  # already closed: don't care
+
+    def test_independent_subscribers(self):
+        f = FanOut()
+        a, b = f.subscribe(), f.subscribe()
+        f.publish(1)
+        assert a.get_nowait() == 1 and b.get_nowait() == 1
+        a.close()
+        f.publish(2)
+        assert b.get_nowait() == 2
+
+
+class TestNamers:
+    def test_band_and_mode_hints(self):
+        assert namers.band_for(100.1e6).name == "FM Broadcast"
+        assert namers.mode_hint(100.1e6) == "wbfm"
+        assert namers.mode_hint(156.8e6) == "nbfm"
+        assert namers.band_for(121.5e6).mode_hint == "am"  # airband
+        assert namers.band_for(50e3) is None  # below every band table entry
+
+    def test_frequency_name(self):
+        assert "100.1" in namers.frequency_name(100.1e6)
+        assert namers.frequency_name(453.2125e6)
+
+    def test_marine_channel(self):
+        # VHF marine channel 16 = 156.800 MHz
+        assert namers.marine_channel(156.8e6) == 16
+        assert namers.marine_channel(100e6) is None
+
+    def test_device_nickname_stable(self):
+        a = namers.device_nickname("RTL-SDR v3", "0001", 0)
+        b = namers.device_nickname("RTL-SDR v3", "0001", 0)
+        assert a == b and a
+
+
+class TestRadioReference:
+    XML = """<?xml version="1.0"?>
+    <soap:Envelope><soap:Body><getTrsTalkgroupsResponse>
+      <item><tgDec>101</tgDec><tgAlpha>PD Dispatch</tgAlpha>
+            <tgCat>Police</tgCat></item>
+      <item><tgDec>202</tgDec><tgDescr>Fire Tac</tgDescr></item>
+      <item><tgDec>bogus</tgDec><tgAlpha>skip me</tgAlpha></item>
+      <item><tgAlpha>no id</tgAlpha></item>
+    </getTrsTalkgroupsResponse></soap:Body></soap:Envelope>"""
+
+    def test_parse_soap_talkgroups(self):
+        tgs = parse_talkgroups_response(self.XML)
+        assert set(tgs) == {101, 202}
+        assert tgs[101].name == "PD Dispatch" and tgs[101].category == "Police"
+        assert tgs[202].name == "Fire Tac"
+
+    def test_parse_empty(self):
+        assert parse_talkgroups_response("<xml/>") == {}

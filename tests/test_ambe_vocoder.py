@@ -194,3 +194,16 @@ class TestPhase2VoiceBursts:
         assert len(pcm) == 8 * 160
         f = dominant_freq(pcm[320:])
         assert abs(f - 140.0) < 25.0, f
+
+
+class TestPureToneVoicing:
+    def test_pure_sine_roundtrips_voiced(self):
+        """A single-harmonic tone must decode as voiced pitch, not noise
+        (the band voicing vote is energy-weighted, so empty neighbor
+        harmonics can't out-vote the one carrying the signal)."""
+        t = np.arange(int(0.6 * 8000)) / 8000.0
+        tone = (0.3 * np.sin(2 * np.pi * 160.0 * t)).astype(np.float32)
+        frames = AmbeEncoder().encode(tone)
+        pcm = AmbeDecoder().decode_frames(frames)
+        f = dominant_freq(pcm[800:])
+        assert abs(f - 160.8) < 15.0, f  # 160.8 = 7-bit pitch quantization

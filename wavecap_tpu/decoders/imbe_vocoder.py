@@ -534,9 +534,15 @@ class ImbeAnalyzer:
             peaky[l - 1] = float(np.sum(core)) / (float(np.sum(band)) + 1e-16)
         voiced = np.zeros(L, bool)
         if voiced_global:
+            M2 = np.exp2(2.0 * log2M)
             for k in range(K):
                 ls = [l for l in range(1, L + 1) if band_of(l, K) == k]
-                score = np.mean([peaky[l - 1] for l in ls])
+                # energy-weighted vote: a band dominated by one strong
+                # harmonic (e.g. a pure tone) must not be out-voted by the
+                # peakiness of its empty neighbors
+                e = np.array([M2[l - 1] for l in ls])
+                w = e / max(float(np.sum(e)), 1e-30)
+                score = float(np.sum(w * [peaky[l - 1] for l in ls]))
                 if score > 0.55:
                     for l in ls:
                         voiced[l - 1] = True

@@ -223,15 +223,23 @@ class TestScannerIntegration:
             # generous horizon: two 1 s probes plus pipeline compiles, all
             # on a CPU that may be saturated by a parallel full-suite run
             t0 = time.time()
+            meas = {}
             while time.time() - t0 < 300:
                 st = sys_.status()
-                if st["synced"] and st["controlChannelHz"] == cc_f:
+                meas = {m["frequencyHz"]: m for m in st["ccMeasurements"]}
+                # lock is necessary but not sufficient: the probe that
+                # verifies sync on the CC may still be in flight, so wait
+                # for the measurement too rather than racing it
+                if (
+                    st["synced"]
+                    and st["controlChannelHz"] == cc_f
+                    and meas.get(cc_f, {}).get("syncDetected")
+                ):
                     break
                 time.sleep(0.25)
             st = sys_.status()
             assert st["synced"], st
             assert st["controlChannelHz"] == cc_f, st
-            meas = {m["frequencyHz"]: m for m in st["ccMeasurements"]}
-            assert meas[cc_f]["syncDetected"] is True
+            assert meas.get(cc_f, {}).get("syncDetected") is True, meas
         finally:
             tm.stop_all()

@@ -17,6 +17,7 @@ from typing import Any
 class TrunkingProtocol(str, Enum):
     P25_PHASE1 = "p25_phase1"
     P25_PHASE2 = "p25_phase2"
+    DMR_TIER3 = "dmr_tier3"
 
 
 class HuntMode(str, Enum):
@@ -58,6 +59,13 @@ class TrunkingSystemConfig:
     recording_dir: str = "recordings"
     talkgroups: dict[int, TalkgroupConfig] = field(default_factory=dict)
     monitor_unknown_talkgroups: bool = True
+    # DMR Tier III channel plan: logical channel n (1-based) maps to
+    # carrier (n-1)//slots at base + carrier*spacing, timeslot (n-1)%slots
+    # (P25 gets this mapping over the air via IDEN_UP; DMR needs it
+    # configured).  base defaults to the first control channel.
+    dmr_base_hz: float | None = None
+    dmr_spacing_hz: float = 12_500.0
+    dmr_slots_per_carrier: int = 2
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "TrunkingSystemConfig":
@@ -99,6 +107,11 @@ class TrunkingSystemConfig:
             recording_dir=str(d.get("recording_dir", d.get("recordingDir", "recordings"))),
             talkgroups=tgs,
             monitor_unknown_talkgroups=bool(d.get("monitor_unknown_talkgroups", True)),
+            dmr_base_hz=d.get("dmr_base_hz", d.get("dmrBaseHz")),
+            dmr_spacing_hz=float(d.get("dmr_spacing_hz", d.get("dmrSpacingHz", 12_500.0))),
+            dmr_slots_per_carrier=int(
+                d.get("dmr_slots_per_carrier", d.get("dmrSlotsPerCarrier", 2))
+            ),
         )
 
     def effective_center_hz(self) -> float:

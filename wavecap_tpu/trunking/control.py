@@ -107,3 +107,72 @@ class ControlChannelMonitor:
             self.synced = False
             if self.on_sync_lost:
                 self.on_sync_lost()
+
+
+class DmrControlMonitor:
+    """DMR Tier III control channel: burst stream -> parsed CSBK dicts.
+
+    Same interface as :class:`ControlChannelMonitor` so the trunking
+    system can drive either protocol (the reference has no DMR trunking
+    at all — its DMR decoder stops at burst sync).  DMR and P25 C4FM are
+    both 4800-baud 4FSK, so the capture's p25 demod bank supplies the
+    soft symbols unchanged.
+    """
+
+    SYNC_LOSS_S = 2.0
+
+    def __init__(
+        self,
+        on_tsbk: Callable[[dict, Any], None] | None = None,
+        on_sync_acquired: Callable[[], None] | None = None,
+        on_sync_lost: Callable[[], None] | None = None,
+        nac_filter: int | None = None,  # accepted for interface parity
+    ):
+        from wavecap_tpu.decoders.dmr import DMRDecoder
+
+        self.decoder = DMRDecoder()
+        self.on_tsbk = on_tsbk
+        self.on_sync_acquired = on_sync_acquired
+        self.on_sync_lost = on_sync_lost
+        self.stats = ControlChannelStats()
+        self.synced = False
+
+    def reset(self) -> None:
+        from wavecap_tpu.decoders.dmr import DMRDecoder
+
+        self.decoder = DMRDecoder()
+
+    def process_symbols(
+        self, soft: np.ndarray, now: float | None = None
+    ) -> list[dict]:
+        from wavecap_tpu.decoders import dmr
+
+        now = time.time() if now is None else now
+        parsed_out: list[dict] = []
+        for burst in self.decoder.process(soft):
+            self.stats.frames += 1
+            self.stats.last_frame_time = now
+            if not self.synced:
+                self.synced = True
+                if self.on_sync_acquired:
+                    self.on_sync_acquired()
+            parsed = dmr.decode_burst(burst)
+            if parsed is None or "opcode" not in parsed:
+                continue
+            self.stats.tsbk_total += 1
+            self.stats.tsbk_crc_ok += 1  # parse_csbk already CRC-gated
+            parsed_out.append(parsed)
+            if self.on_tsbk:
+                self.on_tsbk(parsed, None)
+        if self.synced and now - self.stats.last_frame_time > self.SYNC_LOSS_S:
+            self.synced = False
+            if self.on_sync_lost:
+                self.on_sync_lost()
+        return parsed_out
+
+    def check_timeout(self, now: float | None = None) -> None:
+        now = time.time() if now is None else now
+        if self.synced and now - self.stats.last_frame_time > self.SYNC_LOSS_S:
+            self.synced = False
+            if self.on_sync_lost:
+                self.on_sync_lost()

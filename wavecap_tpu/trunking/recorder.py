@@ -63,6 +63,8 @@ class VoiceRecorder:
         self.framer = P25Framer()
         self._p2 = None  # lazy Phase 2 superframe detector
         self._ambe_vocoder = None  # lazy AMBE+2 half-rate vocoder
+        self._dmr_voice = None  # lazy DMR voice superframe tracker
+        self._dmr_data = None  # lazy DMR data-burst decoder
         self._ambe_bursts: list[np.ndarray] = []
         self.decoder = VoiceDecoder()
         self.audio = FanOut(maxsize=32)  # live PCM subscribers
@@ -82,6 +84,8 @@ class VoiceRecorder:
         if self._p2 is not None:
             self._p2.reset()
         self._ambe_vocoder = None  # fresh vocoder state per call
+        self._dmr_voice = None
+        self._dmr_data = None
         self._imbe = []
         self._pcm = []
         self._ambe_bursts = []
@@ -93,6 +97,9 @@ class VoiceRecorder:
         now = time.time() if now is None else now
         if self.protocol == "p25_phase2":
             self._process_phase2(soft, now)
+            return
+        if self.protocol == "dmr_tier3":
+            self._process_dmr(soft, now)
             return
         for frame in self.framer.process(soft):
             if frame.duid in (pf.DUID.LDU1, pf.DUID.LDU2):
@@ -155,6 +162,40 @@ class VoiceRecorder:
                 if pcm is not None and len(pcm):
                     self._pcm.append(pcm)
                     self.audio.publish(pcm)
+
+    def _process_dmr(self, soft: np.ndarray, now: float) -> None:
+        """DMR Tier III voice: superframe tracking -> AMBE+2 frames ->
+        native half-rate synthesis (the reference has no DMR voice path).
+        Terminator bursts (TERMINATOR_WITH_LC) end the call promptly."""
+        from wavecap_tpu.decoders import dmr
+        from wavecap_tpu.decoders.ambe_vocoder import AmbeDecoder
+        from wavecap_tpu.decoders.dmr import DMRDecoder, DMRVoiceTracker
+
+        if self._dmr_voice is None:
+            self._dmr_voice = DMRVoiceTracker()
+            self._dmr_data = DMRDecoder()
+        if self._ambe_vocoder is None:
+            self._ambe_vocoder = AmbeDecoder()
+        for sf in self._dmr_voice.process(soft):
+            self.last_activity = now
+            self._ambe_bursts.append(np.packbits(sf.ambe_bits.reshape(-1)))
+            if self.call:
+                self.call.imbe_frames += int(sf.ambe_bits.shape[0])
+            pcm = self._ambe_vocoder.decode_frames(sf.ambe_bits)
+            if pcm is not None and len(pcm):
+                self._pcm.append(pcm)
+                self.audio.publish(pcm)
+        for burst in self._dmr_data.process(soft):
+            parsed = dmr.decode_burst(burst)
+            if parsed is None:
+                continue
+            name = parsed.get("dataTypeName")
+            if name == "TERMINATOR_WITH_LC":
+                self.last_activity = 0.0  # end promptly
+            elif name == "VOICE_LC_HEADER" and self.call is not None:
+                src = parsed.get("src_id")
+                if src:
+                    self.call.source_id = src
 
     def _handle_mac(self, pdu: dict | None) -> None:
         """Phase 2 MAC PDU -> call metadata / lifecycle."""

@@ -217,11 +217,20 @@ class TrunkingSystem:
             self.pool = RecorderPool(voice_ids, protocol=cfg.protocol.value)
             for rec in self.pool.recorders:
                 rec.on_location = self.update_radio_location
-            self.monitor = ControlChannelMonitor(
-                on_tsbk=self._handle_tsbk,
-                on_sync_acquired=self._on_sync,
-                on_sync_lost=self._on_sync_lost,
-            )
+            if cfg.protocol == TrunkingProtocol.DMR_TIER3:
+                from .control import DmrControlMonitor
+
+                self.monitor = DmrControlMonitor(
+                    on_tsbk=self._handle_dmr_csbk,
+                    on_sync_acquired=self._on_sync,
+                    on_sync_lost=self._on_sync_lost,
+                )
+            else:
+                self.monitor = ControlChannelMonitor(
+                    on_tsbk=self._handle_tsbk,
+                    on_sync_acquired=self._on_sync,
+                    on_sync_lost=self._on_sync_lost,
+                )
             self._cc_sub = self._cc_channel.symbols.subscribe()
             self._spectrum_sub = self.capture.spectrum_subs.subscribe(maxsize=2)
             self._cc_power: dict[float, float] = {}
@@ -538,21 +547,57 @@ class TrunkingSystem:
         tgid = parsed.get("tgid")
         if tgid is None or self.pool is None or self.capture is None:
             return
-        tg = self.config.talkgroup(tgid)
-        if not tg.monitor:
-            return
         band = parsed.get("frequency_band", 0)
         chan = parsed.get("channel_number", 0)
         freq = self.calculate_frequency(band, chan)
         if freq is None:
+            return
+        ident = self.identifiers.get(band)
+        tdma_slot = ident.slot(chan) if ident is not None else 0
+        self._grant_call(tgid, parsed, freq, tdma_slot)
+
+    def _handle_dmr_csbk(self, parsed: dict, block=None) -> None:
+        """DMR Tier III CSBK -> call bookkeeping.  Voice grants map the
+        logical channel through the configured channel plan (base +
+        carrier*spacing, timeslot = LCN parity)."""
+        self.message_log.append({"time": time.time(), **{
+            k: v for k, v in parsed.items() if k != "data"
+        }})
+        if parsed.get("type") not in ("PV_GRANT", "TV_GRANT", "BTV_GRANT"):
+            return
+        tgid = parsed.get("dst_id")
+        if tgid is None or self.pool is None or self.capture is None:
+            return
+        cfg = self.config
+        base = cfg.dmr_base_hz or (
+            cfg.control_channels[0] if cfg.control_channels else None
+        )
+        if base is None:
+            return
+        lcn = int(parsed.get("channel", 0))
+        slots = max(1, cfg.dmr_slots_per_carrier)
+        carrier = max(0, lcn - 1) // slots
+        tdma_slot = max(0, lcn - 1) % slots
+        freq = float(base) + carrier * cfg.dmr_spacing_hz
+        grant = {
+            "tgid": tgid,
+            "source_id": parsed.get("src_id", 0),
+            "emergency": parsed.get("emergency", False),
+        }
+        self._grant_call(tgid, grant, freq, tdma_slot)
+
+    def _grant_call(
+        self, tgid: int, parsed: dict, freq: float, tdma_slot: int
+    ) -> None:
+        """Shared grant -> recorder assignment (P25 TSBK and DMR CSBK)."""
+        tg = self.config.talkgroup(tgid)
+        if not tg.monitor:
             return
         from wavecap_tpu.utils.validation import plausible_rf_hz
 
         if not plausible_rf_hz(freq):
             self._emit("grant_bad_frequency", {"tgid": tgid, "frequencyHz": freq})
             return
-        ident = self.identifiers.get(band)
-        tdma_slot = ident.slot(chan) if ident is not None else 0
         now = time.time()
         existing = self.pool.for_tgid(tgid)
         if existing is not None:

@@ -39,6 +39,15 @@ async function createSystemDlg() {
       { name: "name", label: "Name", value: "" },
       { name: "ccs", label: "Control channels (MHz, comma-separated)",
         value: "851.2625" },
+      { name: "protocol", label: "Protocol", type: "select",
+        value: "p25_phase1",
+        options: [
+          { value: "p25_phase1", label: "P25 Phase 1 (C4FM)" },
+          { value: "p25_phase2", label: "P25 Phase 2 (TDMA)" },
+          { value: "dmr_tier3", label: "DMR Tier III" },
+        ] },
+      { name: "dmrBase", label: "DMR channel-plan base (MHz, Tier III only; blank = first CC)",
+        type: "number", optional: true, value: "" },
       { name: "sampleRate", label: "Sample rate (Hz)", type: "select",
         value: "2400000",
         options: [
@@ -63,6 +72,9 @@ async function createSystemDlg() {
     await api.post("/trunking/systems", {
       id: vals.id, name: vals.name, control_channels: ccs,
       sample_rate: Number(vals.sampleRate), hunt_mode: vals.huntMode,
+      protocol: vals.protocol,
+      ...(vals.dmrBase !== undefined && vals.dmrBase !== ""
+        ? { dmr_base_hz: vals.dmrBase * 1e6 } : {}),
     });
     if (vals.start) await api.post(`/trunking/systems/${vals.id}/start`);
     toast("System created");

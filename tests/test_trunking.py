@@ -535,7 +535,12 @@ class TestDmrTier3Trunking:
             x += a * np.sin(2 * np.pi * 150.0 * k * t)
         tone = (0.3 * x / np.max(np.abs(x))).astype(np.float32)
         frames = AmbeEncoder().encode(tone)[:18]
-        voice_dibits = dmr.build_voice_superframe(ambe_bits=frames)
+        # realistic repeater TDMA stream: this call's voice bursts alternate
+        # with the other timeslot's data bursts (stride 2 matches the
+        # configured 2-slot channel plan)
+        voice_dibits = dmr.build_voice_superframe(
+            ambe_bits=frames, stride_bursts=2
+        )
         voice_iq = make_dmr_stream_iq(
             capture_rate, 460_200_000.0 - center, voice_dibits
         )
@@ -587,3 +592,34 @@ class TestDmrTier3Trunking:
                 assert rec._pcm, "no PCM synthesized"
         finally:
             tm.stop_all()
+
+    def test_terminator_gating(self):
+        """Only a clean, matching-talkgroup terminator ends a DMR call:
+        random other-slot bursts (miscorrected slot types, unverified LC)
+        must not."""
+        from wavecap_tpu.decoders import dmr
+        from wavecap_tpu.trunking.recorder import CallInfo, VoiceRecorder
+
+        def term_bits(dst):
+            bits = np.zeros(96, np.uint8)
+            # FLCO 0 group voice, dst in bits 24..47
+            for i in range(24):
+                bits[24 + i] = (dst >> (23 - i)) & 1
+            return bits
+
+        rec = VoiceRecorder(0, "v0", protocol="dmr_tier3", dmr_stride=1)
+        rec.assign(CallInfo(tgid=800, source_id=0, frequency_hz=460.2e6,
+                            start_time=0.0))
+        rec.last_activity = 5.0
+        # wrong-talkgroup terminator: ignored
+        burst = dmr.build_data_burst(
+            term_bits(999), dmr.DataType.TERMINATOR_WITH_LC)
+        rec.process_symbols(
+            dmr.DIBIT_SYMBOLS[burst].astype(np.float32), now=6.0)
+        assert rec.last_activity == 5.0
+        # matching clean terminator: ends promptly
+        burst = dmr.build_data_burst(
+            term_bits(800), dmr.DataType.TERMINATOR_WITH_LC)
+        rec.process_symbols(
+            dmr.DIBIT_SYMBOLS[burst].astype(np.float32), now=6.0)
+        assert rec.last_activity == 0.0

@@ -54,10 +54,19 @@ class CallInfo:
 class VoiceRecorder:
     """One recorder slot.  States: idle -> recording -> idle."""
 
-    def __init__(self, recorder_id: int, channel_id: str, protocol: str = "p25_phase1"):
+    def __init__(
+        self,
+        recorder_id: int,
+        channel_id: str,
+        protocol: str = "p25_phase1",
+        dmr_stride: int = 1,
+    ):
         self.id = recorder_id
         self.channel_id = channel_id  # p25 channel in the trunking capture
         self.protocol = protocol
+        # DMR Tier III: 2 on a repeater TDMA stream (this call's voice
+        # bursts alternate with the other timeslot's), 1 for single-slot
+        self.dmr_stride = max(1, int(dmr_stride))
         self.state = "idle"
         self.call: CallInfo | None = None
         self.framer = P25Framer()
@@ -172,7 +181,7 @@ class VoiceRecorder:
         from wavecap_tpu.decoders.dmr import DMRDecoder, DMRVoiceTracker
 
         if self._dmr_voice is None:
-            self._dmr_voice = DMRVoiceTracker()
+            self._dmr_voice = DMRVoiceTracker(stride_bursts=self.dmr_stride)
             self._dmr_data = DMRDecoder()
         if self._ambe_vocoder is None:
             self._ambe_vocoder = AmbeDecoder()
@@ -189,10 +198,21 @@ class VoiceRecorder:
             parsed = dmr.decode_burst(burst)
             if parsed is None:
                 continue
+            # the full LC carries RS(12,9) parity we don't verify, and the
+            # Golay slot type can miscorrect random payloads — so gate call
+            # control on clean BPTC + clean slot type + matching talkgroup
+            # (a repeater stream also interleaves the OTHER timeslot's
+            # bursts, whose terminators must not end this call)
+            trusted = (
+                parsed.get("bptcClean")
+                and parsed.get("slotTypeErrors", 99) <= 1
+                and self.call is not None
+                and parsed.get("dst_id") == self.call.tgid
+            )
             name = parsed.get("dataTypeName")
-            if name == "TERMINATOR_WITH_LC":
+            if name == "TERMINATOR_WITH_LC" and trusted:
                 self.last_activity = 0.0  # end promptly
-            elif name == "VOICE_LC_HEADER" and self.call is not None:
+            elif name == "VOICE_LC_HEADER" and trusted:
                 src = parsed.get("src_id")
                 if src:
                     self.call.source_id = src
@@ -306,9 +326,15 @@ class VoiceRecorder:
 class RecorderPool:
     """Fixed pool of recorders mapped to p25 slots (reference :354)."""
 
-    def __init__(self, channel_ids: list[str], protocol: str = "p25_phase1"):
+    def __init__(
+        self,
+        channel_ids: list[str],
+        protocol: str = "p25_phase1",
+        dmr_stride: int = 1,
+    ):
         self.recorders = [
-            VoiceRecorder(i, cid, protocol) for i, cid in enumerate(channel_ids)
+            VoiceRecorder(i, cid, protocol, dmr_stride=dmr_stride)
+            for i, cid in enumerate(channel_ids)
         ]
 
     def available(self) -> VoiceRecorder | None:

@@ -214,7 +214,11 @@ class TrunkingSystem:
                     )
                 )
                 voice_ids.append(vid)
-            self.pool = RecorderPool(voice_ids, protocol=cfg.protocol.value)
+            self.pool = RecorderPool(
+                voice_ids,
+                protocol=cfg.protocol.value,
+                dmr_stride=cfg.dmr_slots_per_carrier,
+            )
             for rec in self.pool.recorders:
                 rec.on_location = self.update_radio_location
             if cfg.protocol == TrunkingProtocol.DMR_TIER3:

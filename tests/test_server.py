@@ -932,3 +932,32 @@ class TestRecordingsBrowser:
             ).status_code == 404
         finally:
             client.delete("/trunking/systems/trec")
+
+
+class TestPerSystemEventStream:
+    def test_filtered_ws_only_sees_own_system(self, harness, client):
+        for sid in ("evta", "evtb"):
+            r = client.post(
+                "/trunking/systems",
+                json={"id": sid, "control_channels": [851.2e6]},
+            )
+            assert r.status_code == 201
+        try:
+            sys_a = harness.server.state.trunking.get("evta")
+            sys_b = harness.server.state.trunking.get("evtb")
+
+            async def grab():
+                async with ws_client.connect(
+                    f"{harness.ws_base}/trunking/stream/evta", open_timeout=30
+                ) as ws:
+                    await asyncio.sleep(0.2)  # subscribe before emitting
+                    sys_b._emit("call_start", {"tgid": 1})
+                    sys_a._emit("call_start", {"tgid": 2})
+                    return json.loads(await asyncio.wait_for(ws.recv(), 30))
+
+            evt = harness.run(grab())
+            # system B's event was filtered; the first delivery is A's
+            assert evt["systemId"] == "evta" and evt["tgid"] == 2
+        finally:
+            client.delete("/trunking/systems/evta")
+            client.delete("/trunking/systems/evtb")

@@ -1380,16 +1380,25 @@ def build_router(state: AppState) -> Router:
         finally:
             state._trunking_event_subs.discard(cb)
 
-    @r.websocket(v1 + "/trunking/stream/{sid}/voice")
-    async def ws_voice(req: Request, ws: WebSocket) -> None:
+    @r.websocket(v1 + "/trunking/stream/{sid}")
+    async def ws_trunking_one(req: Request, ws: WebSocket) -> None:
+        """Events of ONE system (reference WS /trunking/stream/{id})."""
+        sid = req.params["sid"]
+        q: asyncio.Queue = asyncio.Queue(maxsize=200)
+        loop = asyncio.get_running_loop()
+
+        def cb(evt):
+            if evt.get("systemId") in (None, sid):
+                loop.call_soon_threadsafe(_safe_put, q, evt)
+
+        state._trunking_event_subs.add(cb)
         try:
-            sys_ = state.trunking.get(req.params["sid"])
-        except KeyError:
-            raise HttpError(404)
-        if sys_.pool is None:
-            await ws.close()
-            return
-        subs = [r_.audio.subscribe(maxsize=16) for r_ in sys_.pool.recorders]
+            while not ws.closed:
+                await ws.send_json(await q.get())
+        finally:
+            state._trunking_event_subs.discard(cb)
+
+    async def _pump_voice(ws: WebSocket, subs: list) -> None:
         try:
             while not ws.closed:
                 sent = False
@@ -1403,6 +1412,36 @@ def build_router(state: AppState) -> Router:
         finally:
             for sub in subs:
                 sub.close()
+
+    @r.websocket(v1 + "/trunking/stream/{sid}/voice")
+    async def ws_voice(req: Request, ws: WebSocket) -> None:
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+        if sys_.pool is None:
+            await ws.close()
+            return
+        await _pump_voice(
+            ws, [r_.audio.subscribe(maxsize=16) for r_ in sys_.pool.recorders]
+        )
+
+    @r.websocket(v1 + "/trunking/stream/{sid}/voice/{rid}")
+    async def ws_voice_one(req: Request, ws: WebSocket) -> None:
+        """One recorder's PCM only (reference WS .../voice/{stream_id})."""
+        try:
+            sys_ = state.trunking.get(req.params["sid"])
+            rid = int(req.params["rid"])
+        except (KeyError, ValueError):
+            raise HttpError(404)
+        rec = None
+        if sys_.pool is not None:
+            for r_ in sys_.pool.recorders:
+                if r_.id == rid:
+                    rec = r_
+        if rec is None:
+            raise HttpError(404)
+        await _pump_voice(ws, [rec.audio.subscribe(maxsize=16)])
 
     # ---- scanners ----
     @r.get(v1 + "/scanners")

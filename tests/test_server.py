@@ -903,14 +903,17 @@ class TestRecordingsBrowser:
         )
         assert r.status_code == 201, r.text
         try:
-            # drop a recorder-shaped artifact pair into the directory
+            # artifacts land where the recorders write them:
+            # <recording_dir>/<system_id>/ (system.py _end_call)
+            sysdir = tmp_path / "trec"
+            sysdir.mkdir()
             name = "20260818_120000_tg42_src7"
-            with wave.open(str(tmp_path / f"{name}.wav"), "wb") as w:
+            with wave.open(str(sysdir / f"{name}.wav"), "wb") as w:
                 w.setnchannels(1)
                 w.setsampwidth(2)
                 w.setframerate(8000)
                 w.writeframes(b"\x00\x01" * 800)
-            (tmp_path / f"{name}.json").write_text(json.dumps({
+            (sysdir / f"{name}.json").write_text(json.dumps({
                 "tgid": 42, "talkgroup": "Ops", "sourceId": 7,
                 "startTime": 1787000000.0, "audioSeconds": 0.1,
             }))

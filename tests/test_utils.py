@@ -135,3 +135,79 @@ class TestRadioReference:
 
     def test_parse_empty(self):
         assert parse_talkgroups_response("<xml/>") == {}
+
+
+class TestScannerPauseSemantics:
+    """Pause/lock must survive an activity-hold ending and a restart
+    (regression: the scan thread overwrote the operator state and start()
+    left the hold latch set)."""
+
+    class FakeChan:
+        def __init__(self):
+            self.rssi_db = -100.0
+
+    class FakeCap:
+        def __init__(self):
+            self.channels = {"ch": TestScannerPauseSemantics.FakeChan()}
+            self.retunes = []
+
+        def update_channel(self, cid, **kw):
+            self.retunes.append(kw)
+
+    def make(self):
+        from wavecap_tpu.capture.scanner import (
+            ScanEntry,
+            ScannerConfig,
+            ScannerService,
+        )
+
+        cap = self.FakeCap()
+        cfg = ScannerConfig(
+            entries=[ScanEntry(155.0e6), ScanEntry(155.1e6)],
+            dwell_s=0.05, hold_s=0.05, squelch_db=-60.0,
+        )
+        return cap, ScannerService(cap, "ch", cfg)
+
+    def test_pause_sticks_through_activity_end(self):
+        import time as _t
+
+        cap, svc = self.make()
+        svc.start()
+        try:
+            cap.channels["ch"].rssi_db = -20.0  # activity -> holding
+            deadline = _t.time() + 5
+            while svc.state != "holding" and _t.time() < deadline:
+                _t.sleep(0.01)
+            assert svc.state == "holding"
+            svc.pause()
+            assert svc.state == "paused"
+            cap.channels["ch"].rssi_db = -100.0  # activity ends
+            _t.sleep(0.5)
+            assert svc.state == "paused"  # thread must not overwrite
+            n = len(cap.retunes)
+            _t.sleep(0.3)
+            assert len(cap.retunes) == n  # and must not retune while paused
+            svc.resume()
+            deadline = _t.time() + 5
+            while len(cap.retunes) == n and _t.time() < deadline:
+                _t.sleep(0.01)
+            assert len(cap.retunes) > n  # scanning again
+        finally:
+            svc.stop()
+
+    def test_restart_clears_hold_latch(self):
+        import time as _t
+
+        cap, svc = self.make()
+        svc.start()
+        try:
+            svc.pause()
+            svc.stop()
+            cap.retunes.clear()
+            svc.start()
+            deadline = _t.time() + 5
+            while not cap.retunes and _t.time() < deadline:
+                _t.sleep(0.01)
+            assert cap.retunes, "restarted scanner never retuned"
+        finally:
+            svc.stop()

@@ -60,6 +60,7 @@ class ScannerService:
         if self.state != "stopped":
             return
         self._stop.clear()
+        self._hold.clear()  # a pause/lock must not survive a restart
         self._thread = threading.Thread(
             target=self._run, name=f"Scanner-{self.id}", daemon=True
         )
@@ -138,8 +139,11 @@ class ScannerService:
                     time.sleep(0.05)
                     ch = self.capture.channels.get(self.channel_id)
                     if ch is not None and ch.rssi_db > self.config.squelch_db:
-                        # activity: hold until quiet for hold_s
-                        self.state = "holding"
+                        # activity: hold until quiet for hold_s.  An operator
+                        # pause/lock during the hold must stick: never
+                        # overwrite their state, and honor _hold on exit.
+                        if not self._hold.is_set():
+                            self.state = "holding"
                         self.hits[entry.frequency_hz] = (
                             self.hits.get(entry.frequency_hz, 0) + 1
                         )
@@ -155,7 +159,8 @@ class ScannerService:
                                 quiet_since = time.time()
                             elif time.time() - quiet_since > self.config.hold_s:
                                 break
-                        self.state = "scanning"
+                        if not self._hold.is_set():
+                            self.state = "scanning"
                         break
 
     def status(self) -> dict:

@@ -1081,8 +1081,20 @@ def build_router(state: AppState) -> Router:
         measurements = {
             m["frequencyHz"]: m for m in sys_.scanner.status()
         }
+        # full candidate universe, independent of the pin override (which
+        # narrows _candidates() to one entry): the operator must still see
+        # and manage every configured/learned/disabled CC while pinned
+        universe = list(sys_.config.control_channels)
+        for site in sys_.adjacent_sites.values():
+            f = site.get("frequencyHz")
+            if f and f not in universe:
+                universe.append(f)
+        if sys_.cc_lock_override is not None and (
+            sys_.cc_lock_override not in universe
+        ):
+            universe.append(sys_.cc_lock_override)
         out = []
-        for f in sys_._candidates() + sorted(sys_.disabled_ccs):
+        for f in universe + sorted(sys_.disabled_ccs):
             if any(c["frequencyHz"] == f for c in out):
                 continue
             m = measurements.get(f, {})
@@ -1135,10 +1147,15 @@ def build_router(state: AppState) -> Router:
     # ---- call recordings browser (artifact files the recorders write:
     # WAV + metadata JSON + raw .imbe/.ambe codewords) ----
 
+    def _recording_dir(sys_) -> Path:
+        # recorders write under recording_dir/<system_id>/ (system.py
+        # _end_call), so the browser must look there too
+        return Path(sys_.config.recording_dir) / sys_.config.id
+
     @r.get(v1 + "/trunking/systems/{sid}/recordings")
     async def tk_recordings(req: Request) -> Response:
         sys_ = _get_system(req)
-        d = Path(sys_.config.recording_dir)
+        d = _recording_dir(sys_)
         limit = int(req.query.get("limit", "100"))
         out = []
         if d.is_dir():
@@ -1168,7 +1185,7 @@ def build_router(state: AppState) -> Router:
         # anything that could escape the recordings directory
         if not name.replace("_", "").replace("-", "").isalnum():
             raise HttpError(422, "bad recording name")
-        path = Path(sys_.config.recording_dir) / f"{name}.wav"
+        path = _recording_dir(sys_) / f"{name}.wav"
         if not path.is_file():
             raise HttpError(404)
         data = await asyncio.to_thread(path.read_bytes)

@@ -175,10 +175,13 @@ function msgLine(m) {
 
 async function fetchMessages(chid) {
   const c = msgCache.get(chid);
-  if (c && Date.now() - c.time < 2500) return c.list;
+  if (c && (c.inflight || Date.now() - c.time < 2500)) return c.list || [];
+  // mark in-flight BEFORE awaiting: the 150 ms poll timer must not stack
+  // duplicate requests while one is pending on a slow server
+  msgCache.set(chid, { ...(c || {}), inflight: true });
   try {
     const list = await api.get(`/channels/${chid}/messages?limit=40`);
-    msgCache.set(chid, { time: Date.now(), list });
+    msgCache.set(chid, { time: Date.now(), list, inflight: false });
     const box = document.getElementById(`msgs-${chid}`);
     if (box) {
       box.textContent = list.length
@@ -186,7 +189,11 @@ async function fetchMessages(chid) {
       box.scrollTop = box.scrollHeight;
     }
     return list;
-  } catch { return []; }
+  } catch {
+    // clear in-flight (with a fresh time so failures back off, not spin)
+    msgCache.set(chid, { time: Date.now(), list: c?.list || [], inflight: false });
+    return [];
+  }
 }
 
 function channelDetail(cap, ch) {

@@ -33,7 +33,9 @@ async function fetchAll() {
     if (caps.length)
       pushHist("blockMs", Math.max(...caps.map((c) => c.blockMs || 0)));
     const rates = Object.values(metrics.errorRates || {});
-    pushHist("errRate", rates.reduce((s, v) => s + v, 0));
+    // errorRates values are {rate1s, rate1m, total}; rate1m is events/sec
+    pushHist("errRate",
+      rates.reduce((s, v) => s + (v.rate1m ?? 0) * 60, 0));
   }
   render();
 }

@@ -117,7 +117,7 @@ function callsTable(calls) {
             el("th", {}, "Frequency"), el("th", {}, "Start"),
             el("th", { class: "num" }, "Duration"),
             el("th", { class: "num" }, "Voice frames"))),
-          el("tbody", {}, hist.slice(-40).reverse().map((c) => el("tr", {},
+          el("tbody", {}, hist.slice(0, 40).map((c) => el("tr", {},
             el("td", {}, `${c.talkgroup || ""} (${c.tgid})`),
             el("td", { class: "mono" }, c.sourceId ?? "—"),
             el("td", { class: "mono" }, fmtHz(c.frequencyHz)),

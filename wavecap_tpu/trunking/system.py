@@ -401,8 +401,11 @@ class TrunkingSystem:
 
     def trigger_scan(self) -> None:
         """Force re-verification of every candidate: drop cached
-        measurements so the hunt loop re-probes them all."""
-        self.scanner.measurements.clear()
+        measurements so the hunt loop re-probes them all.  REBIND rather
+        than mutate: the worker thread iterates this dict without a lock,
+        and in-place clear() would raise mid-iteration and fail the
+        system."""
+        self.scanner.measurements = {}
         self.scanner.last_roam_check = 0.0
 
     def voice_streams(self) -> list[dict]:
@@ -581,8 +584,22 @@ class TrunkingSystem:
         lcn = int(parsed.get("channel", 0))
         slots = max(1, cfg.dmr_slots_per_carrier)
         carrier = max(0, lcn - 1) // slots
-        tdma_slot = max(0, lcn - 1) % slots
+        # Tier III networks address the timeslot either by LCN parity or by
+        # the grant's explicit slot bit; trust the bit when it is set,
+        # otherwise fall back to parity.
+        tdma_slot = int(parsed.get("slot") or 0) or max(0, lcn - 1) % slots
         freq = float(base) + carrier * cfg.dmr_spacing_hz
+        # The voice tracker cannot separate timeslots without CACH decode
+        # (both slots share the voice sync), so a second grant on a carrier
+        # we are already recording would double-capture mixed audio — skip
+        # it rather than corrupt both calls.
+        for c in self.active_calls.values():
+            if abs(c.frequency_hz - freq) < 1.0 and c.tgid != tgid:
+                self._emit(
+                    "grant_same_carrier_busy",
+                    {"tgid": tgid, "frequencyHz": freq, "activeTgid": c.tgid},
+                )
+                return
         grant = {
             "tgid": tgid,
             "source_id": parsed.get("src_id", 0),

@@ -33,30 +33,22 @@ correct rather than bit-exact speech.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import numpy as np
 
 from wavecap_tpu.decoders.fec import golay
 from wavecap_tpu.decoders.imbe_vocoder import (
-    FRAME_SAMPLES,
-    RHO,
     ImbeAnalyzer,
     ImbeParams,
     ImbeSynthesizer,
-    _dct_matrix,
-    _gain_decode,
-    _gain_encode,
-    _prediction,
-    _sigma_hoc,
-    _uq_decode,
-    _uq_encode,
-    _SIGMA_G,
-    band_of,
+    _read,
+    _write,
     bands_for,
-    block_lengths,
+    bit_allocation_for,
     fundamental_from_b0,
     harmonics_for,
+    read_spectral,
+    read_voicing,
+    spectral_to_bits,
 )
 from wavecap_tpu.decoders.voice import (
     _pn_sequence,
@@ -72,19 +64,18 @@ B_BITS = 49  # 7 pitch + 6 gain + K voicing + shape
 # FEC layer: 49-bit b-vector <-> 72-bit frame
 # ---------------------------------------------------------------------------
 
+# 6x12 block interleave: serial bit i transmits at (i % 6) * 12 + i // 6
+_ILV = np.array([(i % 6) * 12 + i // 6 for i in range(FRAME_BITS)])
+
 
 def _interleave(serial: np.ndarray) -> np.ndarray:
     out = np.empty(FRAME_BITS, np.uint8)
-    for i in range(FRAME_BITS):
-        out[(i % 6) * 12 + i // 6] = serial[i]
+    out[_ILV] = serial
     return out
 
 
 def _deinterleave(bits: np.ndarray) -> np.ndarray:
-    out = np.empty(FRAME_BITS, np.uint8)
-    for i in range(FRAME_BITS):
-        out[i] = bits[(i % 6) * 12 + i // 6]
-    return out
+    return bits[_ILV]
 
 
 def _bits_to_int(bits: np.ndarray) -> int:
@@ -149,42 +140,10 @@ def ambe_fec_decode(frame_bits: np.ndarray) -> tuple[np.ndarray, int] | None:
 # ---------------------------------------------------------------------------
 
 
-@lru_cache(maxsize=64)
 def bit_allocation49(L: int, K: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
-    """Bits for G2..G6 and the higher-order DCT coefficients within the
-    half-rate budget (49 - 7 pitch - 6 gain - K voicing).  Same
-    water-filling priorities as the full-rate table, shallower budget."""
-    total = B_BITS - 7 - 6 - K
-    prios: list[float] = [6.0, 5.2, 4.6, 4.1, 3.7]  # G2..G6
-    for ji in block_lengths(L):
-        for k in range(2, ji + 1):
-            prios.append(max(3.2 - 0.55 * (k - 2), 0.0))
-    bits = [0] * len(prios)
-    for _ in range(max(total, 0)):
-        best, best_v = -1, -1e9
-        for i, p in enumerate(prios):
-            if bits[i] >= 10:
-                continue
-            v = p - bits[i]
-            if v > best_v:
-                best, best_v = i, v
-        if best < 0:
-            break
-        bits[best] += 1
-    return tuple(bits[:5]), tuple(bits[5:])
-
-
-def _read(bits: np.ndarray, pos: int, n: int) -> tuple[int, int]:
-    v = 0
-    for i in range(n):
-        v = (v << 1) | int(bits[pos + i])
-    return v, pos + n
-
-
-def _write(bits: np.ndarray, pos: int, val: int, n: int) -> int:
-    for i in range(n):
-        bits[pos + i] = (val >> (n - 1 - i)) & 1
-    return pos + n
+    """Half-rate allocation: 49 - 7 pitch - 6 gain - K voicing (same
+    water-filling as the full-rate table, shallower budget)."""
+    return bit_allocation_for(L, K, B_BITS - 7 - 6 - K)
 
 
 def decode_params_h(
@@ -199,37 +158,9 @@ def decode_params_h(
     L = harmonics_for(w0)
     K = bands_for(L)
     gain_idx, pos = _read(bits, pos, 6)
-    b1, pos = _read(bits, pos, K)
-    voiced = np.array(
-        [(b1 >> (K - 1 - band_of(l, K))) & 1 == 1 for l in range(1, L + 1)], bool
-    )
+    voiced, pos = read_voicing(bits, pos, L, K)
     g_bits, hoc_bits = bit_allocation49(L, K)
-    G = np.zeros(6)
-    G[0] = _gain_decode(gain_idx) * np.sqrt(L)
-    for i in range(5):
-        idx, pos = _read(bits, pos, g_bits[i])
-        G[i + 1] = _uq_decode(idx, g_bits[i], _SIGMA_G[i])
-    lens = block_lengths(L)
-    hoc: list[float] = []
-    hi = 0
-    for ji in lens:
-        for k in range(2, ji + 1):
-            idx, pos = _read(bits, pos, hoc_bits[hi])
-            hoc.append(_uq_decode(idx, hoc_bits[hi], _sigma_hoc(k)))
-            hi += 1
-    dc = _dct_matrix(6).T @ G
-    T = np.empty(L)
-    off = hoff = 0
-    for bi, ji in enumerate(lens):
-        coef = np.zeros(ji)
-        coef[0] = dc[bi]
-        coef[1:] = hoc[hoff : hoff + ji - 1]
-        T[off : off + ji] = _dct_matrix(ji).T @ coef
-        off += ji
-        hoff += ji - 1
-    P = _prediction(L, w0, prev)
-    log2M = T + RHO * P - (RHO / L) * float(np.sum(P))
-    log2M = np.minimum(log2M, 2.0)
+    log2M = read_spectral(bits, pos, gain_idx, L, w0, g_bits, hoc_bits, prev)
     return ImbeParams(w0=w0, L=L, K=K, voiced=voiced, log2M=log2M, errors=errors)
 
 
@@ -245,38 +176,16 @@ def encode_params_h(p: ImbeParams, prev: ImbeParams) -> np.ndarray:
     voiced[:n] = p.voiced[:n]
     log2M = np.full(L, -8.0)
     log2M[:n] = p.log2M[:n]
-    b1 = 0
-    for k in range(K):
-        ls = [l for l in range(1, L + 1) if band_of(l, K) == k]
-        v = 1 if np.mean([voiced[l - 1] for l in ls]) >= 0.5 else 0
-        b1 = (b1 << 1) | v
-    P = _prediction(L, w0, prev)
-    T = log2M - RHO * P + (RHO / L) * float(np.sum(P))
-    lens = block_lengths(L)
-    dc = np.empty(6)
-    hoc_true: list[float] = []
-    off = 0
-    for bi, ji in enumerate(lens):
-        coef = _dct_matrix(ji) @ T[off : off + ji]
-        dc[bi] = coef[0]
-        hoc_true.extend(coef[1:])
-        off += ji
-    G = _dct_matrix(6) @ dc
     g_bits, hoc_bits = bit_allocation49(L, K)
+    b1, gain_idx, writes = spectral_to_bits(
+        voiced, log2M, L, K, w0, prev, g_bits, hoc_bits
+    )
     bits = np.zeros(B_BITS, np.uint8)
     pos = _write(bits, 0, b0, 7)
-    pos = _write(bits, pos, _gain_encode(G[0] / np.sqrt(L)), 6)
+    pos = _write(bits, pos, gain_idx, 6)
     pos = _write(bits, pos, b1, K)
-    for i in range(5):
-        pos = _write(bits, pos, _uq_encode(G[i + 1], g_bits[i], _SIGMA_G[i]), g_bits[i])
-    hi = 0
-    for ji in lens:
-        for k in range(2, ji + 1):
-            pos = _write(
-                bits, pos, _uq_encode(hoc_true[hi], hoc_bits[hi], _sigma_hoc(k)),
-                hoc_bits[hi],
-            )
-            hi += 1
+    for val, width in writes:
+        pos = _write(bits, pos, val, width)
     return bits
 
 

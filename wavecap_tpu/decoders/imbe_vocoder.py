@@ -109,24 +109,25 @@ def block_lengths(L: int) -> list[int]:
     return [base + (1 if i < extra else 0) for i in range(6)]
 
 
-@lru_cache(maxsize=64)
-def bit_allocation(L: int, K: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
+@lru_cache(maxsize=128)
+def bit_allocation_for(
+    L: int, K: int, total: int
+) -> tuple[tuple[int, ...], tuple[int, ...]]:
     """Bits for the 5 gain-vector coefficients G2..G6 and the L-6 higher
-    order DCT coefficients (block-major, C2..C_J within each block).
+    order DCT coefficients (block-major, C2..C_J within each block), for
+    any frame bit budget — the full-rate (88-bit) and half-rate (49-bit)
+    codecs differ only here.
 
     Deterministic water-filling over priority weights standing in for the
-    TIA annex tables: total budget is exact (88 - 8 - 6 - K), gains get
-    the most bits, early in-block coefficients more than late ones.
+    TIA annex tables: the budget is spent exactly, gains get the most
+    bits, early in-block coefficients more than late ones.
     """
-    total = 88 - 8 - 6 - K
     prios: list[float] = [6.0, 5.2, 4.6, 4.1, 3.7]  # G2..G6
-    hoc_pos: list[int] = []
     for ji in block_lengths(L):
         for k in range(2, ji + 1):
-            hoc_pos.append(k)
             prios.append(max(3.2 - 0.55 * (k - 2), 0.0))
     bits = [0] * len(prios)
-    for _ in range(total):
+    for _ in range(max(total, 0)):
         best, best_v = -1, -1e9
         for i, p in enumerate(prios):
             if bits[i] >= 10:
@@ -138,6 +139,11 @@ def bit_allocation(L: int, K: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
             break
         bits[best] += 1
     return tuple(bits[:5]), tuple(bits[5:])
+
+
+def bit_allocation(L: int, K: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """Full-rate allocation: 88 - 8 pitch - 6 gain - K voicing."""
+    return bit_allocation_for(L, K, 88 - 8 - 6 - K)
 
 
 # nominal standard deviations for the uniform quantizers
@@ -236,25 +242,29 @@ def _prediction(L: int, w0: float, prev: ImbeParams) -> np.ndarray:
     return (1.0 - d) * prev_log[k0] + d * prev_log[k1]
 
 
-def decode_params(
-    u: list[int], prev: ImbeParams, errors: int = 0
-) -> ImbeParams | None:
-    """Dequantize an FEC-corrected frame (u0..u7) into model parameters."""
-    bits = _us_to_bits(u)
-    b0 = 0
-    for i in range(6):
-        b0 = (b0 << 1) | int(bits[i])
-    b0 = (b0 << 2) | (int(bits[86]) << 1) | int(bits[87])
-    w0 = fundamental_from_b0(b0)
-    L = harmonics_for(w0)
-    K = bands_for(L)
-    pos = 6
-    gain_idx, pos = _read(bits, pos, 6)
+def read_voicing(bits: np.ndarray, pos: int, L: int, K: int):
+    """K band-vote bits -> per-harmonic voiced flags (shared rate codec)."""
     b1, pos = _read(bits, pos, K)
     voiced = np.array(
         [(b1 >> (K - 1 - band_of(l, K))) & 1 == 1 for l in range(1, L + 1)], bool
     )
-    g_bits, hoc_bits = bit_allocation(L, K)
+    return voiced, pos
+
+
+def read_spectral(
+    bits: np.ndarray,
+    pos: int,
+    gain_idx: int,
+    L: int,
+    w0: float,
+    g_bits,
+    hoc_bits,
+    prev: ImbeParams,
+) -> np.ndarray:
+    """Gain vector + higher-order DCT coefficients -> log2 amplitudes.
+
+    Shared by the full-rate (88-bit) and half-rate (49-bit) codecs; only
+    the bit allocation differs."""
     G = np.zeros(6)
     G[0] = _gain_decode(gain_idx) * np.sqrt(L)
     for i in range(5):
@@ -282,7 +292,70 @@ def decode_params(
     P = _prediction(L, w0, prev)
     log2M = T + RHO * P - (RHO / L) * float(np.sum(P))
     # bit errors can decode to absurd levels; full scale is ~0 (amp 1.0)
-    log2M = np.minimum(log2M, 2.0)
+    return np.minimum(log2M, 2.0)
+
+
+def spectral_to_bits(
+    p_voiced: np.ndarray,
+    log2M: np.ndarray,
+    L: int,
+    K: int,
+    w0: float,
+    prev: ImbeParams,
+    g_bits,
+    hoc_bits,
+):
+    """Inverse of :func:`read_spectral` + voicing vote: returns
+    (b1 voicing word, gain index, [(value, bits, sigma)...] write list)."""
+    b1 = 0
+    for k in range(K):
+        ls = [l for l in range(1, L + 1) if band_of(l, K) == k]
+        v = 1 if np.mean([p_voiced[l - 1] for l in ls]) >= 0.5 else 0
+        b1 = (b1 << 1) | v
+    P = _prediction(L, w0, prev)
+    T = log2M - RHO * P + (RHO / L) * float(np.sum(P))
+    lens = block_lengths(L)
+    dc = np.empty(6)
+    hoc_true: list[float] = []
+    off = 0
+    for bi, ji in enumerate(lens):
+        coef = _dct_matrix(ji) @ T[off : off + ji]
+        dc[bi] = coef[0]
+        hoc_true.extend(coef[1:])
+        off += ji
+    G = _dct_matrix(6) @ dc
+    writes = [
+        (_uq_encode(G[i + 1], g_bits[i], _SIGMA_G[i]), g_bits[i])
+        for i in range(5)
+    ]
+    hi = 0
+    for ji in lens:
+        for k in range(2, ji + 1):
+            writes.append(
+                (_uq_encode(hoc_true[hi], hoc_bits[hi], _sigma_hoc(k)),
+                 hoc_bits[hi])
+            )
+            hi += 1
+    return b1, _gain_encode(G[0] / np.sqrt(L)), writes
+
+
+def decode_params(
+    u: list[int], prev: ImbeParams, errors: int = 0
+) -> ImbeParams | None:
+    """Dequantize an FEC-corrected frame (u0..u7) into model parameters."""
+    bits = _us_to_bits(u)
+    b0 = 0
+    for i in range(6):
+        b0 = (b0 << 1) | int(bits[i])
+    b0 = (b0 << 2) | (int(bits[86]) << 1) | int(bits[87])
+    w0 = fundamental_from_b0(b0)
+    L = harmonics_for(w0)
+    K = bands_for(L)
+    pos = 6
+    gain_idx, pos = _read(bits, pos, 6)
+    voiced, pos = read_voicing(bits, pos, L, K)
+    g_bits, hoc_bits = bit_allocation(L, K)
+    log2M = read_spectral(bits, pos, gain_idx, L, w0, g_bits, hoc_bits, prev)
     return ImbeParams(w0=w0, L=L, K=K, voiced=voiced, log2M=log2M, errors=errors)
 
 
@@ -299,39 +372,16 @@ def encode_params(p: ImbeParams, prev: ImbeParams) -> list[int]:
     voiced[:n] = p.voiced[:n]
     log2M = np.full(L, -8.0)
     log2M[:n] = p.log2M[:n]
-    # band votes -> b1
-    b1 = 0
-    for k in range(K):
-        ls = [l for l in range(1, L + 1) if band_of(l, K) == k]
-        v = 1 if np.mean([voiced[l - 1] for l in ls]) >= 0.5 else 0
-        b1 = (b1 << 1) | v
-    P = _prediction(L, w0, prev)
-    T = log2M - RHO * P + (RHO / L) * float(np.sum(P))
-    lens = block_lengths(L)
-    dc = np.empty(6)
-    hoc_true: list[float] = []
-    off = 0
-    for bi, ji in enumerate(lens):
-        coef = _dct_matrix(ji) @ T[off : off + ji]
-        dc[bi] = coef[0]
-        hoc_true.extend(coef[1:])
-        off += ji
-    G = _dct_matrix(6) @ dc
     g_bits, hoc_bits = bit_allocation(L, K)
+    b1, gain_idx, writes = spectral_to_bits(
+        voiced, log2M, L, K, w0, prev, g_bits, hoc_bits
+    )
     bits = np.zeros(88, np.uint8)
     pos = _write(bits, 0, b0 >> 2, 6)
-    pos = _write(bits, pos, _gain_encode(G[0] / np.sqrt(L)), 6)
+    pos = _write(bits, pos, gain_idx, 6)
     pos = _write(bits, pos, b1, K)
-    for i in range(5):
-        pos = _write(bits, pos, _uq_encode(G[i + 1], g_bits[i], _SIGMA_G[i]), g_bits[i])
-    hi = 0
-    for ji in lens:
-        for k in range(2, ji + 1):
-            pos = _write(
-                bits, pos, _uq_encode(hoc_true[hi], hoc_bits[hi], _sigma_hoc(k)),
-                hoc_bits[hi],
-            )
-            hi += 1
+    for val, width in writes:
+        pos = _write(bits, pos, val, width)
     _write(bits, 86, b0 & 0x3, 2)
     return _bits_to_us(bits)
 

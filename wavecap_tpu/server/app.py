@@ -310,11 +310,8 @@ def build_router(state: AppState) -> Router:
         did = req.params["did"]
         return Response.json({"id": did, "nickname": state.nicknames.get(did)})
 
-    @r.patch(v1 + "/devices/{did}/name")
-    async def device_name_patch(req: Request) -> Response:
-        nick = (req.json() or {}).get("nickname")
-        state.set_nickname(req.params["did"], nick)
-        return Response.json({"id": req.params["did"], "nickname": nick})
+    # PATCH name == PUT nickname (reference path alias)
+    r.patch(v1 + "/devices/{did}/name")(device_nickname_set)
 
     @r.post(v1 + "/devices/refresh")
     async def devices_refresh(req: Request) -> Response:
@@ -846,6 +843,12 @@ def build_router(state: AppState) -> Router:
         return Response.json({"ok": True, "shuttingDown": True})
 
     # ---- trunking ----
+    def _get_system(req: Request):
+        try:
+            return state.trunking.get(req.params["sid"])
+        except KeyError:
+            raise HttpError(404)
+
     @r.get(v1 + "/trunking/systems")
     async def tk_systems(req: Request) -> Response:
         out = state.trunking.status()
@@ -886,28 +889,19 @@ def build_router(state: AppState) -> Router:
 
     @r.post(v1 + "/trunking/systems/{sid}/start")
     async def tk_start(req: Request) -> Response:
-        try:
-            sys_ = state.trunking.get(req.params["sid"])
-        except KeyError:
-            raise HttpError(404)
+        sys_ = _get_system(req)
         await asyncio.to_thread(sys_.start)
         return Response.json(sys_.status())
 
     @r.post(v1 + "/trunking/systems/{sid}/stop")
     async def tk_stop(req: Request) -> Response:
-        try:
-            sys_ = state.trunking.get(req.params["sid"])
-        except KeyError:
-            raise HttpError(404)
+        sys_ = _get_system(req)
         await asyncio.to_thread(sys_.stop)
         return Response.json(sys_.status())
 
     @r.get(v1 + "/trunking/systems/{sid}/talkgroups")
     async def tk_talkgroups(req: Request) -> Response:
-        try:
-            sys_ = state.trunking.get(req.params["sid"])
-        except KeyError:
-            raise HttpError(404)
+        sys_ = _get_system(req)
         return Response.json(
             [
                 {
@@ -938,10 +932,7 @@ def build_router(state: AppState) -> Router:
         consult ``config.talkgroup(tgid)`` per call, so edits apply to the
         next grant without a restart (reference trunking/api.py talkgroup
         update path)."""
-        try:
-            sys_ = state.trunking.get(req.params["sid"])
-        except KeyError:
-            raise HttpError(404)
+        sys_ = _get_system(req)
         body = req.json()
         items = body if isinstance(body, list) else body.get("talkgroups", [])
         merge = isinstance(body, dict) and bool(body.get("merge"))
@@ -989,10 +980,7 @@ def build_router(state: AppState) -> Router:
     async def tk_talkgroups_post(req: Request) -> Response:
         """Add/update talkgroups (merge semantics — reference POST
         .../talkgroups)."""
-        try:
-            sys_ = state.trunking.get(req.params["sid"])
-        except KeyError:
-            raise HttpError(404)
+        sys_ = _get_system(req)
         body = req.json()
         items = body if isinstance(body, list) else [body or {}]
         try:
@@ -1011,10 +999,7 @@ def build_router(state: AppState) -> Router:
         load_talkgroups_csv)."""
         from wavecap_tpu.trunking.config import parse_talkgroups_csv
 
-        try:
-            sys_ = state.trunking.get(req.params["sid"])
-        except KeyError:
-            raise HttpError(404)
+        sys_ = _get_system(req)
         text = (req.json() or {}).get("csv", "")
         if not text.strip():
             raise HttpError(422, "csv body required")
@@ -1051,12 +1036,6 @@ def build_router(state: AppState) -> Router:
                 "ambe2Backend": "native",
             }
         )
-
-    def _get_system(req: Request):
-        try:
-            return state.trunking.get(req.params["sid"])
-        except KeyError:
-            raise HttpError(404)
 
     @r.get(v1 + "/trunking/systems/{sid}/hunt-mode")
     async def tk_hunt_mode_get(req: Request) -> Response:
@@ -1200,10 +1179,7 @@ def build_router(state: AppState) -> Router:
 
     @r.get(v1 + "/trunking/systems/{sid}/calls")
     async def tk_calls(req: Request) -> Response:
-        try:
-            sys_ = state.trunking.get(req.params["sid"])
-        except KeyError:
-            raise HttpError(404)
+        sys_ = _get_system(req)
         hist = [
             {
                 "tgid": c.tgid,
@@ -1228,10 +1204,7 @@ def build_router(state: AppState) -> Router:
     @r.get(v1 + "/trunking/systems/{sid}/locations")
     async def tk_locations(req: Request) -> Response:
         """LRRP GPS cache (from PDU frames on voice channels)."""
-        try:
-            sys_ = state.trunking.get(req.params["sid"])
-        except KeyError:
-            raise HttpError(404)
+        sys_ = _get_system(req)
         return Response.json(
             [
                 {
@@ -1249,18 +1222,12 @@ def build_router(state: AppState) -> Router:
 
     @r.get(v1 + "/trunking/systems/{sid}/messages")
     async def tk_messages(req: Request) -> Response:
-        try:
-            sys_ = state.trunking.get(req.params["sid"])
-        except KeyError:
-            raise HttpError(404)
+        sys_ = _get_system(req)
         return Response.json(list(sys_.message_log)[-int(req.query.get("limit", "100")):])
 
     @r.get(v1 + "/trunking/systems/{sid}/events")
     async def tk_events(req: Request) -> Response:
-        try:
-            sys_ = state.trunking.get(req.params["sid"])
-        except KeyError:
-            raise HttpError(404)
+        sys_ = _get_system(req)
         return Response.json(list(sys_.events)[-int(req.query.get("limit", "100")):])
 
     # ---- WebSocket streams ----
@@ -1432,10 +1399,7 @@ def build_router(state: AppState) -> Router:
 
     @r.websocket(v1 + "/trunking/stream/{sid}/voice")
     async def ws_voice(req: Request, ws: WebSocket) -> None:
-        try:
-            sys_ = state.trunking.get(req.params["sid"])
-        except KeyError:
-            raise HttpError(404)
+        sys_ = _get_system(req)
         if sys_.pool is None:
             await ws.close()
             return

@@ -63,12 +63,65 @@ def make_c4fm_iq():
     return dibits, iq
 
 
+def make_nbfm_iq(fs=48_000, seconds=1.0, seed=21):
+    """NBFM voice-band program: 700 Hz + 300 Hz tones, 4 kHz deviation."""
+    t = np.arange(int(fs * seconds)) / fs
+    program = 0.7 * np.sin(2 * np.pi * 700 * t) + 0.3 * np.sin(2 * np.pi * 300 * t)
+    phase = 2 * np.pi * 4_000 * np.cumsum(program) / fs
+    iq = np.exp(1j * phase).astype(np.complex64)
+    rng = np.random.default_rng(seed)
+    return (
+        iq
+        + 0.002
+        * (rng.standard_normal(len(t)) + 1j * rng.standard_normal(len(t)))
+    ).astype(np.complex64)
+
+
+def make_am_iq(fs=48_000, seconds=1.0, seed=23):
+    """AM: 600 Hz tone at 60% modulation depth."""
+    t = np.arange(int(fs * seconds)) / fs
+    env = 1.0 + 0.6 * np.sin(2 * np.pi * 600 * t)
+    rng = np.random.default_rng(seed)
+    return (
+        0.5 * env
+        + 0.002
+        * (rng.standard_normal(len(t)) + 1j * rng.standard_normal(len(t)))
+    ).astype(np.complex64)
+
+
 def main() -> None:
     sys.path.insert(0, "/root/reference/backend")
-    from wavecapsdr.dsp.fm import wbfm_demod
+    from wavecapsdr.dsp.am import am_demod
+    from wavecapsdr.dsp.fm import nbfm_demod, wbfm_demod
     from wavecapsdr.dsp.p25.c4fm import C4FMDemodulator
 
     OUT.mkdir(parents=True, exist_ok=True)
+
+    iq = make_nbfm_iq()
+    audio = nbfm_demod(iq, 48_000, audio_rate=48_000)
+    np.savez_compressed(
+        OUT / "nbfm_parity.npz",
+        iq=iq,
+        sample_rate=48_000,
+        audio_rate=48_000,
+        ref_audio=np.asarray(audio, np.float32),
+    )
+    print(f"nbfm: {len(iq)} iq -> {len(audio)} ref audio samples")
+
+    iq = make_am_iq()
+    # AGC/filters differ by design; compare the raw envelope detection path
+    audio = am_demod(
+        iq, 48_000, audio_rate=48_000, enable_agc=False,
+        enable_highpass=True, enable_lowpass=True,
+    )
+    np.savez_compressed(
+        OUT / "am_parity.npz",
+        iq=iq,
+        sample_rate=48_000,
+        audio_rate=48_000,
+        ref_audio=np.asarray(audio, np.float32),
+    )
+    print(f"am: {len(iq)} iq -> {len(audio)} ref audio samples")
 
     iq = make_wbfm_iq()
     audio = wbfm_demod(iq, 240_000, audio_rate=48_000)

@@ -107,3 +107,42 @@ class TestC4fmParity:
         lvl = np.array([1, 3, -1, -3], np.float32)
         corr, _ = best_lag_metrics(lvl[tx], lvl[ref], max_lag=40)
         assert corr > 0.9
+
+
+class TestNbfmParity:
+    def test_nbfm_audio_matches_reference(self):
+        d = np.load(GOLDEN / "nbfm_parity.npz")
+        from wavecap_tpu.models.analog import NbfmConfig, nbfm_demod, nbfm_init
+
+        cfg = NbfmConfig(
+            sample_rate=int(d["sample_rate"]), audio_rate=int(d["audio_rate"])
+        )
+        audio, _ = nbfm_demod(jnp.asarray(d["iq"]), nbfm_init(cfg), cfg)
+        audio = np.asarray(audio)
+        ref = d["ref_audio"]
+        n = min(len(audio), len(ref))
+        a, r = audio[4000:n - 4000], ref[4000:n - 4000]
+        a = a - a.mean()
+        r = r - r.mean()
+        corr, lag = best_lag_metrics(r, a, max_lag=400)
+        assert corr > 0.95, f"nbfm corr {corr:.4f} @ lag {lag}"
+
+
+class TestAmParity:
+    def test_am_audio_matches_reference(self):
+        d = np.load(GOLDEN / "am_parity.npz")
+        from wavecap_tpu.models.analog import AmConfig, am_demod, am_init
+
+        cfg = AmConfig(
+            sample_rate=int(d["sample_rate"]), audio_rate=int(d["audio_rate"]),
+            enable_agc=False,
+        )
+        audio, _ = am_demod(jnp.asarray(d["iq"]), am_init(cfg), cfg)
+        audio = np.asarray(audio)
+        ref = d["ref_audio"]
+        n = min(len(audio), len(ref))
+        a, r = audio[4000:n - 4000], ref[4000:n - 4000]
+        a = a - a.mean()
+        r = r - r.mean()
+        corr, lag = best_lag_metrics(r, a, max_lag=400)
+        assert corr > 0.95, f"am corr {corr:.4f} @ lag {lag}"

@@ -964,3 +964,72 @@ class TestPerSystemEventStream:
         finally:
             client.delete("/trunking/systems/evta")
             client.delete("/trunking/systems/evtb")
+
+
+class TestMcpToolCoverage:
+    """Exercise the full MCP tool lifecycle end-to-end (the 24-tool
+    registry matches the reference's mcp_server.py set)."""
+
+    def call(self, mc, name, arguments=None, rid=1):
+        r = mc.post("/mcp", json={
+            "jsonrpc": "2.0", "id": rid, "method": "tools/call",
+            "params": {"name": name, "arguments": arguments or {}},
+        })
+        body = r.json()
+        assert "error" not in body, body
+        return json.loads(body["result"]["content"][0]["text"])
+
+    def test_capture_channel_lifecycle_via_tools(self, harness):
+        base = harness.base.rsplit("/api/v1", 1)[0]
+        with httpx.Client(base_url=base, timeout=60) as mc:
+            listing = mc.post("/mcp", json={
+                "jsonrpc": "2.0", "id": 0, "method": "tools/list"}).json()
+            assert len(listing["result"]["tools"]) == 24
+            cap = self.call(mc, "create_capture",
+                            {"centerHz": 155e6, "sampleRate": 800_000})
+            cid = cap["id"]
+            try:
+                got = self.call(mc, "get_capture", {"captureId": cid})
+                assert got["id"] == cid
+                ch = self.call(mc, "create_channel", {
+                    "captureId": cid, "mode": "nbfm", "frequencyHz": 155.05e6,
+                })
+                chans = self.call(mc, "list_channels", {})
+                assert any(c["id"] == ch["id"] for c in chans)
+                tuned = self.call(mc, "tune_channel", {
+                    "channelId": ch["id"], "frequencyHz": 155.10e6,
+                })
+                assert abs(tuned["frequencyHz"] - 155.10e6) < 1
+                met = self.call(mc, "get_channel_metrics",
+                                {"channelId": ch["id"]})
+                assert "rssiDb" in met
+                ident = self.call(mc, "identify_frequency", {"hz": 100.1e6})
+                assert ident["modeHint"] == "wbfm"
+                health = self.call(mc, "get_system_health", {})
+                assert health
+                recipes = self.call(mc, "get_recipes", {})
+                assert len(recipes) >= 20
+                self.call(mc, "delete_channel", {"channelId": ch["id"]})
+                chans = self.call(mc, "list_channels", {})
+                assert not any(c["id"] == ch["id"] for c in chans)
+            finally:
+                with httpx.Client(base_url=harness.base, timeout=30) as c:
+                    c.delete(f"/captures/{cid}")
+
+    def test_trunking_tools(self, harness, client):
+        base = harness.base.rsplit("/api/v1", 1)[0]
+        r = client.post("/trunking/systems", json={
+            "id": "mcpt", "control_channels": [851.2e6],
+            "talkgroups": [{"tgid": 9, "name": "Ops"}],
+        })
+        assert r.status_code == 201
+        try:
+            with httpx.Client(base_url=base, timeout=60) as mc:
+                systems = self.call(mc, "list_trunking_systems", {})
+                assert any(s["id"] == "mcpt" for s in systems)
+                tgs = self.call(mc, "get_talkgroups", {"systemId": "mcpt"})
+                assert tgs[0]["name"] == "Ops"
+                calls = self.call(mc, "get_active_calls", {})
+                assert calls == [] or isinstance(calls, list)
+        finally:
+            client.delete("/trunking/systems/mcpt")

@@ -236,6 +236,33 @@ def channel_json(cap: Capture, ch) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _recipe_dirs():
+    roots = [Path("config"), Path(__file__).resolve().parents[2] / "config"]
+    seen, dirs = set(), []
+    for root in roots:
+        for d in (root / "recipes", root / "presets"):
+            rd = d.resolve()
+            if d.is_dir() and rd not in seen:
+                seen.add(rd)
+                dirs.append(d)
+    return dirs
+
+
+def load_recipes() -> dict[str, dict]:
+    """Recipe/preset library (YAML files; reference backend/config/recipes)."""
+    import yaml as _yaml
+
+    out: dict[str, dict] = {}
+    for d in _recipe_dirs():
+        for f in sorted(d.glob("*.yaml")):
+            try:
+                data = _yaml.safe_load(f.read_text()) or {}
+            except Exception:
+                continue
+            out.setdefault(f.stem, {"id": f.stem, "source": d.name, **data})
+    return out
+
+
 def build_router(state: AppState) -> Router:
     r = Router()
     v1 = "/api/v1"
@@ -632,35 +659,9 @@ def build_router(state: AppState) -> Router:
 
     r.get(v1 + "/frequency/identify")(freq_identify)  # reference path alias
 
-    def _recipe_dirs():
-        from pathlib import Path as _P
-
-        roots = [_P("config"), _P(__file__).resolve().parents[2] / "config"]
-        seen, dirs = set(), []
-        for root in roots:
-            for d in (root / "recipes", root / "presets"):
-                rd = d.resolve()
-                if d.is_dir() and rd not in seen:
-                    seen.add(rd)
-                    dirs.append(d)
-        return dirs
-
-    def _load_recipes() -> dict[str, dict]:
-        import yaml as _yaml
-
-        out: dict[str, dict] = {}
-        for d in _recipe_dirs():
-            for f in sorted(d.glob("*.yaml")):
-                try:
-                    data = _yaml.safe_load(f.read_text()) or {}
-                except Exception:
-                    continue
-                out.setdefault(f.stem, {"id": f.stem, "source": d.name, **data})
-        return out
-
     @r.get(v1 + "/recipes")
     async def recipes(req: Request) -> Response:
-        return Response.json(list(_load_recipes().values()))
+        return Response.json(list(load_recipes().values()))
 
     @r.post(v1 + "/recipes/{rid}/apply")
     async def recipe_apply(req: Request) -> Response:
@@ -671,7 +672,7 @@ def build_router(state: AppState) -> Router:
         recipes on a user-supplied frequency (reference recipes'
         allow_frequency_input behavior).
         """
-        rec = _load_recipes().get(req.params["rid"])
+        rec = load_recipes().get(req.params["rid"])
         if rec is None:
             raise HttpError(404, "unknown recipe")
         body = req.json() if req.body else {}

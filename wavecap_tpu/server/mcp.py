@@ -287,9 +287,19 @@ class McpToolRegistry:
             sysm.stop()
             return sysm.status()
 
-        @reg.tool("get_active_calls", "Active calls on a trunking system", _SYS)
+        @reg.tool(
+            "get_active_calls",
+            "Active calls (one system via systemId, or all systems)",
+        )
         def get_active_calls(state, args):
-            return state.trunking.get(args["systemId"]).status()["activeCalls"]
+            sid = args.get("systemId")
+            if sid:
+                return state.trunking.get(sid).status()["activeCalls"]
+            return [
+                {"systemId": s.config.id, **c}
+                for s in state.trunking.systems.values()
+                for c in s.status()["activeCalls"]
+            ]
 
         @reg.tool("get_talkgroups", "Configured talkgroups for a system", _SYS)
         def get_talkgroups(state, args):
@@ -305,9 +315,11 @@ class McpToolRegistry:
                 for tg in sysm.config.talkgroups.values()
             ]
 
-        @reg.tool("get_recipes", "Configured channel recipes")
+        @reg.tool("get_recipes", "Available channel/trunking recipes")
         def get_recipes(state, args):
-            return state.config.recipes
+            from .app import load_recipes
+
+            return list(load_recipes().values())
 
         @reg.tool(
             "identify_frequency",

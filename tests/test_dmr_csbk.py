@@ -95,15 +95,34 @@ class TestBurstDecode:
         m = dmr.decode_burst(dmr.DMRBurst(kind="BS_DATA", dibits=idle, sync_quality=1.0))
         assert m["dataTypeName"] == "IDLE"
 
-        lc = np.zeros(96, np.uint8)
-        # FLCO=0 (group voice), dst=300, src=400
-        for i in range(24):
-            lc[24 + i] = (300 >> (23 - i)) & 1
-            lc[48 + i] = (400 >> (23 - i)) & 1
+        lc = dmr.make_full_lc_bits(
+            dmr.DataType.VOICE_LC_HEADER, dst_id=300, src_id=400
+        )
         b = dmr.build_data_burst(lc, dmr.DataType.VOICE_LC_HEADER, kind="BS_VOICE")
         m = dmr.decode_burst(dmr.DMRBurst(kind="BS_VOICE", dibits=b, sync_quality=1.0))
         assert m["dataTypeName"] == "VOICE_LC_HEADER"
         assert m["dst_id"] == 300 and m["src_id"] == 400
+        assert m["rsOk"] is True and m["rsErrors"] == 0
+
+    def test_full_lc_rs_corrects_and_rejects(self):
+        lc = dmr.make_full_lc_bits(
+            dmr.DataType.TERMINATOR_WITH_LC, flco=0, dst_id=1234, src_id=567890
+        )
+        # single corrupted byte (8 bits inside one RS symbol) is corrected
+        bad = lc.copy()
+        bad[24:32] ^= 1
+        m = dmr.parse_full_lc(bad, dmr.DataType.TERMINATOR_WITH_LC)
+        assert m["rsOk"] and m["rsErrors"] == 1
+        assert m["dst_id"] == 1234 and m["src_id"] == 567890
+        # two corrupted symbols exceed t=1 -> flagged, raw fields reported
+        bad2 = lc.copy()
+        bad2[24:32] ^= 1
+        bad2[48:56] ^= 1
+        m2 = dmr.parse_full_lc(bad2, dmr.DataType.TERMINATOR_WITH_LC)
+        assert m2["rsOk"] is False
+        # wrong header-type mask must not validate
+        m3 = dmr.parse_full_lc(lc, dmr.DataType.VOICE_LC_HEADER)
+        assert m3["rsOk"] is False
 
     def test_corrupted_burst_still_decodes(self):
         bits = dmr.make_csbk_bits(0x33, channel=55, dst_id=1, src_id=2)

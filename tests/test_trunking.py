@@ -601,11 +601,9 @@ class TestDmrTier3Trunking:
         from wavecap_tpu.trunking.recorder import CallInfo, VoiceRecorder
 
         def term_bits(dst):
-            bits = np.zeros(96, np.uint8)
-            # FLCO 0 group voice, dst in bits 24..47
-            for i in range(24):
-                bits[24 + i] = (dst >> (23 - i)) & 1
-            return bits
+            return dmr.make_full_lc_bits(
+                dmr.DataType.TERMINATOR_WITH_LC, dst_id=dst
+            )
 
         rec = VoiceRecorder(0, "v0", protocol="dmr_tier3", dmr_stride=1)
         rec.assign(CallInfo(tgid=800, source_id=0, frequency_hz=460.2e6,
@@ -614,6 +612,15 @@ class TestDmrTier3Trunking:
         # wrong-talkgroup terminator: ignored
         burst = dmr.build_data_burst(
             term_bits(999), dmr.DataType.TERMINATOR_WITH_LC)
+        rec.process_symbols(
+            dmr.DIBIT_SYMBOLS[burst].astype(np.float32), now=6.0)
+        assert rec.last_activity == 5.0
+        # matching talkgroup but unverifiable RS parity (two corrupt LC
+        # bytes): ignored
+        lc = term_bits(800)
+        lc[8:16] ^= 1   # fid byte
+        lc[16:24] ^= 1  # service-options byte (dst field stays intact)
+        burst = dmr.build_data_burst(lc, dmr.DataType.TERMINATOR_WITH_LC)
         rec.process_symbols(
             dmr.DIBIT_SYMBOLS[burst].astype(np.float32), now=6.0)
         assert rec.last_activity == 5.0

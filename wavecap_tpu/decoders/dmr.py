@@ -131,6 +131,7 @@ from enum import IntEnum
 
 from .fec import bptc as _bptc
 from .fec import golay as _golay
+from .fec.rs import RS_12_9 as _rs129
 
 
 class DataType(IntEnum):
@@ -186,8 +187,12 @@ def decode_slot_type(bits20: np.ndarray) -> tuple[int, int, int] | None:
 
 
 CSBK_CRC_MASK = 0xA5A5
-# full-LC CRC masks differ per header type (ETSI B.2.1) — parity currently
-# reported raw, not verified (RS(12,9) over GF(256) not implemented).
+# Full LC is RS(12,9)-protected over GF(256); the 3 parity bytes are XORed
+# with a per-header-type mask (ETSI TS 102 361-1 B.2.1 / B.3.6).
+FLC_PARITY_MASKS = {
+    1: 0x969696,  # VOICE_LC_HEADER
+    2: 0x999999,  # TERMINATOR_WITH_LC
+}
 
 CSBK_OPCODES = {
     0x19: "C_ALOHA",
@@ -303,22 +308,76 @@ def make_csbk_bits(opcode: int, fid: int = 0, **fields) -> np.ndarray:
     return bits
 
 
-def parse_full_lc(bits96: np.ndarray) -> dict:
+def parse_full_lc(bits96: np.ndarray, data_type: int | None = None) -> dict:
     """Voice LC header / terminator payload -> fields (ETSI 9.1.6).
 
     72 LC bits: PF(1) R(1) FLCO(6) FID(8) service options(8) dst(24)
-    src(24); the trailing 24 bits are RS(12,9) parity (reported raw).
+    src(24); the trailing 24 bits are RS(12,9) parity over GF(256), XORed
+    with a per-header-type mask.  With ``data_type`` given, the parity is
+    verified and a single corrupted byte is corrected (``rsOk`` /
+    ``rsErrors``); fields come from the corrected LC when decoding
+    succeeds, from the raw bits otherwise.
     """
     bits = np.asarray(bits96, np.uint8)
-    return {
+    rs_ok = None
+    rs_errors = None
+    if data_type in FLC_PARITY_MASKS:
+        cw = np.packbits(bits).astype(np.int64)
+        mask = FLC_PARITY_MASKS[data_type]
+        cw[9] ^= (mask >> 16) & 0xFF
+        cw[10] ^= (mask >> 8) & 0xFF
+        cw[11] ^= mask & 0xFF
+        decoded = _rs129.decode(cw)
+        if decoded is not None:
+            data, rs_errors = decoded
+            rs_ok = True
+            bits = np.unpackbits(np.asarray(data, np.uint8))
+        else:
+            rs_ok = False
+    out = {
         "protected": bool(bits[0]),
         "flco": _bits_to_int(bits, 2, 6),
         "fid": _bits_to_int(bits, 8, 8),
         "service_options": _bits_to_int(bits, 16, 8),
         "dst_id": _bits_to_int(bits, 24, 24),
         "src_id": _bits_to_int(bits, 48, 24),
-        "rs_parity": _bits_to_int(bits, 72, 24),
     }
+    if rs_ok is not None:
+        out["rsOk"] = rs_ok
+        if rs_errors is not None:
+            out["rsErrors"] = int(rs_errors)
+    return out
+
+
+def make_full_lc_bits(
+    data_type: int,
+    flco: int = 0,
+    fid: int = 0,
+    service_options: int = 0,
+    dst_id: int = 0,
+    src_id: int = 0,
+    protected: bool = False,
+) -> np.ndarray:
+    """Build the 96 full-LC bits (RS(12,9) parity, masked) for tests."""
+    bits = np.zeros(96, np.uint8)
+
+    def put(start: int, n: int, value: int) -> None:
+        for i in range(n):
+            bits[start + i] = (value >> (n - 1 - i)) & 1
+
+    bits[0] = int(protected)
+    put(2, 6, flco)
+    put(8, 8, fid)
+    put(16, 8, service_options)
+    put(24, 24, dst_id)
+    put(48, 24, src_id)
+    data = np.packbits(bits[:72])
+    parity = _rs129.encode(list(data))
+    mask = FLC_PARITY_MASKS.get(data_type, 0)
+    put(72, 8, parity[0] ^ ((mask >> 16) & 0xFF))
+    put(80, 8, parity[1] ^ ((mask >> 8) & 0xFF))
+    put(88, 8, parity[2] ^ (mask & 0xFF))
+    return bits
 
 
 def burst_info_bits(burst: "DMRBurst") -> np.ndarray:
@@ -362,7 +421,7 @@ def decode_burst(burst: "DMRBurst") -> dict | None:
         else:
             out["crcError"] = True
     elif dtype in (DataType.VOICE_LC_HEADER, DataType.TERMINATOR_WITH_LC):
-        out.update(parse_full_lc(info))
+        out.update(parse_full_lc(info, int(dtype)))
     else:
         out["data"] = bytes(np.packbits(info))
     return out

@@ -27,15 +27,15 @@ _GF64 = GF(6, 0x43)  # x^6 + x + 1
 
 
 class ReedSolomon:
-    """Errors-only shortened RS(n, k) over GF(64)."""
+    """Errors-only shortened RS(n, k) over a GF(2^m) field (default GF(64))."""
 
-    def __init__(self, n: int, k: int):
-        assert 0 < k < n <= 63
+    def __init__(self, n: int, k: int, gf: GF | None = None):
+        self.gf = gf = gf if gf is not None else _GF64
+        assert 0 < k < n <= gf.n
         self.n = n
         self.k = k
         self.nparity = n - k
         self.t = (n - k) // 2
-        gf = _GF64
         g = [1]
         for i in range(1, self.nparity + 1):
             g = gf.poly_mul(g, [gf.pow_alpha(i), 1])  # (x - alpha^i)
@@ -44,8 +44,8 @@ class ReedSolomon:
     # -- encode ------------------------------------------------------------
 
     def encode(self, data: list[int] | np.ndarray) -> list[int]:
-        """k data hexbits -> (n-k) parity hexbits (systematic)."""
-        gf = _GF64
+        """k data symbols -> (n-k) parity symbols (systematic)."""
+        gf = self.gf
         assert len(data) == self.k
         # remainder of data(x) * x^(n-k) mod g(x)
         rem = [0] * self.nparity
@@ -64,8 +64,8 @@ class ReedSolomon:
 
         Returns None if more than t symbols are corrupt (decoding failure).
         """
-        gf = _GF64
-        cw = [int(c) & 0x3F for c in codeword]
+        gf = self.gf
+        cw = [int(c) & gf.n for c in codeword]
         assert len(cw) == self.n
         # syndromes: S_j = C(alpha^j), j=1..2t, with C as a degree n-1 poly
         # whose highest-degree coefficient is cw[0] (shortened: implicit
@@ -149,3 +149,10 @@ class ReedSolomon:
 RS_24_12 = ReedSolomon(24, 12)  # LDU1 LC, TDULC
 RS_24_16 = ReedSolomon(24, 16)  # LDU2 ESS
 RS_36_20 = ReedSolomon(36, 20)  # HDU
+
+# DMR full link control: RS(12,9) over GF(256) with the ETSI field
+# x^8+x^4+x^3+x^2+1 and generator roots alpha^1..alpha^3 (ETSI TS 102
+# 361-1 B.3.6; generator coefficients [64, 56, 14, 1] ascending).  t=1:
+# corrects a single byte error in the 96-bit FLC.
+_GF256 = GF(8, 0x11D)
+RS_12_9 = ReedSolomon(12, 9, _GF256)

@@ -206,6 +206,7 @@ class VoiceRecorder:
             trusted = (
                 parsed.get("bptcClean")
                 and parsed.get("slotTypeErrors", 99) <= 1
+                and parsed.get("rsOk") is not False  # RS(12,9) LC parity
                 and self.call is not None
                 and parsed.get("dst_id") == self.call.tgid
             )

@@ -129,6 +129,8 @@ def _biquad_scan(x, b0, b1, b2, a1, a2, z0):
 
 def sos_filter(x: jnp.ndarray, sos: np.ndarray, z):
     """Cascade of biquads (scipy ``sosfilt`` semantics).  Returns ``(y, z)``."""
+    if x.shape[-1] == 0:  # empty block: state passes through unchanged
+        return x, jnp.asarray(z)
     zs = []
     y = x
     for i in range(sos.shape[0]):

@@ -25,6 +25,9 @@ def power_spectrum(
 ) -> jnp.ndarray:
     """Single power spectrum (dB, fftshifted) of the first frame of ``iq``."""
     frame = iq[..., :fft_size]
+    if frame.shape[-1] < fft_size:  # short/empty block: zero-pad the frame
+        pad = [(0, 0)] * (frame.ndim - 1) + [(0, fft_size - frame.shape[-1])]
+        frame = jnp.pad(frame, pad)
     win = jnp.asarray(_hann(fft_size))
     spec = jnp.fft.fftshift(jnp.fft.fft(frame * win, axis=-1), axes=-1)
     p = (jnp.abs(spec) ** 2) / (np.float32(fft_size) * ref_level)

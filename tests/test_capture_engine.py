@@ -538,12 +538,12 @@ class TestPipelineRebuildRace:
         cap.create_channel(
             ChannelSpec(id="n", mode="nbfm", frequency_hz=CENTER - 100_000.0)
         )
-        assert "nbfm" in cap._dev_state.banks
+        assert ("nbfm", ()) in cap._dev_state.banks
         release.set()
         t.join(60)
         assert not t.is_alive()
         # the old dispatch's write-back must have been dropped
-        assert "nbfm" in cap._dev_state.banks
+        assert ("nbfm", ()) in cap._dev_state.banks
         # and the new program runs cleanly against the preserved state
         cap._dispatch_blocks(blocks)
         assert cap.state != "failed", cap.error

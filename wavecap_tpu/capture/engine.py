@@ -39,7 +39,17 @@ from . import pipeline as pl
 logger = logging.getLogger(__name__)
 
 WIDE_MODES = ("wbfm",)
-P25_MODES = ("p25",)
+# "dmr" rides the same 4800-baud 4FSK symbol bank as P25 C4FM (the DMR
+# attachment consumes the channel's soft symbols)
+P25_MODES = ("p25", "dmr")
+
+
+def dsp_key(dsp: dict) -> tuple:
+    """Canonical hashable form of per-channel DSP overrides (bank key part)."""
+    return tuple(
+        (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+        for k, v in sorted(dsp.items())
+    )
 
 
 @dataclass
@@ -47,10 +57,14 @@ class ChannelSpec:
     """User-facing channel definition."""
 
     id: str
-    mode: str  # wbfm | nbfm | am | sam | usb | lsb
+    mode: str  # wbfm | nbfm | am | sam | usb | lsb | p25 | dmr
     frequency_hz: float  # absolute RF frequency
     squelch_db: float | None = None
     name: str = ""
+    # demod-config overrides (snake_case field -> value), e.g.
+    # {"enable_deemphasis": False, "notch_frequencies": (1000.0,)};
+    # reference api.py ChannelSettings surface
+    dsp: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -91,7 +105,7 @@ class ChannelHandle:
 
     def __init__(self, spec: ChannelSpec, mode_group: str, slot: int):
         self.spec = spec
-        self.mode_group = mode_group  # "wide", "p25", or a narrow mode name
+        self.mode_group = mode_group  # "wide", "p25", or (mode, dsp_key)
         self.slot = slot
         self.audio = FanOut(maxsize=32)
         self.symbols = FanOut(maxsize=32)  # P25 soft-symbol batches
@@ -231,28 +245,76 @@ class Capture:
             return "p25"
         return m
 
+    def _group_for(self, spec: ChannelSpec):
+        """Bank group key: "wide", "p25", or (mode, dsp_key) for narrow
+        channels — same (mode, DSP overrides) share one vmapped bank."""
+        g = self._mode_group(spec.mode)
+        if g == "wide":
+            self._validate_dsp("wbfm", spec.dsp)
+            return g
+        if g == "p25":
+            if spec.dsp:
+                raise ValueError(f"dsp options not supported for {spec.mode}")
+            return g
+        from wavecap_tpu.models.registry import get_demod
+
+        get_demod(g)  # unknown narrow modes fail here, before slotting
+        self._validate_dsp(g, spec.dsp)
+        return (g, dsp_key(spec.dsp))
+
+    @staticmethod
+    def _validate_dsp(mode: str, dsp: dict) -> None:
+        if not dsp:
+            return
+        import dataclasses
+
+        from wavecap_tpu.models.registry import get_demod
+
+        cfg_cls = (
+            pl.models.WbfmConfig if mode == "wbfm" else get_demod(mode).config_cls
+        )
+        allowed = {f.name for f in dataclasses.fields(cfg_cls)} - {
+            "sample_rate",
+            "audio_rate",
+            "mode",
+        }
+        bad = set(dsp) - allowed
+        if bad:
+            raise ValueError(
+                f"unknown dsp option(s) for {mode}: {sorted(bad)}; "
+                f"allowed: {sorted(allowed)}"
+            )
+
+    def _alloc_slot(self, group, exclude_id: str | None = None) -> int:
+        if group == "wide":
+            cap = self.config.wide_capacity
+        elif group == "p25":
+            cap = self.config.p25_capacity
+        else:
+            cap = self.config.narrow_capacity
+        used = {
+            c.slot
+            for c in self.channels.values()
+            if c.mode_group == group and c.spec.id != exclude_id
+        }
+        free = [s for s in range(cap) if s not in used]
+        if not free:
+            name = group if isinstance(group, str) else group[0]
+            raise RuntimeError(f"no free {name} slots (capacity {cap})")
+        return free[0]
+
     def create_channel(self, spec: ChannelSpec) -> ChannelHandle:
         with self._lock:
             if spec.id in self.channels:
                 raise ValueError(f"channel {spec.id!r} exists")
-            group = self._mode_group(spec.mode)
+            group = self._group_for(spec)
             off = spec.frequency_hz - self.config.center_hz
             half = self.config.sample_rate / 2
             if not (-half < off < half):
                 raise ValueError(
                     f"frequency {spec.frequency_hz} outside capture span"
                 )
-            if group == "wide":
-                cap = self.config.wide_capacity
-            elif group == "p25":
-                cap = self.config.p25_capacity
-            else:
-                cap = self.config.narrow_capacity
-            used = {c.slot for c in self.channels.values() if c.mode_group == group}
-            free = [s for s in range(cap) if s not in used]
-            if not free:
-                raise RuntimeError(f"no free {group} slots (capacity {cap})")
-            ch = ChannelHandle(spec, group, free[0])
+            ch = ChannelHandle(spec, group, self._alloc_slot(group))
             self.channels[spec.id] = ch
             self._rebuild_pipeline_if_needed()
             self._ctl_dirty = True
@@ -275,9 +337,37 @@ class Capture:
                 half = self.config.sample_rate / 2
                 if not (-half < off < half):
                     raise ValueError(f"frequency {freq} outside capture span")
+            new_mode = kwargs.pop("mode", None)
+            dsp_patch = kwargs.pop("dsp", None)
+            if new_mode is not None or dsp_patch is not None:
+                # mode / DSP-settings change: re-slot into the target bank
+                # group (static change -> one pipeline rebuild); None values
+                # in the patch remove that override
+                cand_dsp = dict(ch.spec.dsp)
+                if dsp_patch is not None:
+                    for k, v in dsp_patch.items():
+                        if v is None:
+                            cand_dsp.pop(k, None)
+                        else:
+                            cand_dsp[k] = tuple(v) if isinstance(v, list) else v
+                cand = ChannelSpec(
+                    id=ch.spec.id,
+                    mode=new_mode or ch.spec.mode,
+                    frequency_hz=ch.spec.frequency_hz,
+                    dsp=cand_dsp,
+                )
+                group = self._group_for(cand)  # validates mode + dsp
+                if group != ch.mode_group:
+                    ch.slot = self._alloc_slot(group, exclude_id=ch.spec.id)
+                    ch.mode_group = group
+                ch.spec.mode = cand.mode
+                ch.spec.dsp = cand_dsp
             for k, v in kwargs.items():
-                if v is not None and hasattr(ch.spec, k):
+                if k == "squelch_db":
+                    ch.spec.squelch_db = v  # explicit None = open squelch
+                elif v is not None and hasattr(ch.spec, k):
                     setattr(ch.spec, k, v)
+            self._rebuild_pipeline_if_needed()
             self._ctl_dirty = True
             return ch
 
@@ -338,6 +428,17 @@ class Capture:
             )
         )
 
+    def _wide_dsp(self) -> tuple:
+        """Merged WBFM DSP overrides across wide channels (one shared
+        vmapped config; deterministic channel-id order, later ids win)."""
+        merged: dict = {}
+        for c in sorted(
+            (c for c in self.channels.values() if c.mode_group == "wide"),
+            key=lambda c: c.spec.id,
+        ):
+            merged.update(c.spec.dsp)
+        return dsp_key(merged)
+
     def enable_wide_baseband(self) -> None:
         """Turn on the 240 kHz pre-MPX baseband export for wide slots
         (RDS consumers); triggers a pipeline rebuild on the next block."""
@@ -365,6 +466,7 @@ class Capture:
             p25_modulation=cfg.p25_modulation,
             audio_rate=cfg.audio_rate,
             export_wide_baseband=self._wide_baseband and "wide" in groups,
+            wide_dsp=self._wide_dsp() if "wide" in groups else (),
         )
 
     def _rebuild_pipeline_if_needed(self) -> None:
@@ -389,7 +491,6 @@ class Capture:
         cfg = self._pipe_cfg
         ctl = pl.control_init(cfg)
         ch_cfg = self._channelizer
-        banks = {m: dict(idx=[], fine=[], act=[], sq=[], slots=[]) for m in cfg.narrow_modes}
         wide = dict(off=[0.0] * cfg.wide_capacity, act=[False] * cfg.wide_capacity,
                     sq=[-1e9] * cfg.wide_capacity)
         bank_arrays = {
@@ -897,6 +998,12 @@ class Capture:
                     "frequencyHz": c.spec.frequency_hz,
                     "rssiDb": round(c.rssi_db, 1),
                     "name": c.spec.name,
+                    "squelchDb": c.spec.squelch_db,
+                    "state": c.state,
+                    "dsp": {
+                        k: list(v) if isinstance(v, tuple) else v
+                        for k, v in c.spec.dsp.items()
+                    },
                 }
                 for c in self.channels.values()
             ],

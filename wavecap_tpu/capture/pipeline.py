@@ -59,6 +59,20 @@ NARROW_MODES = ("nbfm", "am", "sam", "usb", "lsb")
 WIDE_RATE = 240_000  # WBFM intermediate rate
 
 
+def bank_key_parts(entry) -> tuple[str, tuple]:
+    """A ``narrow_modes`` entry -> ``(mode, dsp_overrides)``.
+
+    Entries are either a bare mode string (``"nbfm"``) or a
+    ``(mode, ((field, value), ...))`` tuple carrying per-channel DSP
+    config overrides (reference api.py ChannelSettings fields).  Channels
+    sharing (mode, overrides) share one vmapped bank; a new combination
+    is a static change (one recompile), like a new mode."""
+    if isinstance(entry, str):
+        return entry, ()
+    mode, opts = entry
+    return mode, tuple(opts)
+
+
 @dataclass(frozen=True)
 class WideSlotConfig:
     """Direct-path (WBFM) slot group config."""
@@ -66,6 +80,7 @@ class WideSlotConfig:
     sample_rate: int
     capacity: int = 2
     audio_rate: int = 48_000
+    dsp: tuple = ()  # WbfmConfig overrides ((field, value), ...)
 
     @property
     def decim(self) -> int:
@@ -75,13 +90,21 @@ class WideSlotConfig:
     def if_rate(self) -> int:
         return int(self.sample_rate) // self.decim
 
+    def wbfm_cfg(self) -> "models.WbfmConfig":
+        return models.WbfmConfig(
+            sample_rate=self.if_rate, audio_rate=self.audio_rate,
+            **dict(self.dsp),
+        )
+
 
 @dataclass(frozen=True)
 class CapturePipelineConfig:
     sample_rate: int
     block_size: int
     fft_size: int = 2048
-    narrow_modes: tuple = ()  # subset of NARROW_MODES present
+    # bank keys present: mode strings and/or (mode, dsp_overrides) tuples
+    # (see bank_key_parts)
+    narrow_modes: tuple = ()
     narrow_capacity: int = 8
     channel_bandwidth: float = 25_000.0
     wide_capacity: int = 0
@@ -92,6 +115,10 @@ class CapturePipelineConfig:
     # (RDS consumers need the 57 kHz subcarrier, which cannot survive the
     # 48 kHz audio path) — costs ~1 MB/s/slot of fetch, so opt-in
     export_wide_baseband: bool = False
+    # WbfmConfig overrides for the wide (WBFM) slot group, ((field, value),
+    # ...).  Wide slots share one vmapped config, so DSP settings apply to
+    # the whole group (documented caveat vs the reference's per-channel)
+    wide_dsp: tuple = ()
     # spectrum frames fetched per block: raw FFT frames are averaged down
     # (in the power domain, on-device) to this many.  Raw frames at
     # block_size/fft_size per block dominated the device->host fetch
@@ -105,15 +132,17 @@ class CapturePipelineConfig:
             channel_bandwidth=self.channel_bandwidth,
         )
 
-    def bank_cfg(self, mode: str) -> ChannelBankConfig:
+    def bank_cfg(self, entry) -> ChannelBankConfig:
         ch = self.channelizer()
         rate = int(ch.channel_rate)
+        mode, opts = bank_key_parts(entry)
         spec = get_demod(mode)
         kwargs: dict[str, Any] = dict(sample_rate=rate, audio_rate=self.audio_rate)
         if mode == "nbfm":
             kwargs.update(enable_highpass=True, enable_lowpass=True)
         if mode in ("usb", "lsb"):
             kwargs.update(mode=mode)
+        kwargs.update(dict(opts))  # per-channel DSP overrides win
         return ChannelBankConfig(
             channelizer=ch,
             mode=mode,
@@ -126,6 +155,7 @@ class CapturePipelineConfig:
             sample_rate=self.sample_rate,
             capacity=self.wide_capacity,
             audio_rate=self.audio_rate,
+            dsp=self.wide_dsp,
         )
 
 
@@ -173,8 +203,7 @@ def _wide_taps(cfg: WideSlotConfig) -> np.ndarray:
 
 def wide_init(cfg: WideSlotConfig) -> WideState:
     taps = _wide_taps(cfg)
-    wb_cfg = models.WbfmConfig(sample_rate=cfg.if_rate, audio_rate=cfg.audio_rate)
-    base = models.wbfm_init(wb_cfg)
+    base = models.wbfm_init(cfg.wbfm_cfg())
     w = cfg.capacity
     return WideState(
         nco_phase=jnp.zeros(w, jnp.uint32),
@@ -235,7 +264,7 @@ def _wide_step(
     export_baseband: bool = False,
 ):
     taps = jnp.asarray(_wide_taps(cfg))
-    wb_cfg = models.WbfmConfig(sample_rate=cfg.if_rate, audio_rate=cfg.audio_rate)
+    wb_cfg = cfg.wbfm_cfg()
 
     def per_slot(offset, phase0, tail, dstate):
         shifted, phase1 = ops.freq_shift(iq, -offset, cfg.sample_rate, phase0)
@@ -284,12 +313,12 @@ def capture_step(
 
     new_banks = {}
     bank_out = {}
-    for mode in cfg.narrow_modes:
+    for key in cfg.narrow_modes:
         o, s = bank_demod_step(
-            chans, state.banks[mode], ctl.banks[mode], cfg.bank_cfg(mode)
+            chans, state.banks[key], ctl.banks[key], cfg.bank_cfg(key)
         )
-        bank_out[mode] = o
-        new_banks[mode] = s
+        bank_out[key] = o
+        new_banks[key] = s
     out["banks"] = bank_out
 
     new_wide = state.wide

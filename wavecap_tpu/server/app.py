@@ -228,7 +228,63 @@ def channel_json(cap: Capture, ch) -> dict:
         "rssiDb": round(ch.rssi_db, 1),
         "state": ch.state,
         "audioSubscribers": ch.audio.count,
+        "dsp": {k: list(v) if isinstance(v, tuple) else v
+                for k, v in ch.spec.dsp.items()},
     }
+
+
+# Reference ChannelSettings field names (api.py channel update) -> demod
+# config fields.  Values pass through except where a converter is given.
+DSP_FIELDS: dict[str, tuple[str, Any]] = {
+    "enableDeemphasis": ("enable_deemphasis", None),
+    "deemphasisTauUs": ("deemphasis_tau", lambda v: float(v) * 1e-6),
+    "enableMpxFilter": ("enable_mpx_filter", None),
+    "mpxCutoffHz": ("mpx_cutoff_hz", float),
+    "enableFmHighpass": ("enable_highpass", None),
+    "fmHighpassHz": ("highpass_hz", float),
+    "enableFmLowpass": ("enable_lowpass", None),
+    "fmLowpassHz": ("lowpass_hz", float),
+    "enableAmHighpass": ("enable_highpass", None),
+    "amHighpassHz": ("highpass_hz", float),
+    "enableAmLowpass": ("enable_lowpass", None),
+    "amLowpassHz": ("lowpass_hz", float),
+    "enableSsbBandpass": ("enable_bandpass", None),
+    "ssbBandpassLowHz": ("bandpass_low", float),
+    "ssbBandpassHighHz": ("bandpass_high", float),
+    "ssbBfoOffsetHz": ("bfo_offset_hz", float),
+    "enableAgc": ("enable_agc", None),
+    "agcTargetDb": ("agc_target_db", float),
+    "enableNoiseBlanker": ("enable_noise_blanker", None),
+    "noiseBlankerThresholdDb": ("noise_blanker_threshold_db", float),
+    "enableNoiseReduction": ("enable_noise_reduction", None),
+    "noiseReductionDb": ("noise_reduction_db", float),
+    "notchFrequencies": (
+        "notch_frequencies",
+        lambda v: tuple(float(x) for x in v),
+    ),
+    "maxDeviationHz": ("max_deviation_hz", float),
+    "targetRms": ("target_rms", float),
+    "fastDiscriminator": ("fast_discriminator", None),
+    "pllBandwidthHz": ("pll_bandwidth_hz", float),
+}
+
+
+def dsp_from_body(body: dict) -> dict | None:
+    """Collect DSP overrides from a channel create/update body.
+
+    Accepts both the reference's camelCase names (DSP_FIELDS) and raw
+    snake_case config fields under ``dsp``; null values remove an
+    override.  Returns None when the body carries no DSP keys."""
+    out: dict = {}
+    for camel, (snake, conv) in DSP_FIELDS.items():
+        if camel in body:
+            v = body[camel]
+            out[snake] = None if v is None else (conv(v) if conv else v)
+    raw = body.get("dsp")
+    if isinstance(raw, dict):
+        for k, v in raw.items():
+            out[k] = tuple(v) if isinstance(v, list) else v
+    return out or None
 
 
 # ---------------------------------------------------------------------------
@@ -525,6 +581,8 @@ def build_router(state: AppState) -> Router:
                     frequency_hz=float(body["frequencyHz"]),
                     squelch_db=body.get("squelchDb"),
                     name=body.get("name", ""),
+                    dsp={k: v for k, v in (dsp_from_body(body) or {}).items()
+                         if v is not None},
                 )
             )
         except KeyError:
@@ -545,12 +603,24 @@ def build_router(state: AppState) -> Router:
     async def channel_update(req: Request) -> Response:
         cap, ch = state.find_channel(req.params["chid"])
         body = req.json()
-        cap.update_channel(
-            ch.id,
-            frequency_hz=body.get("frequencyHz"),
-            squelch_db=body.get("squelchDb"),
-            name=body.get("name"),
-        )
+        kw: dict = {}
+        if "frequencyHz" in body:
+            kw["frequency_hz"] = body["frequencyHz"]
+        if "squelchDb" in body:  # explicit null = open squelch
+            kw["squelch_db"] = body["squelchDb"]
+        if "name" in body:
+            kw["name"] = body["name"]
+        if "mode" in body:
+            kw["mode"] = body["mode"]
+        dsp = dsp_from_body(body)
+        if dsp is not None:
+            kw["dsp"] = dsp
+        try:
+            cap.update_channel(ch.id, **kw)
+        except ValueError as e:
+            raise HttpError(422, str(e))
+        except RuntimeError as e:
+            raise HttpError(409, str(e))
         STATE_BROADCASTER.publish("channel", ch.id, "updated", channel_json(cap, ch))
         return Response.json(channel_json(cap, ch))
 

@@ -290,6 +290,9 @@ function channelRow(cap, ch) {
           render();
         } }, "☆"),
       " ",
+      el("button", { class: "small", title: "DSP settings",
+        onClick: () => dspSettingsDlg(ch) }, "𝑓"),
+      " ",
       el("button", { class: "small", title: "Decoder attachments",
         onClick: () => attachmentsDlg(ch) }, "⚙"),
       " ",
@@ -302,6 +305,92 @@ function channelRow(cap, ch) {
         refreshCaptures();
       } }, "✕")));
   return isOpen ? [row, channelDetail(cap, ch)] : [row];
+}
+
+// Per-mode DSP settings (reference ChannelSettings.tsx / api.py channel
+// update): [camelCase API field, snake_case echo key, label, type,
+// default, toUi?] — toUi converts the stored value to display units.
+const DSP_FORMS = {
+  wbfm: [
+    ["enableDeemphasis", "enable_deemphasis", "Deemphasis", "checkbox", true],
+    ["deemphasisTauUs", "deemphasis_tau", "Deemphasis tau (µs)", "number", 75,
+      (v) => v * 1e6],
+    ["enableMpxFilter", "enable_mpx_filter", "MPX lowpass", "checkbox", true],
+    ["mpxCutoffHz", "mpx_cutoff_hz", "MPX cutoff (Hz)", "number", 15000],
+    ["enableFmHighpass", "enable_highpass", "Audio highpass", "checkbox", false],
+    ["fmHighpassHz", "highpass_hz", "Highpass (Hz)", "number", 100],
+  ],
+  nbfm: [
+    ["maxDeviationHz", "max_deviation_hz", "Max deviation (Hz)", "number", 5000],
+    ["enableDeemphasis", "enable_deemphasis", "Deemphasis", "checkbox", false],
+    ["enableFmHighpass", "enable_highpass", "Voice highpass", "checkbox", true],
+    ["fmHighpassHz", "highpass_hz", "Highpass (Hz)", "number", 300],
+    ["enableFmLowpass", "enable_lowpass", "Voice lowpass", "checkbox", true],
+    ["fmLowpassHz", "lowpass_hz", "Lowpass (Hz)", "number", 3000],
+  ],
+  am: [
+    ["enableAgc", "enable_agc", "AGC", "checkbox", true],
+    ["agcTargetDb", "agc_target_db", "AGC target (dB)", "number", -20],
+    ["enableAmHighpass", "enable_highpass", "Audio highpass", "checkbox", true],
+    ["amHighpassHz", "highpass_hz", "Highpass (Hz)", "number", 100],
+    ["enableAmLowpass", "enable_lowpass", "Audio lowpass", "checkbox", true],
+    ["amLowpassHz", "lowpass_hz", "Lowpass (Hz)", "number", 5000],
+  ],
+  ssb: [
+    ["enableSsbBandpass", "enable_bandpass", "Bandpass", "checkbox", true],
+    ["ssbBandpassLowHz", "bandpass_low", "Bandpass low (Hz)", "number", 300],
+    ["ssbBandpassHighHz", "bandpass_high", "Bandpass high (Hz)", "number", 3000],
+    ["ssbBfoOffsetHz", "bfo_offset_hz", "BFO offset (Hz)", "number", 1500],
+    ["enableAgc", "enable_agc", "AGC", "checkbox", true],
+  ],
+};
+DSP_FORMS.sam = DSP_FORMS.am;
+DSP_FORMS.usb = DSP_FORMS.ssb;
+DSP_FORMS.lsb = DSP_FORMS.ssb;
+const DSP_COMMON = [
+  ["enableNoiseBlanker", "enable_noise_blanker", "Noise blanker", "checkbox", false],
+  ["noiseBlankerThresholdDb", "noise_blanker_threshold_db",
+    "Blanker threshold (dB)", "number", 10],
+  ["enableNoiseReduction", "enable_noise_reduction", "Noise reduction",
+    "checkbox", false],
+  ["noiseReductionDb", "noise_reduction_db", "NR depth (dB)", "number", 12],
+];
+
+async function dspSettingsDlg(ch) {
+  const rows = [...(DSP_FORMS[ch.mode] || []),
+                ...(ch.mode === "p25" || ch.mode === "dmr" ? [] : DSP_COMMON)];
+  if (!rows.length) { toast("No DSP settings for this mode"); return; }
+  const dsp = ch.dsp || {};
+  const fields = rows.map(([name, snake, label, type, def, toUi]) => {
+    let cur = dsp[snake];
+    if (cur !== undefined && toUi) cur = toUi(cur);
+    return { name, label, type,
+             value: cur !== undefined ? cur : def,
+             step: "any" };
+  });
+  fields.push({
+    name: "notch", label: "Notch frequencies (Hz, comma-sep)",
+    value: (dsp.notch_frequencies || []).join(", "),
+  });
+  const vals = await modal({
+    title: `DSP — ${ch.name || ch.id} (${ch.mode})`,
+    fields, submitLabel: "Apply",
+  });
+  if (!vals) return;
+  const body = {};
+  for (const [name, , , type] of rows) {
+    if (type === "checkbox") body[name] = !!vals[name];
+    else if (vals[name] !== "" && vals[name] !== undefined)
+      body[name] = Number(vals[name]);
+  }
+  const notch = String(vals.notch || "").split(",")
+    .map((s) => Number(s.trim())).filter((f) => f > 0);
+  body.notchFrequencies = notch.length ? notch : null;
+  try {
+    await api.patch(`/channels/${ch.id}`, body);
+    toast("DSP settings applied");
+    refreshCaptures();
+  } catch (e) { toast(e.message, true); }
 }
 
 async function attachmentsDlg(ch) {

@@ -188,6 +188,25 @@ async function fetchMessages(chid) {
         ? list.map(msgLine).join("\n") : "no decoder messages yet";
       box.scrollTop = box.scrollHeight;
     }
+    // dedicated RDS readout (reference RdsDisplay.tsx): latest PS / PI /
+    // radiotext as a styled strip above the raw message log
+    const rdsEl = document.getElementById(`rds-${chid}`);
+    if (rdsEl) {
+      const rds = [...list].reverse().find((m) => m.decoder === "rds");
+      if (rds) {
+        rdsEl.style.display = "";
+        rdsEl.replaceChildren(
+          el("span", { class: "rds-ps" }, rds.ps || "········"),
+          rds.pi !== undefined && rds.pi !== null
+            ? el("span", { class: "mono muted" },
+                ` PI 0x${Number(rds.pi).toString(16).toUpperCase()}`)
+            : "",
+          el("span", { class: "rds-rt" },
+            ` ${rds.radiotext ?? rds.rt ?? ""}`));
+      } else {
+        rdsEl.style.display = "none";
+      }
+    }
     return list;
   } catch {
     // clear in-flight (with a fresh time so failures back off, not spin)
@@ -234,6 +253,8 @@ function channelDetail(cap, ch) {
           el("label", { class: "inline" }, "VU", vu,
             playing ? null : el("span", { class: "muted" }, "(not playing)")),
           streamLinks(ch)),
+        el("div", { class: "rds-strip", id: `rds-${ch.id}`,
+          style: "display:none" }),
         el("div", { class: "logbox", id: `msgs-${ch.id}`,
           style: "max-height:120px; margin-top:6px" },
           "loading messages…"))));

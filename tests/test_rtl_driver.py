@@ -43,6 +43,9 @@ class FakeRtlLib:
     def set_freq_correction(self, dev, ppm):
         self.calls.append(("ppm", ppm))
 
+    def set_tuner_bandwidth(self, dev, hz):
+        self.calls.append(("bandwidth", hz))
+
     def set_tuner_gain_mode(self, dev, manual):
         self.calls.append(("gain_mode", manual))
 

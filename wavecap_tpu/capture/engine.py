@@ -72,6 +72,12 @@ class CaptureConfig:
     center_hz: float = 100_000_000.0
     sample_rate: int = 2_400_000
     gain_db: float | None = None
+    # front-end tuning extras (reference api.py capture config: ppm
+    # frequency correction, analog bandwidth, antenna port, hardware AGC)
+    ppm: float = 0.0
+    bandwidth_hz: float | None = None
+    antenna: str | None = None
+    agc: bool = False
     block_seconds: float = 0.2
     fft_size: int = 2048
     narrow_capacity: int = 8
@@ -376,16 +382,34 @@ class Capture:
         center_hz: float | None = None,
         gain_db: float | None = None,
         sample_rate: int | None = None,
+        ppm: float | None = None,
+        bandwidth_hz: float | None = None,
+        antenna: str | None = None,
+        agc: bool | None = None,
     ) -> None:
         """Retune the capture (reference ``api.py`` update_capture).
 
-        Center/gain changes retune the running device live (the reader
-        thread calls ``device.configure`` between reads — no stream
-        teardown, so scanner retunes take one block, not a restart).  A
-        sample-rate change rebuilds block geometry and must restart."""
+        Center/gain/ppm/bandwidth/antenna/AGC changes retune the running
+        device live (the reader thread calls ``device.configure`` between
+        reads — no stream teardown, so scanner retunes take one block, not
+        a restart).  A sample-rate change rebuilds block geometry and must
+        restart."""
         rate_change = (
             sample_rate is not None and int(sample_rate) != self.config.sample_rate
         )
+        fe_change = False  # front-end-only knobs: live reconfigure
+        if ppm is not None:
+            self.config.ppm = float(ppm)
+            fe_change = True
+        if bandwidth_hz is not None:
+            self.config.bandwidth_hz = float(bandwidth_hz) or None
+            fe_change = True
+        if antenna is not None:
+            self.config.antenna = antenna or None
+            fe_change = True
+        if agc is not None:
+            self.config.agc = bool(agc)
+            fe_change = True
         was_running = self.state == "running"
         if was_running and rate_change:
             self.stop()
@@ -411,7 +435,7 @@ class Capture:
         if was_running and rate_change:
             self.start()
         elif self.state == "running" and (
-            center_hz is not None or gain_db is not None
+            center_hz is not None or gain_db is not None or fe_change
         ):
             self._retune_pending = True
 
@@ -718,16 +742,21 @@ class Capture:
 
     # -- the loop ----------------------------------------------------------
 
+    def _device_config(self) -> DeviceConfig:
+        return DeviceConfig(
+            center_hz=self.config.center_hz,
+            sample_rate=self.config.sample_rate,
+            gain_db=self.config.gain_db,
+            ppm=self.config.ppm,
+            bandwidth_hz=self.config.bandwidth_hz,
+            antenna=self.config.antenna,
+            agc=self.config.agc,
+        )
+
     def _run(self) -> None:
         gen = self._gen
         try:
-            self.device.configure(
-                DeviceConfig(
-                    center_hz=self.config.center_hz,
-                    sample_rate=self.config.sample_rate,
-                    gain_db=self.config.gain_db,
-                )
-            )
+            self.device.configure(self._device_config())
             stream = self.device.start_stream()
         except Exception as e:  # pragma: no cover - device failures
             if gen == self._gen:
@@ -749,13 +778,7 @@ class Capture:
             while not self._stop.is_set() and gen == self._gen:
                 if self._retune_pending:
                     self._retune_pending = False
-                    self.device.configure(
-                        DeviceConfig(
-                            center_hz=self.config.center_hz,
-                            sample_rate=self.config.sample_rate,
-                            gain_db=self.config.gain_db,
-                        )
-                    )
+                    self.device.configure(self._device_config())
                     # IQ buffered at the old frequency is stale, and the
                     # retune is a phase discontinuity: same reset contract
                     # as an overflow.
@@ -987,6 +1010,11 @@ class Capture:
             "error": self.error,
             "centerHz": self.config.center_hz,
             "sampleRate": self.config.sample_rate,
+            "gainDb": self.config.gain_db,
+            "ppm": self.config.ppm,
+            "bandwidthHz": self.config.bandwidth_hz,
+            "antenna": self.config.antenna,
+            "agc": self.config.agc,
             "blockSize": self.block_size,
             "blocksProcessed": self.blocks_processed,
             "overflowCount": self.overflow_count,

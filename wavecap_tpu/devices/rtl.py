@@ -129,6 +129,12 @@ class RtlLib:
     def set_agc_mode(self, dev, on: bool) -> None:
         self._lib.rtlsdr_set_agc_mode(dev, ctypes.c_int(1 if on else 0))
 
+    def set_tuner_bandwidth(self, dev, hz: int) -> None:
+        # 0 = automatic; absent on very old librtlsdr builds
+        fn = getattr(self._lib, "rtlsdr_set_tuner_bandwidth", None)
+        if fn is not None:
+            fn(dev, ctypes.c_uint32(int(hz)))
+
     def tuner_gains(self, dev) -> list[int]:
         n = self._lib.rtlsdr_get_tuner_gains(dev, None)
         if n <= 0:
@@ -252,6 +258,7 @@ class RtlDevice(Device):
         self.lib.set_sample_rate(dev, int(config.sample_rate))
         self.lib.set_center_freq(dev, int(config.center_hz))
         self.lib.set_freq_correction(dev, int(config.ppm))
+        self.lib.set_tuner_bandwidth(dev, int(config.bandwidth_hz or 0))
         if config.agc or config.gain_db is None:
             # tuner AGC + digital AGC (reference rtl.py:66-69 semantics)
             self.lib.set_tuner_gain_mode(dev, manual=False)

@@ -121,6 +121,18 @@ class SoapyDevice(Device):  # pragma: no cover - requires hardware
             )
         if config.agc:
             self.lib.SoapySDRDevice_setGainMode(dev, SOAPY_SDR_RX, 0, True)
+        if config.bandwidth_hz:
+            self.lib.SoapySDRDevice_setBandwidth(
+                dev, SOAPY_SDR_RX, 0, ctypes.c_double(config.bandwidth_hz)
+            )
+        if config.ppm:
+            self.lib.SoapySDRDevice_setFrequencyCorrection(
+                dev, SOAPY_SDR_RX, 0, ctypes.c_double(config.ppm)
+            )
+        if config.antenna:
+            self.lib.SoapySDRDevice_setAntenna(
+                dev, SOAPY_SDR_RX, 0, config.antenna.encode()
+            )
 
     def start_stream(self) -> StreamHandle:
         dev = self._open()

@@ -455,6 +455,10 @@ def build_router(state: AppState) -> Router:
                     center_hz=float(body.get("centerHz", 100e6)),
                     sample_rate=int(body.get("sampleRate", 2_400_000)),
                     gain_db=body.get("gainDb"),
+                    ppm=float(body.get("ppm", 0.0)),
+                    bandwidth_hz=body.get("bandwidthHz"),
+                    antenna=body.get("antenna"),
+                    agc=bool(body.get("agc", False)),
                     narrow_capacity=state.config.limits.max_channels_per_capture,
                     wide_capacity=state.config.limits.max_wide_channels,
                     p25_capacity=state.config.limits.max_p25_channels,
@@ -556,6 +560,10 @@ def build_router(state: AppState) -> Router:
             center_hz=body.get("centerHz"),
             gain_db=body.get("gainDb"),
             sample_rate=body.get("sampleRate"),
+            ppm=body.get("ppm"),
+            bandwidth_hz=body.get("bandwidthHz"),
+            antenna=body.get("antenna"),
+            agc=body.get("agc"),
         )
         STATE_BROADCASTER.publish("capture", cap.id, "updated", capture_json(cap))
         return Response.json(capture_json(cap))

@@ -553,6 +553,36 @@ function capturePanel(cap) {
         ...(vals.gain !== undefined ? { gainDb: vals.gain } : {}),
       }).then(refreshCaptures).catch((e) => toast(e.message, true));
     } }, "Retune"),
+    el("button", { class: "small", title: "Device settings",
+      onClick: async () => {
+        // reference DeviceSettingsModal/AdvancedSettings: gain, hardware
+        // AGC, ppm correction, analog bandwidth, antenna port — applied
+        // live (reader thread reconfigures between reads, no teardown)
+        const vals = await modal({
+          title: `Device settings — capture ${cap.id}`,
+          fields: [
+            { name: "gain", label: "Gain (dB, blank = auto)", type: "number",
+              optional: true, value: cap.gainDb ?? "", step: "any" },
+            { name: "agc", label: "Hardware AGC", type: "checkbox",
+              value: !!cap.agc },
+            { name: "ppm", label: "Frequency correction (ppm)", type: "number",
+              value: cap.ppm ?? 0, step: "any" },
+            { name: "bw", label: "Bandwidth (Hz, 0 = auto)", type: "number",
+              value: cap.bandwidthHz ?? 0, step: "any" },
+            { name: "antenna", label: "Antenna (blank = default)",
+              value: cap.antenna ?? "", optional: true },
+          ],
+          submitLabel: "Apply",
+        });
+        if (!vals) return;
+        api.patch(`/captures/${cap.id}`, {
+          ...(vals.gain !== undefined ? { gainDb: vals.gain } : {}),
+          agc: !!vals.agc,
+          ppm: Number(vals.ppm || 0),
+          bandwidthHz: Number(vals.bw || 0),  // 0 clears (auto)
+          antenna: vals.antenna ?? "",        // "" clears (default port)
+        }).then(refreshCaptures).catch((e) => toast(e.message, true));
+      } }, "⚙"),
     el("button", { class: "small danger", onClick: async () => {
       if (!(await confirmDlg(`Delete capture ${cap.id}?`))) return;
       if (spectrumCid === cap.id) stopSpectrum();

@@ -41,8 +41,13 @@ logger = logging.getLogger(__name__)
 
 
 def create_device_driver(cfg: config_mod.AppConfig):
-    """Driver selection (reference state.py:29-54): fake | file | soapy."""
+    """Driver selection (reference state.py:29-54):
+    fake | file | rtl | soapy | native | auto (composite)."""
     d = cfg.device
+    if d.driver in ("auto", "composite"):
+        from wavecap_tpu.devices.composite import CompositeDriver
+
+        return CompositeDriver(show_fake_device=d.show_fake_device)
     if d.driver == "file" and d.file_path:
         return FileReplayDriver(d.file_path)
     if d.driver == "native":

@@ -48,9 +48,12 @@ class LimitsConfig:
 
 @dataclass
 class DeviceSection:
-    driver: str = "fake"  # fake | file | soapy
+    driver: str = "fake"  # fake | file | rtl | soapy | native | auto
     file_path: str | None = None
     device_args: dict = field(default_factory=dict)
+    # with driver=auto (composite): keep fake devices visible even when
+    # real hardware enumerates (reference show_fake_device)
+    show_fake_device: bool = False
 
 
 @dataclass

@@ -770,6 +770,10 @@ def build_router(state: AppState) -> Router:
                     center_hz=center + shift,
                     sample_rate=int(float(cap_spec.get("sample_rate", 2_400_000))),
                     gain_db=cap_spec.get("gain_db"),
+                    ppm=float(cap_spec.get("ppm", 0.0)),
+                    bandwidth_hz=cap_spec.get("bandwidth_hz"),
+                    antenna=cap_spec.get("antenna"),
+                    agc=bool(cap_spec.get("agc", False)),
                     narrow_capacity=state.config.limits.max_channels_per_capture,
                     wide_capacity=state.config.limits.max_wide_channels,
                     p25_capacity=state.config.limits.max_p25_channels,
@@ -788,6 +792,10 @@ def build_router(state: AppState) -> Router:
                         frequency_hz=float(c.get("frequency_hz", center)) + shift,
                         squelch_db=c.get("squelch_db"),
                         name=c.get("name", ""),
+                        dsp={
+                            k: tuple(v) if isinstance(v, list) else v
+                            for k, v in (c.get("dsp") or {}).items()
+                        },
                     )
                 )
                 chans.append(channel_json(cap, ch))

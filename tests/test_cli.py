@@ -65,6 +65,42 @@ class TestDemod:
         f = float(np.fft.rfftfreq(len(seg), 1 / arate)[np.argmax(spec)])
         assert abs(f - 1000.0) < 20.0, f
 
+    def test_demod_dsp_overrides_and_notch(self, monkeypatch, tmp_path):
+        """--notch and --dsp flow into the demod config: a 900 Hz notch
+        kills the 900 Hz program tone while 700 Hz survives."""
+        rate = 48_000
+        t = np.arange(2 * rate) / rate
+        msg = 0.5 * np.sin(2 * np.pi * 700 * t) + 0.5 * np.sin(2 * np.pi * 900 * t)
+        phase = 2 * np.pi * 2500 * np.cumsum(msg) / rate
+        iq = np.exp(1j * phase).astype(np.complex64)
+        src = tmp_path / "nbfm.wav"
+        write_iq_wav(src, iq, rate)
+        dst = tmp_path / "a.wav"
+        rc = run_cli(
+            monkeypatch, "demod", "--input", str(src), "--mode", "nbfm",
+            "--notch", "900", "--dsp", "enable_lowpass=true",
+            "--output", str(dst),
+        )
+        assert rc == 0
+        audio, arate = read_audio_wav(dst)
+        a = audio[len(audio) // 2:]
+        sp = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+
+        def band(hz):
+            k = round(hz * len(a) / arate)
+            return 10 * np.log10(sp[k - 3 : k + 4].sum() + 1e-30)
+
+        assert band(700) - band(900) > 20, (band(700), band(900))
+
+    def test_demod_bad_dsp_flag_errors(self, monkeypatch, tmp_path):
+        src = tmp_path / "x.wav"
+        write_iq_wav(src, np.zeros(4800, np.complex64), 48_000)
+        with pytest.raises(SystemExit, match="field=value"):
+            run_cli(
+                monkeypatch, "demod", "--input", str(src), "--mode", "nbfm",
+                "--dsp", "not-an-assignment", "--output", str(tmp_path / "o.wav"),
+            )
+
     def test_raw_cf32_with_offset(self, monkeypatch, tmp_path):
         rate = 96_000
         t = np.arange(int(0.8 * rate)) / rate

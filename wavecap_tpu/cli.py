@@ -100,6 +100,23 @@ def _jit_c4fm(cfg):
     return step, state
 
 
+def _parse_dsp_value(v: str):
+    """CLI --dsp value: bool / number / bare string."""
+    low = v.lower()
+    if low in ("true", "yes", "on"):
+        return True
+    if low in ("false", "no", "off"):
+        return False
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        return v
+
+
 def cmd_demod(args) -> int:
     """Offline demodulation: IQ file -> audio WAV."""
 
@@ -115,7 +132,17 @@ def cmd_demod(args) -> int:
         t = np.arange(len(iq)) / rate
         iq = (iq * np.exp(-2j * np.pi * args.offset * t)).astype(np.complex64)
     spec = models.get_demod(args.mode)
-    cfg = models.make_config(args.mode, rate, audio_rate=args.audio_rate)
+    dsp: dict = {}
+    for kv in args.dsp or []:
+        k, _, v = kv.partition("=")
+        if not _:
+            raise SystemExit(f"--dsp expects field=value, got {kv!r}")
+        dsp[k.strip()] = _parse_dsp_value(v.strip())
+    if args.notch:
+        dsp["notch_frequencies"] = tuple(
+            float(f) for f in args.notch.split(",") if f.strip()
+        )
+    cfg = models.make_config(args.mode, rate, audio_rate=args.audio_rate, **dsp)
     # fixed-size blocks through ONE jitted program: the compile is paid
     # once (and cached across runs/file lengths), and streaming state
     # carries across blocks exactly like the live capture path.  IQ crosses
@@ -395,6 +422,15 @@ def main() -> int:
     s.add_argument("--offset", type=float, default=0.0)
     s.add_argument("--mode", default="wbfm")
     s.add_argument("--audio-rate", type=int, default=48_000)
+    s.add_argument(
+        "--dsp", action="append", metavar="FIELD=VALUE",
+        help="demod config override (snake_case), e.g. "
+        "--dsp enable_deemphasis=false --dsp lowpass_hz=3000; repeatable",
+    )
+    s.add_argument(
+        "--notch", default=None,
+        help="comma-separated notch frequencies in Hz, e.g. 1000,2600",
+    )
     s.add_argument("--output", required=True)
     s.set_defaults(fn=cmd_demod)
 

@@ -1003,6 +1003,24 @@ class TestMcpToolCoverage:
                 met = self.call(mc, "get_channel_metrics",
                                 {"channelId": ch["id"]})
                 assert "rssiDb" in met
+                # DSP overrides + front-end tuning through the MCP tools
+                upd = self.call(mc, "update_channel", {
+                    "channelId": ch["id"],
+                    "dsp": {"notch_frequencies": [900.0]},
+                    "squelchDb": -70.0,
+                })
+                assert upd["dsp"] == {"notch_frequencies": [900.0]}
+                assert upd["squelchDb"] == -70.0
+                upd = self.call(mc, "update_channel", {
+                    "channelId": ch["id"],
+                    "dsp": {"notch_frequencies": None},
+                    "squelchDb": None,
+                })
+                assert upd["dsp"] == {} and upd["squelchDb"] is None
+                capst = self.call(mc, "update_capture", {
+                    "captureId": cid, "ppm": 4.5, "agc": True,
+                })
+                assert capst["ppm"] == 4.5 and capst["agc"] is True
                 ident = self.call(mc, "identify_frequency", {"hz": 100.1e6})
                 assert ident["modeHint"] == "wbfm"
                 health = self.call(mc, "get_system_health", {})

@@ -196,13 +196,18 @@ class McpToolRegistry:
 
         @reg.tool(
             "update_capture",
-            "Retune a capture (captureId, centerHz and/or gainDb)",
+            "Retune a capture (captureId; centerHz/gainDb/ppm/bandwidthHz/"
+            "antenna/agc apply live)",
             {
                 "type": "object",
                 "properties": {
                     "captureId": {"type": "string"},
                     "centerHz": {"type": "number"},
                     "gainDb": {"type": "number"},
+                    "ppm": {"type": "number"},
+                    "bandwidthHz": {"type": "number"},
+                    "antenna": {"type": "string"},
+                    "agc": {"type": "boolean"},
                 },
                 "required": ["captureId"],
             },
@@ -214,6 +219,14 @@ class McpToolRegistry:
                 kw["center_hz"] = float(args["centerHz"])
             if "gainDb" in args:
                 kw["gain_db"] = float(args["gainDb"])
+            if "ppm" in args:
+                kw["ppm"] = float(args["ppm"])
+            if "bandwidthHz" in args:
+                kw["bandwidth_hz"] = float(args["bandwidthHz"])
+            if "antenna" in args:
+                kw["antenna"] = str(args["antenna"])
+            if "agc" in args:
+                kw["agc"] = bool(args["agc"])
             cap.update_config(**kw)
             return cap.status()
 
@@ -235,13 +248,19 @@ class McpToolRegistry:
 
         @reg.tool(
             "update_channel",
-            "Update a channel (frequencyHz, squelchDb)",
+            "Update a channel (frequencyHz, squelchDb, mode, dsp overrides)",
             {
                 "type": "object",
                 "properties": {
                     "channelId": {"type": "string"},
                     "frequencyHz": {"type": "number"},
-                    "squelchDb": {"type": "number"},
+                    "squelchDb": {"type": ["number", "null"]},
+                    "mode": {"type": "string"},
+                    "dsp": {
+                        "type": "object",
+                        "description": "snake_case demod config overrides "
+                        "(null value removes an override)",
+                    },
                 },
                 "required": ["channelId"],
             },
@@ -252,9 +271,21 @@ class McpToolRegistry:
             if "frequencyHz" in args:
                 kw["frequency_hz"] = float(args["frequencyHz"])
             if "squelchDb" in args:
-                kw["squelch_db"] = float(args["squelchDb"])
+                v = args["squelchDb"]
+                kw["squelch_db"] = None if v is None else float(v)
+            if "mode" in args:
+                kw["mode"] = str(args["mode"])
+            if "dsp" in args and isinstance(args["dsp"], dict):
+                kw["dsp"] = args["dsp"]
             cap.update_channel(ch.id, **kw)
-            return {"id": ch.id, "frequencyHz": ch.spec.frequency_hz}
+            return {
+                "id": ch.id,
+                "frequencyHz": ch.spec.frequency_hz,
+                "mode": ch.spec.mode,
+                "squelchDb": ch.spec.squelch_db,
+                "dsp": {k: list(v) if isinstance(v, tuple) else v
+                        for k, v in ch.spec.dsp.items()},
+            }
 
         @reg.tool("delete_channel", "Remove a channel", _CHAN)
         def delete_channel(state, args):

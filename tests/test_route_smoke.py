@@ -95,3 +95,44 @@ def test_all_get_routes_respond_without_500(harness, ids):
             )
             seen += 1
     assert seen >= 45, f"route walk only covered {seen} GET routes"
+
+
+def test_all_ws_routes_handshake(harness, ids):
+    """Every registered WS route completes an upgrade handshake with live
+    ids and closes cleanly — none hang or slam the connection shut."""
+    import asyncio
+
+    import websockets.asyncio.client as ws_client
+
+    router = harness.server.router
+    urls = []
+    for rx, _fn in router.ws_routes:
+        pat = rx.pattern.strip("^$")
+
+        def fill(m):
+            name = m.group(1)
+            return {
+                "cid": ids["cid"], "chid": ids["chid"], "sid": ids["sid"],
+            }.get(name, "dummy")
+
+        url = re.sub(r"\(\?P<(\w+)>[^)]*\)", fill, pat)
+        if "(" not in url:
+            urls.append(url)
+    assert len(urls) >= 10, urls
+
+    async def probe(url):
+        full = f"ws://127.0.0.1:{harness.server.port}{url}"
+        async with ws_client.connect(full, open_timeout=20) as ws:
+            # state/health/system push periodically; data streams may stay
+            # silent on an idle capture — receiving is optional, the
+            # handshake + clean close is the contract under test
+            try:
+                await asyncio.wait_for(ws.recv(), timeout=0.5)
+            except (asyncio.TimeoutError, Exception):
+                pass
+
+    async def run_all():
+        for u in urls:
+            await probe(u)
+
+    asyncio.run(run_all())

@@ -115,3 +115,61 @@ class TestConcurrentOperations:
         assert cap.blocks_processed >= start_blocks + 3
         assert "keep" in cap.channels
         cap.stop()
+
+
+class TestConfigReload:
+    """POST /config/reload re-reads YAML; apply=true rebuilds captures
+    (reference api.py:743 semantics)."""
+
+    def test_reload_and_apply_rebuilds_captures(self, tmp_path):
+        import httpx
+
+        from tests.test_server import ServerHarness
+        from wavecap_tpu.utils import config as config_mod
+
+        cfg_file = tmp_path / "wavecap.yaml"
+        cfg_file.write_text(
+            "server: {host: 127.0.0.1, port: 0, rate_limit_per_min: 100000}\n"
+            "device: {driver: fake}\n"
+            "captures:\n"
+            "  - id: boot1\n"
+            "    center_hz: 155.0e6\n"
+            "    sample_rate: 800000\n"
+            "    auto_start: false\n"
+            "    channels:\n"
+            "      - {id: c1, mode: nbfm, frequency_hz: 155.05e6,\n"
+            "         dsp: {enable_deemphasis: true}}\n"
+        )
+        cfg = config_mod.load_config(cfg_file)
+        h = ServerHarness(cfg).start()
+        try:
+            with httpx.Client(base_url=h.base, timeout=60) as c:
+                # lifespan autostart ran apply_config? (harness doesn't) —
+                # apply now to materialize the YAML captures
+                r = c.post("/config/reload", json={"apply": True})
+                assert r.status_code == 200 and r.json()["applied"]
+                caps = c.get("/captures").json()
+                assert any(cp["id"] == "boot1" for cp in caps)
+                ch = c.get("/channels").json()[0]
+                assert ch["dsp"] == {"enable_deemphasis": True}
+                # edit the file: different channel set; reload+apply swaps it
+                cfg_file.write_text(
+                    "server: {host: 127.0.0.1, port: 0, rate_limit_per_min: 100000}\n"
+                    "device: {driver: fake}\n"
+                    "captures:\n"
+                    "  - id: boot2\n"
+                    "    center_hz: 100.0e6\n"
+                    "    sample_rate: 800000\n"
+                    "    auto_start: false\n"
+                    "    channels: [{id: c2, mode: am, frequency_hz: 100.1e6}]\n"
+                )
+                r = c.post("/config/reload", json={"apply": True})
+                assert r.status_code == 200
+                ids = {cp["id"] for cp in c.get("/captures").json()}
+                assert ids == {"boot2"}
+                # reload without apply only refreshes the config object
+                r = c.post("/config/reload", json={})
+                assert r.json()["ok"] and not r.json()["applied"]
+                assert {cp["id"] for cp in c.get("/captures").json()} == {"boot2"}
+        finally:
+            h.stop()

@@ -1054,17 +1054,22 @@ class CaptureManager:
         return self.driver.enumerate()
 
     def create_capture(
-        self, device_id: str | None = None, config: CaptureConfig | None = None
+        self,
+        device_id: str | None = None,
+        config: CaptureConfig | None = None,
+        capture_id: str | None = None,
     ) -> Capture:
         with self._lock:
             if len(self.captures) >= self.max_captures:
                 raise RuntimeError(f"capture limit {self.max_captures} reached")
+            if capture_id is not None and capture_id in self.captures:
+                raise RuntimeError(f"capture {capture_id!r} exists")
             devices = self.driver.enumerate()
             if not devices:
                 raise RuntimeError("no devices")
             dev_id = device_id or devices[0].id
             device = self.driver.open(dev_id)
-            cap = Capture(device, config or CaptureConfig())
+            cap = Capture(device, config or CaptureConfig(), capture_id)
             cap.recovery = self.recovery
             self.captures[cap.id] = cap
             return cap

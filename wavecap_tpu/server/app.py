@@ -171,6 +171,7 @@ class AppState:
         """Create configured captures/channels/trunking (lifespan autostart)."""
         for spec in self.config.captures:
             cap = self.captures.create_capture(
+                capture_id=spec.id,
                 device_id=spec.device_id,
                 config=CaptureConfig(
                     center_hz=spec.center_hz,
@@ -191,6 +192,7 @@ class AppState:
                         frequency_hz=ch.frequency_hz,
                         squelch_db=ch.squelch_db,
                         name=ch.name,
+                        dsp=dict(ch.dsp),
                     )
                 )
             if spec.auto_start:

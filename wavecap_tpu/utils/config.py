@@ -76,6 +76,7 @@ class ChannelSpecConfig:
     frequency_hz: float
     squelch_db: float | None = None
     name: str = ""
+    dsp: dict = field(default_factory=dict)  # demod config overrides
 
 
 @dataclass
@@ -160,6 +161,10 @@ def config_from_dict(d: dict, paths: list[str] | None = None) -> AppConfig:
                 frequency_hz=float(ch.get("frequency_hz", ch.get("frequencyHz", 0))),
                 squelch_db=ch.get("squelch_db", ch.get("squelchDb")),
                 name=ch.get("name", ""),
+                dsp={
+                    k: tuple(v) if isinstance(v, list) else v
+                    for k, v in (ch.get("dsp") or {}).items()
+                },
             )
             for ch in (c.get("channels") or [])
         ]

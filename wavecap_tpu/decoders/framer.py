@@ -45,11 +45,15 @@ class P25Framer:
     MAX_FRAME = SYNC_LEN + NID_LEN + max(FRAME_BODY_DIBITS.values())
 
     def __init__(self, sync_threshold: float = 0.70):
+        from .nac_tracker import NacTracker
+
         self.sync_threshold = sync_threshold
         self._buf = np.zeros(0, np.float32)
         self.sync_count = 0
         self.frame_count = 0
         self.nid_fail_count = 0
+        self.nid_assist_count = 0  # NIDs recovered via dominant-NAC retry
+        self.nac_tracker = NacTracker()
 
     def reset(self) -> None:
         self._buf = np.zeros(0, np.float32)
@@ -91,12 +95,19 @@ class P25Framer:
             self.sync_count += 1
             scale = 1.0 / amp  # normalizes symbols to ±1/±3 and fixes polarity
             nid_soft = self._buf[off + SYNC_LEN : off + SYNC_LEN + NID_LEN] * scale
-            nid = decode_nid(self._soft_to_dibits(nid_soft), has_status=True)
+            nid = decode_nid(
+                self._soft_to_dibits(nid_soft),
+                has_status=True,
+                assist_nac=self.nac_tracker.dominant(),
+            )
             if nid is None or nid.errors >= 99:
                 self.nid_fail_count += 1
                 # false sync or hopeless NID: skip past this sync
                 self._buf = self._buf[off + 1 :]
                 continue
+            self.nac_tracker.observe(nid.nac)
+            if nid.assisted:
+                self.nid_assist_count += 1
             body = FRAME_BODY_DIBITS.get(nid.duid, 0)
             if nid.duid == DUID.PDU:
                 # variable length: decode the trellis-coded header inline to

@@ -158,10 +158,22 @@ class NID:
     nac: int
     duid: DUID
     errors: int = 0
+    assisted: bool = False  # recovered via dominant-NAC substitution
 
 
-def decode_nid(nid_dibits: np.ndarray, has_status: bool = True) -> NID | None:
-    """Decode the 33-dibit (or 32 pre-stripped) NID."""
+def decode_nid(
+    nid_dibits: np.ndarray,
+    has_status: bool = True,
+    assist_nac: int | None = None,
+) -> NID | None:
+    """Decode the 33-dibit (or 32 pre-stripped) NID.
+
+    With ``assist_nac`` (the channel's dominant NAC from
+    ``nac_tracker.NacTracker``), a failed BCH decode is retried with the
+    12 NAC bits overwritten — removing up to 12 bit errors so the
+    BCH(63,16,23) can correct the remainder (reference
+    ``decoders/nac_tracker.py`` / SDRTrunk NACTracker technique).
+    """
     d = np.asarray(nid_dibits, np.uint8)
     if has_status:
         if len(d) < NID_LEN:
@@ -173,6 +185,22 @@ def decode_nid(nid_dibits: np.ndarray, has_status: bool = True) -> NID | None:
         d = d[:32]
     bits = dibits_to_bits(d)
     data, errors = bch.decode(bits[:63])
+    if errors < 0 and assist_nac is not None:
+        retry = bits.copy()
+        for i in range(12):
+            retry[i] = (assist_nac >> (11 - i)) & 1
+        data, errors = bch.decode(retry[:63])
+        if errors >= 0 and ((data >> 4) & 0xFFF) == (assist_nac & 0xFFF):
+            try:
+                return NID(
+                    nac=assist_nac & 0xFFF,
+                    duid=DUID(data & 0xF),
+                    errors=errors,
+                    assisted=True,
+                )
+            except ValueError:
+                return None
+        errors = -1
     if errors < 0:
         # Fallback extraction (keeps the framer moving; marked unreliable)
         nac = bits_to_int(bits, 0, 12)

@@ -29,6 +29,22 @@ class TestHarness:
         assert rate == 48_000 and len(audio) == report.samples
         assert (tmp_path / "harness_tone.json").exists()
 
+    def test_p25_trunk_preset_locks_and_grants(self, tmp_path):
+        """The p25-trunk preset boots the whole trunking stack against a
+        synthesized control channel and reports lock + a followed call."""
+        from wavecap_tpu.harness import run_trunking_harness
+
+        args = argparse.Namespace(
+            preset="p25-trunk", duration=3.0, iq_file=None,
+            out_dir=str(tmp_path),
+        )
+        report = asyncio.run(run_trunking_harness(args))
+        assert report["synced"], report
+        assert report["nac"] == 0x293
+        assert report["tsbkCount"] > 3 and report["tsbkCrcRate"] > 0.5
+        assert report["systemId"] == 0x123 and report["calls"] >= 1
+        assert (tmp_path / "harness_p25-trunk.json").exists()
+
 
 class TestFileReplay:
     def make_wav(self, tmp_path, n=48_000, rate=800_000):

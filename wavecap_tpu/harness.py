@@ -60,7 +60,125 @@ PRESETS = {
         "channel": {"mode": "am", "frequencyHz": 156.85e6},
         "stations": [{"offset_hz": 50_000.0, "kind": "am", "tone_hz": 700.0}],
     },
+    # synthesized P25 control channel -> full trunking stack via REST:
+    # lock, IDEN learn, voice grant -> call bookkeeping (reference's
+    # harness has no trunking preset; this validates the whole control
+    # plane end-to-end without hardware)
+    "p25-trunk": {
+        "driver": "fake",
+        "trunking": True,
+        "center_hz": 851.5e6,
+        "sample_rate": 960_000,
+        "cc_freq": 851.2e6,
+        "nac": 0x293,
+    },
 }
+
+
+def _make_p25_cc_iq(capture_rate: int, offset_hz: float, nac: int) -> np.ndarray:
+    """Loopable control-channel IQ: TSDUs with IDEN + group grant + RFSS."""
+    from scipy.signal import resample_poly
+
+    from wavecap_tpu.decoders import p25_frames as pf
+    from wavecap_tpu.decoders import p25_tsbk as tsbk
+    from wavecap_tpu.models.p25.c4fm import modulate_c4fm
+
+    iden = pf.encode_tsbk_block(
+        tsbk.TSBKOpcode.IDEN_UP,
+        tsbk.make_iden_up_data(
+            identifier=1, base_freq_mhz=851.0, channel_spacing_khz=12.5,
+            tx_offset_mhz=-45.0,
+        ),
+        last=False,
+    )
+    grant = pf.encode_tsbk_block(
+        tsbk.TSBKOpcode.GRP_V_CH_GRANT,
+        tsbk.make_group_grant_data(
+            tgid=2001, source_id=700123, band=1, channel_number=56
+        ),
+        last=False,
+    )
+    rfss = pf.encode_tsbk_block(
+        tsbk.TSBKOpcode.RFSS_STS_BCAST,
+        tsbk.make_rfss_status_data(
+            system_id=0x123, rfss_id=1, site_id=7, band=1, channel_number=16
+        ),
+        last=True,
+    )
+    dibits = np.concatenate(
+        [pf.build_tsdu_frame(nac, [iden, grant, rfss]) for _ in range(30)]
+    )
+    iq48 = modulate_c4fm(dibits, 48_000)
+    up = int(capture_rate // np.gcd(capture_rate, 48_000))
+    down = int(48_000 // np.gcd(capture_rate, 48_000))
+    iq = resample_poly(iq48, up, down).astype(np.complex64)
+    t = np.arange(len(iq)) / capture_rate
+    return (iq * np.exp(2j * np.pi * offset_hz * t)).astype(np.complex64)
+
+
+async def run_trunking_harness(args) -> dict:
+    """P25 trunking preset: boot server, create system, report lock/calls."""
+    preset = PRESETS[args.preset]
+    cfg = config_from_dict(
+        {"server": {"host": "127.0.0.1", "port": 0}, "device": {"driver": "fake"}}
+    )
+    server = AppServer(cfg)
+    from wavecap_tpu.devices import FakeDriver, FakeStation
+
+    center, rate = preset["center_hz"], preset["sample_rate"]
+    station = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+    station.iq_loop = _make_p25_cc_iq(
+        rate, preset["cc_freq"] - center, preset["nac"]
+    )
+    server.state.driver = FakeDriver(stations=[station])
+    server.state.captures.driver = server.state.driver
+    await server.start()
+    base = f"http://127.0.0.1:{server.port}/api/v1"
+    t0 = time.perf_counter()
+    try:
+        async with httpx.AsyncClient(base_url=base, timeout=120) as client:
+            r = await client.post(
+                "/trunking/systems",
+                json={
+                    "id": "harness", "control_channels": [preset["cc_freq"]],
+                    "center_hz": center, "sample_rate": rate,
+                    "recording_dir": str(Path(args.out_dir) / "rec"),
+                    "autoStart": True,
+                },
+            )
+            assert r.status_code < 300, r.text
+            deadline = time.time() + args.duration + 300  # cold jit headroom
+            st: dict = {}
+            while time.time() < deadline:
+                st = (await client.get("/trunking/systems/harness")).json()
+                calls = (await client.get(
+                    "/trunking/systems/harness/calls"
+                )).json()
+                n_calls = len(calls.get("active", [])) + len(
+                    calls.get("history", [])
+                )
+                if st.get("synced") and st.get("tsbkCount", 0) > 3 and n_calls:
+                    break
+                await asyncio.sleep(0.5)
+            report = {
+                "preset": args.preset,
+                "synced": bool(st.get("synced")),
+                "nac": st.get("nac"),
+                "tsbkCount": st.get("tsbkCount"),
+                "tsbkCrcRate": st.get("tsbkCrcRate"),
+                "systemId": st.get("systemId"),
+                "siteId": st.get("siteId"),
+                "calls": n_calls,
+                "wall_s": round(time.perf_counter() - t0, 1),
+            }
+            out_dir = Path(args.out_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            (out_dir / f"harness_{args.preset}.json").write_text(
+                json.dumps(report, indent=2)
+            )
+            return report
+    finally:
+        await server.stop()
 
 
 @dataclass
@@ -164,6 +282,10 @@ def main() -> int:
     p.add_argument("--iq-file", default=None)
     p.add_argument("--out-dir", default="harness_out")
     args = p.parse_args()
+    if PRESETS[args.preset].get("trunking"):
+        out = asyncio.run(run_trunking_harness(args))
+        print(json.dumps(out, indent=2))
+        return 0 if out.get("synced") and out.get("calls") else 1
     report = asyncio.run(run_harness(args))
     print(json.dumps(asdict(report), indent=2))
     return 0

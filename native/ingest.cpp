@@ -70,7 +70,18 @@ struct Ring {
   void push(const std::complex<float> *data, size_t n) {
     uint64_t w = write_idx.load(std::memory_order_relaxed);
     uint64_t r = read_idx.load(std::memory_order_acquire);
-    if (w + n - r > capacity()) {
+    if (!realtime) {
+      // Non-realtime (replay/bench) mode paces to the consumer: block until
+      // the ring has space rather than dropping — overflow is a realtime
+      // contract, not a property of a free-running synthetic writer.
+      while (running.load(std::memory_order_relaxed) &&
+             w + n - r > capacity()) {
+        std::this_thread::sleep_for(std::chrono::microseconds(200));
+        r = read_idx.load(std::memory_order_acquire);
+      }
+      if (!running.load(std::memory_order_relaxed))
+        return;
+    } else if (w + n - r > capacity()) {
       // reader too slow: drop the whole ring content (overflow contract:
       // downstream resets carried DSP state, reference capture.py:3058)
       overflow_count.fetch_add(1, std::memory_order_relaxed);

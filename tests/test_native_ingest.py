@@ -51,7 +51,9 @@ class TestNativeRing:
             st.close()
 
     def test_overflow_when_reader_stalls(self):
-        drv = NativeDriver(stations=[], realtime=False)  # produces at full speed
+        # Realtime mode keeps the overflow-drop contract (non-realtime mode
+        # paces to the consumer and never overflows by construction).
+        drv = NativeDriver(stations=[], realtime=True)
         dev = drv.open("native0")
         dev.configure(DeviceConfig(sample_rate=2_000_000))
         st = dev.start_stream()

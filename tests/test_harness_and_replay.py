@@ -41,7 +41,13 @@ class TestHarness:
         report = asyncio.run(run_trunking_harness(args))
         assert report["synced"], report
         assert report["nac"] == 0x293
-        assert report["tsbkCount"] > 3 and report["tsbkCrcRate"] > 0.5
+        assert report["tsbkCount"] > 3 and report["tsbkCrcRate"] > 0.5, report
+        # post-acquisition the chain must be essentially lossless on clean
+        # synthesized IQ (reference's offline anchor is 90.7 % on a real
+        # recording, trunking/system.py:1300-1305; a synthetic channel
+        # decodes near-1.0 once the timing/gain transient is excluded)
+        assert report["tsbkCountSteady"] >= 30, report
+        assert report["tsbkCrcRateSteady"] >= 0.95, report
         assert report["systemId"] == 0x123 and report["calls"] >= 1
         assert (tmp_path / "harness_p25-trunk.json").exists()
 

@@ -292,3 +292,81 @@ class TestPDU:
         f = got[0]
         assert f.header.crc_valid and f.crc32_valid
         assert f.data == data
+
+
+class TestBlockTimingAcquisition:
+    def test_acquires_within_two_blocks_any_phase(self):
+        """The feedforward Oerder-Meyr phase estimator must lock the
+        block-timing demod within ~2 blocks regardless of where in the
+        symbol grid the stream starts (the pure Gardner-Newton search had
+        a spurious stall half a symbol off center that stretched
+        acquisition to multi-second, phase-dependent transients)."""
+        fs = 48_000
+        data = tsbk.make_iden_up_data(identifier=1, base_freq_mhz=851.0)
+        blocks = [
+            pf.encode_tsbk_block(tsbk.TSBKOpcode.IDEN_UP, data, last=False),
+            pf.encode_tsbk_block(tsbk.TSBKOpcode.IDEN_UP, data, last=False),
+            pf.encode_tsbk_block(tsbk.TSBKOpcode.IDEN_UP, data, last=True),
+        ]
+        dibits = np.concatenate(
+            [pf.build_tsdu_frame(0x293, blocks) for _ in range(40)]
+        )
+        iq = modulate_c4fm(dibits, fs)
+        block = 4800  # 0.1 s, 480 symbols
+        for phase0 in range(0, 10, 2):  # start offsets across one symbol
+            cfg = C4fmConfig(sample_rate=fs)
+            state = c4fm_init(cfg)
+            framer = P25Framer()
+            ok_after_two = 0
+            total_after_two = 0
+            x = iq[phase0:]
+            for i in range(2, len(x) // block):
+                soft, _, state = c4fm_demodulate(
+                    jnp.asarray(x[i * block : (i + 1) * block]), state, cfg
+                )
+                if i < 2:
+                    framer.process(np.asarray(soft))
+                    continue
+                for fr in framer.process(np.asarray(soft)):
+                    if fr.duid != pf.DUID.TSDU:
+                        continue
+                    payload = pf.remove_status_dibits(fr.dibits[57:], 57)
+                    sl = pf.remove_status_dibits(fr.soft[57:], 57)
+                    for blk in pf.decode_tsbk_payload(payload, sl):
+                        total_after_two += 1
+                        ok_after_two += int(blk.crc_valid)
+            assert total_after_two >= 10, f"phase {phase0}: too few TSBKs"
+            rate = ok_after_two / total_after_two
+            assert rate >= 0.95, f"phase {phase0}: steady CRC {rate:.2f}"
+
+
+class TestSteadyStateCounters:
+    def test_monitor_excludes_acquisition_window(self):
+        """ControlChannelMonitor: steady counters start only after
+        STEADY_MIN_OK passing blocks, so early CRC failures don't poison
+        the steady-state rate."""
+        from wavecap_tpu.trunking.control import (
+            STEADY_MIN_OK,
+            ControlChannelMonitor,
+        )
+
+        mon = ControlChannelMonitor()
+        data = tsbk.make_iden_up_data(identifier=1, base_freq_mhz=851.0)
+        blocks = [
+            pf.encode_tsbk_block(tsbk.TSBKOpcode.IDEN_UP, data, last=False),
+            pf.encode_tsbk_block(tsbk.TSBKOpcode.IDEN_UP, data, last=False),
+            pf.encode_tsbk_block(tsbk.TSBKOpcode.IDEN_UP, data, last=True),
+        ]
+        frame = pf.build_tsdu_frame(0x293, blocks)
+        sym = pf.DIBIT_SYMBOLS[frame].astype(np.float32)
+        # corrupt the first few frames (acquisition), then send clean ones
+        bad = sym.copy()
+        bad[60:200] = -bad[60:200]
+        for _ in range(4):
+            mon.process_symbols(bad, now=0.0)
+        for _ in range(STEADY_MIN_OK + 10):
+            mon.process_symbols(sym, now=0.0)
+        st = mon.stats
+        assert st.tsbk_total > st.tsbk_total_steady > 0
+        assert st.crc_rate_steady == 1.0
+        assert st.crc_rate < 1.0

@@ -76,12 +76,19 @@ PRESETS = {
 
 
 def _make_p25_cc_iq(capture_rate: int, offset_hz: float, nac: int) -> np.ndarray:
-    """Loopable control-channel IQ: TSDUs with IDEN + group grant + RFSS."""
-    from scipy.signal import resample_poly
+    """Seamlessly loopable control-channel IQ: TSDUs with IDEN + group
+    grant + RFSS.
 
+    The loop must be wrap-continuous or every loop period corrupts a
+    frame at the seam (observed as a periodic TSBK CRC failure every
+    2.25 s): the RRC shaping is applied as a *circular* convolution, the
+    FM phase is closed to a multiple of 2pi by a sub-Hz frequency trim,
+    and the channel-offset mixer completes an integer number of cycles
+    over the loop.
+    """
     from wavecap_tpu.decoders import p25_frames as pf
     from wavecap_tpu.decoders import p25_tsbk as tsbk
-    from wavecap_tpu.models.p25.c4fm import modulate_c4fm
+    from wavecap_tpu.models.p25.c4fm import modulate_c4fm_cyclic
 
     iden = pf.encode_tsbk_block(
         tsbk.TSBKOpcode.IDEN_UP,
@@ -108,12 +115,12 @@ def _make_p25_cc_iq(capture_rate: int, offset_hz: float, nac: int) -> np.ndarray
     dibits = np.concatenate(
         [pf.build_tsdu_frame(nac, [iden, grant, rfss]) for _ in range(30)]
     )
-    iq48 = modulate_c4fm(dibits, 48_000)
-    up = int(capture_rate // np.gcd(capture_rate, 48_000))
-    down = int(48_000 // np.gcd(capture_rate, 48_000))
-    iq = resample_poly(iq48, up, down).astype(np.complex64)
-    t = np.arange(len(iq)) / capture_rate
-    return (iq * np.exp(2j * np.pi * offset_hz * t)).astype(np.complex64)
+    iq = modulate_c4fm_cyclic(dibits, capture_rate)
+    n = len(iq)
+    # integer number of mixer cycles over the loop -> phase-continuous wrap
+    cycles = round(offset_hz * n / capture_rate)
+    t = np.arange(n) / n
+    return (iq * np.exp(2j * np.pi * cycles * t)).astype(np.complex64)
 
 
 async def run_trunking_harness(args) -> dict:
@@ -157,7 +164,15 @@ async def run_trunking_harness(args) -> dict:
                 n_calls = len(calls.get("active", [])) + len(
                     calls.get("history", [])
                 )
-                if st.get("synced") and st.get("tsbkCount", 0) > 3 and n_calls:
+                # exit only after the receiver reaches steady state: the
+                # lifetime CRC rate at the instant of first lock is
+                # dominated by the acquisition transient (and flaky);
+                # tsbkCountSteady >= 30 is ~10 TSDUs of post-lock signal
+                if (
+                    st.get("synced")
+                    and st.get("tsbkCountSteady", 0) >= 30
+                    and n_calls
+                ):
                     break
                 await asyncio.sleep(0.5)
             report = {
@@ -166,6 +181,8 @@ async def run_trunking_harness(args) -> dict:
                 "nac": st.get("nac"),
                 "tsbkCount": st.get("tsbkCount"),
                 "tsbkCrcRate": st.get("tsbkCrcRate"),
+                "tsbkCountSteady": st.get("tsbkCountSteady"),
+                "tsbkCrcRateSteady": st.get("tsbkCrcRateSteady"),
                 "systemId": st.get("systemId"),
                 "siteId": st.get("siteId"),
                 "calls": n_calls,

@@ -271,6 +271,18 @@ def _demod_block_timing(buf, filt, n_sym, state, cfg, *, lpf_tail, disc_prev, rr
     slope = (dphi / (2.0 * jnp.pi)) * sps * (sps / jnp.maximum(half_n, 1))
     slope = jnp.clip(slope, -0.005, 0.005)
 
+    # --- feedforward absolute phase (Oerder-Meyr): the symbol-rate line's
+    # complex angle locates the symbol instants directly, with no false
+    # lock — the Gardner discriminant alone has a spurious zero half a
+    # symbol off symbol center, and a Newton search started there stalls
+    # for many blocks (observed as a multi-second CRC acquisition
+    # transient on clean signal).  O&M gives a coarse unambiguous phase
+    # (mod one symbol); the Gardner Newton refinement below then starts
+    # from it whenever the tracked position disagrees by >3/4 sample.
+    tau_om = -jnp.angle(A1 + A2) / (2.0 * jnp.pi) * sps  # filt coords, mod sps
+    pos_mod = jnp.mod(state.pos - INTERP_TAIL, sps)
+    delta_om = jnp.mod(tau_om - pos_mod + sps / 2.0, sps) - sps / 2.0
+
     # --- phase from the block-averaged Gardner discriminant
     m = jnp.arange(n_sym, dtype=jnp.float32)
     base = state.pos + m * freq
@@ -288,10 +300,11 @@ def _demod_block_timing(buf, filt, n_sym, state, cfg, *, lpf_tail, disc_prev, rr
         g = jnp.mean((y[:-1] - y[1:]) * ym[1:])
         return g / jnp.maximum(jnp.mean(y * y), 1e-6)
 
-    g0 = gardner(0.0)
-    g1 = gardner(0.5)
+    d0 = jnp.where(jnp.abs(delta_om) > 0.75, delta_om, 0.0)
+    g0 = gardner(d0)
+    g1 = gardner(d0 + 0.5)
     k = (g1 - g0) / 0.5  # S-curve slope (samples^-1)
-    delta = jnp.where(jnp.abs(k) > 1e-3, -g0 / k, 0.0)
+    delta = jnp.where(jnp.abs(k) > 1e-3, d0 - g0 / k, d0)
     delta = jnp.clip(delta, -sps / 2.0, sps / 2.0)
     # second Newton step around the refined phase for convergence
     g2 = gardner(delta)
@@ -387,4 +400,44 @@ def modulate_c4fm(
     shaped = _sps.lfilter(h, 1.0, impulses)
     freq_hz = shaped * (DEVIATION_HZ / 3.0)
     phase = 2 * np.pi * np.cumsum(freq_hz) / sample_rate
+    return (amplitude * np.exp(1j * phase)).astype(np.complex64)
+
+
+def modulate_c4fm_cyclic(
+    dibits: np.ndarray,
+    sample_rate: float = 48_000.0,
+    amplitude: float = 1.0,
+) -> np.ndarray:
+    """Dibits -> seamlessly *loopable* C4FM IQ.
+
+    Differences from :func:`modulate_c4fm`, both required so that tiling
+    the output end-to-start is indistinguishable from a continuous
+    transmission of the repeated dibit sequence:
+
+      * the RRC pulse shaping is a circular convolution over the loop
+        (FFT product), so the filter tail wraps instead of truncating;
+      * the accumulated FM phase over the loop is closed to an exact
+        multiple of 2pi with a uniform sub-Hz frequency trim
+        (|trim| <= fs/(2n) Hz — e.g. 0.22 Hz for a 2.25 s loop,
+        far inside any receiver's tracking range).
+    """
+    from wavecap_tpu.decoders.p25_frames import DIBIT_SYMBOLS
+
+    sps = sample_rate / SYMBOL_RATE
+    assert abs(sps - round(sps)) < 1e-9, "integer sps required for synthesis"
+    sps = int(round(sps))
+    symbols = DIBIT_SYMBOLS[np.asarray(dibits, np.uint8)]
+    n = len(symbols) * sps
+    impulses = np.zeros(n, np.float64)
+    impulses[::sps] = symbols * sps
+    h = design_rrc(sample_rate).astype(np.float64)
+    h_pad = np.zeros(n, np.float64)
+    h_pad[: len(h)] = h
+    # center the pulse so the shaped waveform is not delayed by the span
+    h_pad = np.roll(h_pad, -(len(h) // 2))
+    shaped = np.fft.irfft(np.fft.rfft(impulses) * np.fft.rfft(h_pad), n)
+    freq_hz = shaped * (DEVIATION_HZ / 3.0)
+    total_cycles = np.sum(freq_hz) / sample_rate
+    trim_hz = (total_cycles - round(total_cycles)) * sample_rate / n
+    phase = 2 * np.pi * np.cumsum(freq_hz - trim_hz) / sample_rate
     return (amplitude * np.exp(1j * phase)).astype(np.complex64)

@@ -22,18 +22,36 @@ from wavecap_tpu.decoders.framer import P25Framer
 logger = logging.getLogger(__name__)
 
 
+#: TSBK CRC passes before the monitor declares acquisition complete and
+#: starts the steady-state counters (reference anchors its 90.7 % CRC
+#: figure on an offline golden recording, ``trunking/system.py:1300``;
+#: a live receiver's first blocks — filter tails, timing/gain
+#: acquisition — are charged only to the lifetime rate here).
+STEADY_MIN_OK = 8
+
+
 @dataclass
 class ControlChannelStats:
     frames: int = 0
     tsdu_frames: int = 0
     tsbk_total: int = 0
     tsbk_crc_ok: int = 0
+    tsbk_total_steady: int = 0
+    tsbk_crc_ok_steady: int = 0
     last_frame_time: float = 0.0
     nac: int | None = None
 
     @property
     def crc_rate(self) -> float:
         return self.tsbk_crc_ok / self.tsbk_total if self.tsbk_total else 0.0
+
+    @property
+    def crc_rate_steady(self) -> float:
+        """CRC pass rate counted only after acquisition (STEADY_MIN_OK
+        passing blocks seen); ~1.0 on a clean channel."""
+        if not self.tsbk_total_steady:
+            return 0.0
+        return self.tsbk_crc_ok_steady / self.tsbk_total_steady
 
 
 class ControlChannelMonitor:
@@ -83,10 +101,15 @@ class ControlChannelMonitor:
             payload = pf.remove_status_dibits(frame.dibits[57:], 57)
             soft_payload = pf.remove_status_dibits(frame.soft[57:], 57)
             for block in pf.decode_tsbk_payload(payload, soft_payload):
+                steady = self.stats.tsbk_crc_ok >= STEADY_MIN_OK
                 self.stats.tsbk_total += 1
+                if steady:
+                    self.stats.tsbk_total_steady += 1
                 if not block.crc_valid:
                     continue
                 self.stats.tsbk_crc_ok += 1
+                if steady:
+                    self.stats.tsbk_crc_ok_steady += 1
                 parsed = tsbk_mod.parse_tsbk(block.opcode, block.mfid, block.data)
                 parsed["nac"] = frame.nac
                 parsed_out.append(parsed)
@@ -159,8 +182,12 @@ class DmrControlMonitor:
             parsed = dmr.decode_burst(burst)
             if parsed is None or "opcode" not in parsed:
                 continue
+            steady = self.stats.tsbk_crc_ok >= STEADY_MIN_OK
             self.stats.tsbk_total += 1
             self.stats.tsbk_crc_ok += 1  # parse_csbk already CRC-gated
+            if steady:
+                self.stats.tsbk_total_steady += 1
+                self.stats.tsbk_crc_ok_steady += 1
             parsed_out.append(parsed)
             if self.on_tsbk:
                 self.on_tsbk(parsed, None)

@@ -749,6 +749,8 @@ class TrunkingSystem:
             "wacn": self.identity.wacn,
             "tsbkCount": mon.tsbk_total if mon else 0,
             "tsbkCrcRate": round(mon.crc_rate, 3) if mon else 0.0,
+            "tsbkCountSteady": mon.tsbk_total_steady if mon else 0,
+            "tsbkCrcRateSteady": round(mon.crc_rate_steady, 3) if mon else 0.0,
             "identifiers": {
                 k: asdict(v) for k, v in self.identifiers.items()
             },

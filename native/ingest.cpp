@@ -68,29 +68,43 @@ struct Ring {
   }
 
   void push(const std::complex<float> *data, size_t n) {
-    uint64_t w = write_idx.load(std::memory_order_relaxed);
-    uint64_t r = read_idx.load(std::memory_order_acquire);
-    if (!realtime) {
-      // Non-realtime (replay/bench) mode paces to the consumer: block until
-      // the ring has space rather than dropping — overflow is a realtime
-      // contract, not a property of a free-running synthetic writer.
-      while (running.load(std::memory_order_relaxed) &&
-             w + n - r > capacity()) {
-        std::this_thread::sleep_for(std::chrono::microseconds(200));
-        r = read_idx.load(std::memory_order_acquire);
+    while (n > 0) {
+      uint64_t w = write_idx.load(std::memory_order_relaxed);
+      uint64_t r = read_idx.load(std::memory_order_acquire);
+      size_t k = n;
+      if (!realtime) {
+        // Non-realtime (replay/bench) mode paces to the consumer: write
+        // whatever fits, then wait for space — incremental writes mean a
+        // chunk of ANY size (even one larger than the ring) drains
+        // without deadlock against a reader holding residual samples.
+        size_t space = capacity() - static_cast<size_t>(w - r);
+        if (space == 0) {
+          if (!running.load(std::memory_order_relaxed))
+            return;
+          std::this_thread::sleep_for(std::chrono::microseconds(200));
+          continue;
+        }
+        k = std::min(n, space);
+      } else {
+        k = std::min(n, capacity());
+        if (w + k - r > capacity()) {
+          // Reader too slow: overwrite the oldest samples and signal via
+          // the cumulative count only.  read_idx stays reader-owned (the
+          // reference ring does the same, devices/sdrplay_proxy.py:58-210)
+          // — a writer-side reset raced the reader's load/store RMW and
+          // could leave read_idx pointing at torn samples; instead the
+          // reader clamps itself forward when it observes the gap
+          // (wavecap_ring_read).
+          overflow_count.fetch_add(1, std::memory_order_relaxed);
+        }
       }
-      if (!running.load(std::memory_order_relaxed))
-        return;
-    } else if (w + n - r > capacity()) {
-      // reader too slow: drop the whole ring content (overflow contract:
-      // downstream resets carried DSP state, reference capture.py:3058)
-      overflow_count.fetch_add(1, std::memory_order_relaxed);
-      read_idx.store(w, std::memory_order_release);
+      for (size_t i = 0; i < k; ++i) {
+        buf[(w + i) % capacity()] = data[i];
+      }
+      write_idx.store(w + k, std::memory_order_release);
+      data += k;
+      n -= k;
     }
-    for (size_t i = 0; i < n; ++i) {
-      buf[(w + i) % capacity()] = data[i];
-    }
-    write_idx.store(w + n, std::memory_order_release);
   }
 
   void synth_chunk(std::vector<std::complex<float>> &out, size_t n) {
@@ -177,7 +191,17 @@ int wavecap_ring_read(void *h, float *out, size_t n, double timeout_s) {
   auto *r = static_cast<Ring *>(h);
   auto deadline = std::chrono::steady_clock::now() +
                   std::chrono::duration<double>(timeout_s);
-  while (r->available() < n) {
+  for (;;) {
+    // Overflow recovery is reader-side: if the writer has lapped us the
+    // slots under [rd, w-capacity) hold overwritten data — clamp forward
+    // to the current write head and wait for fresh samples (downstream
+    // resets carried DSP state on the overflow flag anyway).
+    uint64_t w = r->write_idx.load(std::memory_order_acquire);
+    uint64_t rd = r->read_idx.load(std::memory_order_relaxed);
+    if (w - rd > r->capacity())
+      r->read_idx.store(w, std::memory_order_release);
+    else if (w - rd >= n)
+      break;
     if (!r->running.load(std::memory_order_relaxed))
       return -1;
     if (std::chrono::steady_clock::now() > deadline)
@@ -191,6 +215,11 @@ int wavecap_ring_read(void *h, float *out, size_t n, double timeout_s) {
     out[2 * i + 1] = c.imag();
   }
   r->read_idx.store(rd + n, std::memory_order_release);
+  // A concurrent lap during the copy above means some copied samples were
+  // torn — detect and report it as overflow; the next read clamps forward.
+  uint64_t w_after = r->write_idx.load(std::memory_order_acquire);
+  if (w_after - rd > r->capacity())
+    r->overflow_count.fetch_add(1, std::memory_order_relaxed);
   uint64_t ov = r->overflow_count.load(std::memory_order_relaxed);
   int flag = ov != r->overflow_seen ? 1 : 0;
   r->overflow_seen = ov;

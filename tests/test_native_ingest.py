@@ -52,19 +52,42 @@ class TestNativeRing:
 
     def test_overflow_when_reader_stalls(self):
         # Realtime mode keeps the overflow-drop contract (non-realtime mode
-        # paces to the consumer and never overflows by construction).
-        drv = NativeDriver(stations=[], realtime=True)
+        # paces to the consumer and never overflows by construction).  A
+        # tiny explicit ring (10 ms at 2 MHz) makes the writer lap the
+        # stalled reader within a couple of write periods, so the test
+        # needs no long wall-clock sleep and survives a loaded CI host.
+        drv = NativeDriver(stations=[], realtime=True, ring_capacity=20_000)
         dev = drv.open("native0")
         dev.configure(DeviceConfig(sample_rate=2_000_000))
         st = dev.start_stream()
         try:
             import time
 
-            time.sleep(1.5)  # ring holds 2M; writer free-runs far beyond
             lib = load_ingest_lib()
+            deadline = time.time() + 10.0
+            while time.time() < deadline:
+                if lib.wavecap_ring_overflows(st._h) >= 1:
+                    break
+                time.sleep(0.02)
             assert lib.wavecap_ring_overflows(st._h) >= 1
             iq, ov = st.read(1000)
             assert ov  # overflow reported on next read
+        finally:
+            st.close()
+
+    def test_oversized_chunk_does_not_wedge_nonrealtime(self):
+        # A single synthesis chunk larger than the ring must be written in
+        # slices rather than spinning forever waiting for impossible space.
+        # 10 ms at 2 MHz = 20k samples/chunk vs a 5k-sample ring.
+        drv = NativeDriver(stations=[], realtime=False, ring_capacity=5_000)
+        dev = drv.open("native0")
+        dev.configure(DeviceConfig(sample_rate=2_000_000))
+        st = dev.start_stream()
+        try:
+            iq, ov = st.read(4_000)
+            assert len(iq) == 4_000
+            iq, ov = st.read(4_000)
+            assert len(iq) == 4_000
         finally:
             st.close()
 

@@ -81,10 +81,19 @@ def native_available() -> bool:
 
 
 class NativeStream(StreamHandle):
-    def __init__(self, lib, config: DeviceConfig, stations, realtime: bool):
+    def __init__(
+        self,
+        lib,
+        config: DeviceConfig,
+        stations,
+        realtime: bool,
+        ring_capacity: int | None = None,
+    ):
         self.lib = lib
         self.config = config
-        capacity = max(int(config.sample_rate), 1_000_000)  # 1 s of samples
+        # 1 s of samples unless overridden (tests shrink it to exercise
+        # overflow deterministically)
+        capacity = ring_capacity or max(int(config.sample_rate), 1_000_000)
         self._h = lib.wavecap_ring_create(
             float(config.sample_rate), capacity, 1 if realtime else 0
         )
@@ -123,11 +132,18 @@ class NativeStream(StreamHandle):
 
 
 class NativeDevice(Device):
-    def __init__(self, info: DeviceInfo, stations, realtime: bool = True):
+    def __init__(
+        self,
+        info: DeviceInfo,
+        stations,
+        realtime: bool = True,
+        ring_capacity: int | None = None,
+    ):
         self.info = info
         self.config = DeviceConfig()
         self.stations = stations
         self.realtime = realtime
+        self.ring_capacity = ring_capacity
 
     def configure(self, config: DeviceConfig) -> None:
         self.config = config
@@ -136,7 +152,10 @@ class NativeDevice(Device):
         lib = load_ingest_lib()
         if lib is None:
             raise RuntimeError("native ingest library unavailable")
-        return NativeStream(lib, self.config, self.stations, self.realtime)
+        return NativeStream(
+            lib, self.config, self.stations, self.realtime,
+            ring_capacity=self.ring_capacity,
+        )
 
 
 class NativeDriver(DeviceDriver):
@@ -144,9 +163,15 @@ class NativeDriver(DeviceDriver):
 
     name = "native"
 
-    def __init__(self, stations=None, realtime: bool = True):
+    def __init__(
+        self,
+        stations=None,
+        realtime: bool = True,
+        ring_capacity: int | None = None,
+    ):
         self.stations = stations or [FakeStation(offset_hz=5000.0, kind="tone")]
         self.realtime = realtime
+        self.ring_capacity = ring_capacity
 
     def enumerate(self) -> list[DeviceInfo]:
         if not native_available():
@@ -154,4 +179,7 @@ class NativeDriver(DeviceDriver):
         return [DeviceInfo(id="native0", driver="native", label="Native ingest ring")]
 
     def open(self, device_id: str) -> Device:
-        return NativeDevice(self.enumerate()[0], self.stations, self.realtime)
+        return NativeDevice(
+            self.enumerate()[0], self.stations, self.realtime,
+            ring_capacity=self.ring_capacity,
+        )

@@ -1051,3 +1051,66 @@ class TestMcpToolCoverage:
                 assert calls == [] or isinstance(calls, list)
         finally:
             client.delete("/trunking/systems/mcpt")
+
+
+class TestRound3ApiCrumbs:
+    """VERDICT round-2 item 8: decode/flex, /trunking/recipes, and the
+    per-recorder HTTP `.pcm` voice stream routes."""
+
+    def test_decode_flex_empty_and_limit(self, harness, client):
+        r = client.post(
+            "/captures", json={"centerHz": 929e6, "sampleRate": 800_000}
+        )
+        if r.status_code >= 400:  # shared module server at capture limit
+            for cap in client.get("/captures").json():
+                client.delete(f"/captures/{cap['id']}")
+            r = client.post(
+                "/captures", json={"centerHz": 929e6, "sampleRate": 800_000}
+            )
+        cid = r.json()["id"]
+        ch = client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 929.2e6},
+        ).json()
+        r = client.get(f"/channels/{ch['id']}/decode/flex")
+        assert r.status_code == 200 and r.json() == []
+        # attach a flex decoder, inject a message through the attachment
+        r = client.post(
+            f"/channels/{ch['id']}/attachments", json={"kind": "flex"}
+        )
+        assert r.status_code < 300, r.text
+        att = harness.server.state.attachments.get((ch["id"], "flex"))
+        assert att is not None
+        att.messages.append({"protocol": "FLEX", "address": 1234, "text": "hi"})
+        msgs = client.get(f"/channels/{ch['id']}/decode/flex").json()
+        assert msgs and msgs[-1]["address"] == 1234
+        client.delete(f"/captures/{cid}")
+
+    def test_trunking_recipes_filtered(self, client):
+        recs = client.get("/trunking/recipes").json()
+        assert recs, "expected bundled trunking recipes"
+        assert all(r.get("trunking") for r in recs)
+        all_recs = client.get("/recipes").json()
+        assert len(all_recs) > len(recs)
+
+    def test_voice_pcm_http_routes(self, client):
+        client.post(
+            "/trunking/systems",
+            json={
+                "id": "pcmtest",
+                "control_channels": [851.2e6],
+                "sample_rate": 2_400_000,
+            },
+        )
+        try:
+            # not started -> no recorder pool -> 409 / 404
+            r = client.get("/stream/trunking/pcmtest/voice.pcm")
+            assert r.status_code == 409
+            r = client.get("/stream/trunking/pcmtest/voice/0.pcm")
+            assert r.status_code == 404
+            r = client.get("/stream/trunking/pcmtest/voice/bogus.pcm")
+            assert r.status_code == 404
+            r = client.get("/stream/trunking/nosuch/voice.pcm")
+            assert r.status_code == 404
+        finally:
+            client.delete("/trunking/systems/pcmtest")

@@ -723,6 +723,15 @@ def build_router(state: AppState) -> Router:
             out.append(entry)
         return Response.json(out)
 
+    @r.get(v1 + "/channels/{chid}/decode/flex")
+    async def channel_decode_flex(req: Request) -> Response:
+        """FLEX messages only (reference GET .../decode/flex,
+        reference ``api.py``; the generic feed is GET .../messages)."""
+        cap, ch = state.find_channel(req.params["chid"])
+        att = state.attachments.get((ch.id, "flex"))
+        msgs = list(att.messages) if att is not None else []
+        return Response.json(msgs[-int(req.query.get("limit", "100")):])
+
     # ---- frequency identify / recipes ----
     @r.get(v1 + "/frequencies/identify")
     async def freq_identify(req: Request) -> Response:
@@ -1114,6 +1123,14 @@ def build_router(state: AppState) -> Router:
                 out.append({"systemId": sys_.config.id, **c})
         return Response.json(out)
 
+    @r.get(v1 + "/trunking/recipes")
+    async def tk_recipes(req: Request) -> Response:
+        """Recipes that define a trunking system (reference
+        ``trunking/api.py:325+`` GET /trunking/recipes)."""
+        return Response.json(
+            [rec for rec in load_recipes().values() if rec.get("trunking")]
+        )
+
     @r.get(v1 + "/trunking/vocoders")
     async def tk_vocoders(req: Request) -> Response:
         """Vocoder availability (reference GET /vocoders).  Both rates are
@@ -1490,6 +1507,51 @@ def build_router(state: AppState) -> Router:
         finally:
             for sub in subs:
                 sub.close()
+
+    def _voice_pcm_response(recorders: list) -> Response:
+        """HTTP chunked 8 kHz PCM16 from call recorders (reference
+        ``trunking/api.py`` GET /stream/{sid}/voice/{streamId}.pcm)."""
+        subs = [r_.audio.subscribe(maxsize=16) for r_ in recorders]
+
+        async def gen():
+            try:
+                while True:
+                    sent = False
+                    for sub in subs:
+                        pcm = sub.get_nowait()
+                        if pcm is not None:
+                            yield pack_pcm16(pcm).tobytes()
+                            sent = True
+                    if not sent:
+                        yield b""  # liveness probe tick
+                        await asyncio.sleep(0.05)
+            finally:
+                for sub in subs:
+                    sub.close()
+
+        return Response.streaming(
+            gen(), "audio/x-raw", headers={"X-Audio-Rate": "8000"}
+        )
+
+    @r.get(v1 + "/stream/trunking/{sid}/voice\\.pcm")
+    async def http_voice_all(req: Request) -> Response:
+        sys_ = _get_system(req)
+        if sys_.pool is None:
+            raise HttpError(409, "system not running")
+        return _voice_pcm_response(list(sys_.pool.recorders))
+
+    @r.get(v1 + "/stream/trunking/{sid}/voice/{rid}\\.pcm")
+    async def http_voice_one(req: Request) -> Response:
+        sys_ = _get_system(req)
+        try:
+            rid = int(req.params["rid"])
+        except ValueError:
+            raise HttpError(404)
+        if sys_.pool is not None:
+            for r_ in sys_.pool.recorders:
+                if r_.id == rid:
+                    return _voice_pcm_response([r_])
+        raise HttpError(404)
 
     @r.websocket(v1 + "/trunking/stream/{sid}/voice")
     async def ws_voice(req: Request, ws: WebSocket) -> None:

@@ -75,7 +75,23 @@ def harness():
         while not ws.closed:
             await asyncio.sleep(0.1)
 
+    flood_events: list = []
+
+    @router.websocket("/ws-flood")
+    async def ws_flood(req, ws):
+        # binary stream shaped like the audio/spectrum handlers: its own
+        # pump per connection, large frames to fill TCP buffers quickly
+        chunk = bytes(262_144)
+        try:
+            while not ws.closed:
+                await ws.send_bytes(chunk)
+                await asyncio.sleep(0.01)
+        except ConnectionError as e:
+            flood_events.append(str(e))
+            raise
+
     h = RawHarness(router).start()
+    h.flood_events = flood_events
     yield h
     h.stop()
 
@@ -324,3 +340,71 @@ class TestWebSocketProtocolEdges:
             )
             resp = s.recv(4096)
             assert resp.split(b" ", 2)[1] in (b"400", b"404", b"405", b"426")
+
+
+class TestSlowConsumer:
+    """VERDICT round-2 item 9: a stalled WS client must neither grow
+    server memory nor delay other subscribers; after send_timeout it is
+    evicted and its pump coroutine freed."""
+
+    def _stalled_socket(self, harness):
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        # shrink the client receive buffer so the server-side TCP send
+        # buffer + transport write buffer fill within a few frames
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        s.settimeout(10)
+        s.connect(("127.0.0.1", harness.port))
+        _ws_handshake(s, "127.0.0.1", harness.port, "/ws-flood")
+        return s
+
+    def test_stalled_client_evicted_after_send_timeout(
+        self, harness, monkeypatch
+    ):
+        import time
+
+        from wavecap_tpu.server import httpd as _httpd
+
+        monkeypatch.setattr(_httpd.WebSocket, "send_timeout", 2.0)
+        before = len(harness.flood_events)
+        s = self._stalled_socket(harness)
+        try:
+            # never read: the flood handler's drain must time out and the
+            # eviction must surface as ConnectionError in ITS pump only
+            deadline = time.time() + 20
+            while time.time() < deadline:
+                if len(harness.flood_events) > before:
+                    break
+                time.sleep(0.1)
+            assert len(harness.flood_events) > before, (
+                "stalled consumer was never evicted"
+            )
+            assert "slow consumer" in harness.flood_events[-1]
+        finally:
+            s.close()
+
+    def test_stalled_client_does_not_delay_healthy_one(self, harness, monkeypatch):
+        import time
+
+        from wavecap_tpu.server import httpd as _httpd
+
+        monkeypatch.setattr(_httpd.WebSocket, "send_timeout", 30.0)
+        stalled = self._stalled_socket(harness)
+        healthy = socket.create_connection(
+            ("127.0.0.1", harness.port), timeout=10
+        )
+        try:
+            _ws_handshake(healthy, "127.0.0.1", harness.port, "/ws-flood")
+            # the healthy client must keep receiving at full rate while the
+            # stalled one blocks its own pump
+            got = 0
+            t0 = time.time()
+            healthy.settimeout(10)
+            while got < 4 * 262_144 and time.time() - t0 < 15:
+                data = healthy.recv(65536)
+                if not data:
+                    break
+                got += len(data)
+            assert got >= 4 * 262_144, f"healthy consumer starved: {got} bytes"
+        finally:
+            stalled.close()
+            healthy.close()

@@ -146,3 +146,52 @@ class TestImportPurity:
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=180
         )
         assert proc.returncode == 0, proc.stderr
+
+
+class TestPersistentCompileCache:
+    def test_warm_recompile_hits_disk_cache(self, tmp_path, monkeypatch):
+        """A capture-pipeline program compiled once must be served from the
+        persistent cache after the in-memory caches are dropped (the
+        warm-restart contract: a server restart skips the minutes-long
+        XLA compile of its capture shapes)."""
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        import wavecap_tpu.capture.pipeline as pl
+        from wavecap_tpu.utils.jaxenv import ensure_platform
+
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+        ensure_platform()
+        # cache everything for the test, not just >=2 s compiles
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        try:
+            cfg = pl.CapturePipelineConfig(
+                sample_rate=256_000, block_size=25_600,
+                narrow_modes=("nbfm",), narrow_capacity=4,
+            )
+            state = pl.pipeline_init(cfg)
+            ctl = pl.control_init(cfg)
+            step = pl.jit_capture_step(cfg)
+            x = jnp.zeros(2 * cfg.block_size, jnp.float32)
+
+            t0 = time.perf_counter()
+            out, _ = step(x, state, ctl)
+            jax.block_until_ready(out)
+            cold_s = time.perf_counter() - t0
+            entries = list(tmp_path.iterdir())
+            assert entries, "no persistent cache entry written"
+
+            # fresh executable required: drop every in-memory cache
+            jax.clear_caches()
+            step2 = pl.jit_capture_step(cfg)
+            t0 = time.perf_counter()
+            out, _ = step2(x, state, ctl)
+            jax.block_until_ready(out)
+            warm_s = time.perf_counter() - t0
+            # disk-cache hit skips XLA entirely; generous 2x margin for CI
+            assert warm_s < max(0.5 * cold_s, 0.75), (cold_s, warm_s)
+        finally:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+            jax.config.update("jax_compilation_cache_dir", None)

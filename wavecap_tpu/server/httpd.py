@@ -101,7 +101,21 @@ class Response:
 
 
 class WebSocket:
-    """Server-side WebSocket on asyncio streams."""
+    """Server-side WebSocket on asyncio streams.
+
+    Backpressure contract: every stream handler pumps from its own
+    bounded drop-oldest subscription queue, so a slow client can only
+    stall its own pump coroutine inside ``drain()`` — never another
+    subscriber.  ``send_timeout`` bounds even that: a consumer whose TCP
+    buffer stays full for this long is evicted (socket closed,
+    ``ConnectionError`` raised into its pump) instead of pinning the
+    subscription/encoder forever.  The reference leans on uvicorn for
+    the same guarantee.
+    """
+
+    #: seconds a send may wait on a full client TCP buffer before the
+    #: connection is declared dead and evicted
+    send_timeout: float = 15.0
 
     def __init__(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         self.reader = reader
@@ -133,7 +147,16 @@ class WebSocket:
             header += struct.pack(">Q", n)
         async with self._send_lock:
             self.writer.write(bytes(header) + payload)
-            await self.writer.drain()
+            try:
+                await asyncio.wait_for(self.writer.drain(), self.send_timeout)
+            except (asyncio.TimeoutError, TimeoutError):
+                # slow-consumer eviction: free the pump + subscription
+                self.closed = True
+                try:
+                    self.writer.close()
+                except RuntimeError:  # pragma: no cover
+                    pass
+                raise ConnectionError("websocket send timeout (slow consumer)")
 
     async def recv(self) -> tuple[str, bytes] | None:
         """Returns (kind, payload) with kind in text|binary, or None on close."""

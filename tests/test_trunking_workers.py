@@ -231,3 +231,153 @@ class TestOrphanReaping:
             mgr.workers["dev0"].process.terminated = True  # skip rpc wait
             mgr.stop_all()
         assert json.loads((tmp_path / "workers.json").read_text()) == []
+
+
+class TestWorkerStreaming:
+    """Round-2 gap 3: workers forward spectrum frames + voice PCM over
+    the event pipe so clients can stream from process-isolated systems
+    (reference process_manager.py:262+, process_worker.py:32-120)."""
+
+    def test_event_pump_routes_spectrum_and_voice(self):
+        import numpy as np
+
+        mgr = make_manager()
+        mgr.add_system({"id": "s1", "control_channels": [851e6]})
+        mgr.start()
+        handle = mgr.workers["default"]
+        spectra, voices = [], []
+        mgr.on_spectrum = lambda sid, msg: spectra.append((sid, msg))
+        mgr.on_voice = lambda sid, rid, pcm: voices.append((sid, rid, pcm))
+        # the child end of the evt pipe: pipe_factory returned (parent, child)
+        # but _spawn passed child into args; recover it from the spawn record
+        _proc, _target, args = mgr._spawned[0]
+        _cmd_child, evt_child, _cfg = args
+        evt_child.send(
+            {
+                "type": "spectrum",
+                "systemId": "s1",
+                "centerHz": 851.5e6,
+                "sampleRate": 960_000,
+                "db": np.full(16, -70.0, np.float32),
+            }
+        )
+        evt_child.send(
+            {"type": "voice_pcm", "systemId": "s1", "recorderId": 1,
+             "pcm": b"\x01\x02" * 160}
+        )
+        t0 = time.time()
+        while time.time() - t0 < 10 and not (spectra and voices):
+            time.sleep(0.05)
+        assert spectra and spectra[0][0] == "s1"
+        assert mgr.latest_spectrum["s1"]["centerHz"] == 851.5e6
+        assert voices == [("s1", 1, b"\x01\x02" * 160)]
+        mgr.stop_all()
+
+    def test_server_streams_worker_voice_and_spectrum(self):
+        """WS /trunking/stream/{sid}/voice and the spectrum snapshot
+        must serve a WORKER-hosted system (no in-process TrunkingSystem
+        exists for the id)."""
+        import asyncio
+
+        import httpx
+        import numpy as np
+        import websockets.asyncio.client as ws_client
+
+        from tests.test_server import ServerHarness
+        from wavecap_tpu.utils.config import config_from_dict
+
+        h = ServerHarness(
+            config_from_dict(
+                {"server": {"host": "127.0.0.1", "port": 0},
+                 "device": {"driver": "fake"}}
+            )
+        ).start()
+        try:
+            mgr = make_manager()
+            h.server.state.trunking_workers = mgr
+            h.server.state.attach_worker_streams(mgr)
+            mgr.add_system({"id": "wsys", "control_channels": [851e6]})
+            mgr.start()
+            _proc, _target, args = mgr._spawned[0]
+            _cmd_child, evt_child, _cfg = args
+
+            pcm = (np.arange(160, dtype=np.int16)).tobytes()
+
+            async def grab():
+                uri = f"{h.ws_base}/trunking/stream/wsys/voice"
+                async with ws_client.connect(uri, open_timeout=20) as ws:
+                    # push voice AFTER subscribing so the fanout delivers it
+                    for _ in range(5):
+                        evt_child.send(
+                            {"type": "voice_pcm", "systemId": "wsys",
+                             "recorderId": 0, "pcm": pcm}
+                        )
+                        await asyncio.sleep(0.05)
+                    return await asyncio.wait_for(ws.recv(), 20)
+
+            data = h.run(grab())
+            assert data == pcm
+
+            evt_child.send(
+                {
+                    "type": "spectrum",
+                    "systemId": "wsys",
+                    "centerHz": 851.5e6,
+                    "sampleRate": 960_000,
+                    "db": np.linspace(-100, -40, 32).astype(np.float32),
+                }
+            )
+            with httpx.Client(base_url=h.base, timeout=20) as c:
+                t0 = time.time()
+                while time.time() - t0 < 10:
+                    r = c.get("/trunking/systems/wsys/spectrum")
+                    if r.status_code == 200:
+                        break
+                    time.sleep(0.1)
+                body = r.json()
+                assert body["centerHz"] == 851.5e6 and len(body["db"]) == 32
+                # unknown system still 404s
+                assert c.get(
+                    "/trunking/systems/nosuch/spectrum"
+                ).status_code == 404
+            mgr.stop_all()
+        finally:
+            h.stop()
+
+    @pytest.mark.slow
+    def test_real_worker_forwards_spectrum(self, tmp_path):
+        """A REAL child process hosting a trunking system on a synthetic
+        station must forward spectrum frames to the parent."""
+        import numpy as np
+
+        mgr = TrunkingProcessManager(
+            state_dir=tmp_path,
+            driver="fake",
+            stations=[{"offset_hz": -300_000.0, "kind": "tone",
+                       "amplitude": 0.8}],
+        )
+        mgr.add_system(
+            {
+                "id": "rw1",
+                "control_channels": [851.2e6],
+                "center_hz": 851.5e6,
+                "sample_rate": 960_000,
+                "max_voice_channels": 1,
+                "recording_dir": str(tmp_path / "rec"),
+            }
+        )
+        got = []
+        mgr.on_spectrum = lambda sid, msg: got.append(msg)
+        mgr.start()
+        try:
+            t0 = time.time()
+            while time.time() - t0 < 240 and not got:
+                time.sleep(0.5)
+            assert got, "no spectrum frame forwarded from the real worker"
+            msg = got[0]
+            assert msg["systemId"] == "rw1"
+            assert msg["sampleRate"] == 960_000
+            db = np.asarray(msg["db"])
+            assert db.ndim == 1 and len(db) >= 512
+        finally:
+            mgr.stop_all()

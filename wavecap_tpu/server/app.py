@@ -72,6 +72,42 @@ def create_device_driver(cfg: config_mod.AppConfig):
     return FakeDriver()
 
 
+class WorkerStreamHub:
+    """Server-side fan-outs for streams forwarded from trunking worker
+    processes over the event pipe (reference process_manager.py:262+).
+
+    Worker messages arrive on the manager's event-pump thread; FanOut is
+    thread-safe, so WS/HTTP pumps subscribe exactly like they do against
+    in-process recorders/captures."""
+
+    def __init__(self):
+        from wavecap_tpu.utils.broadcast import FanOut
+
+        self._FanOut = FanOut
+        self._lock = threading.Lock()
+        self.spectrum: dict[str, Any] = {}  # system id -> FanOut
+        self.voice_all: dict[str, Any] = {}  # system id -> FanOut (any rec)
+        self.voice_one: dict[tuple, Any] = {}  # (sid, rid) -> FanOut
+        self.latest_spectrum: dict[str, dict] = {}
+        self.known_recorders: dict[str, set] = {}
+
+    def _get(self, table: dict, key) -> Any:
+        with self._lock:
+            fo = table.get(key)
+            if fo is None:
+                fo = table[key] = self._FanOut(maxsize=16)
+            return fo
+
+    def publish_spectrum(self, sid: str, msg: dict) -> None:
+        self.latest_spectrum[sid] = msg
+        self._get(self.spectrum, sid).publish(msg)
+
+    def publish_voice(self, sid: str, rid: int, pcm: bytes) -> None:
+        self.known_recorders.setdefault(sid, set()).add(rid)
+        self._get(self.voice_all, sid).publish(pcm)
+        self._get(self.voice_one, (sid, rid)).publish(pcm)
+
+
 class AppState:
     def __init__(self, cfg: config_mod.AppConfig):
         self.config = cfg
@@ -92,12 +128,18 @@ class AppState:
         # state.py:78-86): systems run in worker processes; the in-process
         # manager still serves ad-hoc REST-created systems.
         self.trunking_workers = None
+        # fan-outs for worker-forwarded streams (spectrum frames + voice
+        # PCM), so WS/HTTP clients can stream from process-isolated
+        # systems exactly like in-process ones (round-2 gap: per-device
+        # mode went dark for clients)
+        self.worker_streams = WorkerStreamHub()
         if cfg.trunking_workers.mode == "per_device":
             from wavecap_tpu.trunking.process_manager import TrunkingProcessManager
 
             self.trunking_workers = TrunkingProcessManager(
                 driver=cfg.device.driver
             )
+            self.attach_worker_streams(self.trunking_workers)
         self.started_at = time.time()
         self._chan_ids = itertools.count(1)
         self.trunking.on_event = self._trunking_event
@@ -164,6 +206,13 @@ class AppState:
                 cb(evt)
             except Exception:
                 pass
+
+    def attach_worker_streams(self, workers) -> None:
+        """Route a process manager's forwarded events/spectrum/voice into
+        the server's event subscribers and stream hub."""
+        workers.on_event = self._trunking_event
+        workers.on_spectrum = self.worker_streams.publish_spectrum
+        workers.on_voice = self.worker_streams.publish_voice
 
     # -- bootstrap ---------------------------------------------------------
 
@@ -1508,6 +1557,47 @@ def build_router(state: AppState) -> Router:
             for sub in subs:
                 sub.close()
 
+    def _worker_system_ids() -> set:
+        """System ids hosted by worker processes (per-device mode)."""
+        ids: set = set()
+        tw = state.trunking_workers
+        if tw is None:
+            return ids
+        for cfg_ in tw.system_configs:
+            ids.add(str(cfg_.get("id", "")))
+        for systems in tw.latest_status.values():
+            for s_ in systems:
+                ids.add(str(s_.get("id", "")))
+        return ids
+
+    async def _pump_worker_voice(ws: WebSocket, sub) -> None:
+        try:
+            while not ws.closed:
+                pcm = sub.get_nowait()
+                if pcm is not None:
+                    await ws.send_bytes(pcm)
+                else:
+                    await asyncio.sleep(0.05)
+        finally:
+            sub.close()
+
+    def _worker_voice_response(sub) -> Response:
+        async def gen():
+            try:
+                while True:
+                    pcm = sub.get_nowait()
+                    if pcm is not None:
+                        yield pcm
+                    else:
+                        yield b""  # liveness probe tick
+                        await asyncio.sleep(0.05)
+            finally:
+                sub.close()
+
+        return Response.streaming(
+            gen(), "audio/x-raw", headers={"X-Audio-Rate": "8000"}
+        )
+
     def _voice_pcm_response(recorders: list) -> Response:
         """HTTP chunked 8 kHz PCM16 from call recorders (reference
         ``trunking/api.py`` GET /stream/{sid}/voice/{streamId}.pcm)."""
@@ -1535,27 +1625,91 @@ def build_router(state: AppState) -> Router:
 
     @r.get(v1 + "/stream/trunking/{sid}/voice\\.pcm")
     async def http_voice_all(req: Request) -> Response:
-        sys_ = _get_system(req)
+        sid = req.params["sid"]
+        if sid not in state.trunking.systems:
+            if sid in _worker_system_ids():
+                hub = state.worker_streams
+                return _worker_voice_response(
+                    hub._get(hub.voice_all, sid).subscribe(maxsize=16)
+                )
+            raise HttpError(404)
+        sys_ = state.trunking.get(sid)
         if sys_.pool is None:
             raise HttpError(409, "system not running")
         return _voice_pcm_response(list(sys_.pool.recorders))
 
     @r.get(v1 + "/stream/trunking/{sid}/voice/{rid}\\.pcm")
     async def http_voice_one(req: Request) -> Response:
-        sys_ = _get_system(req)
+        sid = req.params["sid"]
         try:
             rid = int(req.params["rid"])
         except ValueError:
             raise HttpError(404)
+        if sid not in state.trunking.systems:
+            if sid in _worker_system_ids():
+                hub = state.worker_streams
+                return _worker_voice_response(
+                    hub._get(hub.voice_one, (sid, rid)).subscribe(maxsize=16)
+                )
+            raise HttpError(404)
+        sys_ = state.trunking.get(sid)
         if sys_.pool is not None:
             for r_ in sys_.pool.recorders:
                 if r_.id == rid:
                     return _voice_pcm_response([r_])
         raise HttpError(404)
 
+    @r.get(v1 + "/trunking/systems/{sid}/spectrum")
+    async def tk_spectrum(req: Request) -> Response:
+        """Spectrum snapshot of the system's capture — works for both
+        in-process and worker-hosted systems (workers forward FPS-capped
+        frames over the event pipe, reference process_manager.py:262+)."""
+        sid = req.params["sid"]
+        if sid in state.trunking.systems:
+            sys_ = state.trunking.get(sid)
+            cap = getattr(sys_, "capture", None)
+            if cap is None:
+                raise HttpError(409, "system not running")
+            sub = cap.spectrum_subs.subscribe(maxsize=2)
+            try:
+                spec = await asyncio.to_thread(sub.get, 10.0)
+            except Exception:
+                raise HttpError(409, "no spectrum available yet")
+            finally:
+                sub.close()
+            frame = spec[-1] if spec.ndim == 2 else spec
+            return Response.json(
+                {
+                    "centerHz": cap.config.center_hz,
+                    "sampleRate": cap.config.sample_rate,
+                    "db": [round(float(x), 1) for x in frame],
+                }
+            )
+        msg = state.worker_streams.latest_spectrum.get(sid)
+        if msg is None:
+            if sid in _worker_system_ids():
+                raise HttpError(409, "no spectrum forwarded yet")
+            raise HttpError(404)
+        return Response.json(
+            {
+                "centerHz": msg.get("centerHz"),
+                "sampleRate": msg.get("sampleRate"),
+                "db": [round(float(x), 1) for x in np.asarray(msg["db"])],
+            }
+        )
+
     @r.websocket(v1 + "/trunking/stream/{sid}/voice")
     async def ws_voice(req: Request, ws: WebSocket) -> None:
-        sys_ = _get_system(req)
+        sid = req.params["sid"]
+        if sid not in state.trunking.systems:
+            if sid in _worker_system_ids():
+                hub = state.worker_streams
+                await _pump_worker_voice(
+                    ws, hub._get(hub.voice_all, sid).subscribe(maxsize=16)
+                )
+                return
+            raise HttpError(404)
+        sys_ = state.trunking.get(sid)
         if sys_.pool is None:
             await ws.close()
             return
@@ -1566,11 +1720,20 @@ def build_router(state: AppState) -> Router:
     @r.websocket(v1 + "/trunking/stream/{sid}/voice/{rid}")
     async def ws_voice_one(req: Request, ws: WebSocket) -> None:
         """One recorder's PCM only (reference WS .../voice/{stream_id})."""
+        sid = req.params["sid"]
         try:
-            sys_ = state.trunking.get(req.params["sid"])
             rid = int(req.params["rid"])
-        except (KeyError, ValueError):
+        except ValueError:
             raise HttpError(404)
+        if sid not in state.trunking.systems:
+            if sid in _worker_system_ids():
+                hub = state.worker_streams
+                await _pump_worker_voice(
+                    ws, hub._get(hub.voice_one, (sid, rid)).subscribe(maxsize=16)
+                )
+                return
+            raise HttpError(404)
+        sys_ = state.trunking.get(sid)
         rec = None
         if sys_.pool is not None:
             for r_ in sys_.pool.recorders:

@@ -140,14 +140,23 @@ class TrunkingProcessManager:
         driver: str = "fake",
         process_factory: Callable | None = None,
         pipe_factory: Callable | None = None,
+        stations: list[dict] | None = None,
     ):
         self.state_dir = str(state_dir) if state_dir else None
         self.driver = driver
+        # synthetic-station scene for fake/native worker drivers
+        # (tests/harness; real drivers ignore it)
+        self.stations = stations
         self.process_factory = process_factory or _default_process_factory
         self.pipe_factory = pipe_factory or (lambda: mp.get_context("spawn").Pipe())
         self.workers: dict[str, WorkerHandle] = {}
         self.system_configs: list[dict] = []
         self.on_event: Callable[[str, dict], None] | None = None
+        # streaming taps forwarded from workers (reference
+        # process_manager.py:262+: FFT 30 FPS + 20 ms audio chunks)
+        self.on_spectrum: Callable[[str, dict], None] | None = None
+        self.on_voice: Callable[[str, int, bytes], None] | None = None
+        self.latest_spectrum: dict[str, dict] = {}  # system id -> frame
         self.latest_status: dict[str, list] = {}
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
@@ -192,6 +201,8 @@ class TrunkingProcessManager:
             "systems": systems,
             "auto_start": True,
         }
+        if self.stations:
+            worker_cfg["stations"] = self.stations
         proc = self.process_factory(
             run_trunking_worker, (cmd_child, evt_child, worker_cfg)
         )
@@ -223,6 +234,18 @@ class TrunkingProcessManager:
                     elif msg.get("type") == "event" and self.on_event:
                         evt = msg.get("event", {})
                         self.on_event(evt.get("type", "event"), evt)
+                    elif msg.get("type") == "spectrum":
+                        sid = msg.get("systemId", "")
+                        self.latest_spectrum[sid] = msg
+                        if self.on_spectrum:
+                            self.on_spectrum(sid, msg)
+                    elif msg.get("type") == "voice_pcm":
+                        if self.on_voice:
+                            self.on_voice(
+                                msg.get("systemId", ""),
+                                int(msg.get("recorderId", 0)),
+                                msg.get("pcm", b""),
+                            )
                     elif msg.get("type") == "worker_error":
                         logger.error(
                             "worker %s error:\n%s", handle.key, msg.get("traceback")

@@ -1,0 +1,196 @@
+"""Mesh capture backend: the production multi-chip path through the
+ENGINE (VERDICT round-2 item 4 — previously the sharded grid existed
+only as a test/dryrun artifact with zero production call sites).
+
+Runs on the 8-virtual-CPU-device mesh from conftest; the same code path
+runs unchanged on a real TPU slice.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pytest
+
+from wavecap_tpu.capture import CaptureConfig, CaptureManager, ChannelSpec
+from wavecap_tpu.capture.mesh import build_mesh, parse_mesh_spec
+from wavecap_tpu.devices import FakeDriver, FakeStation
+from wavecap_tpu.devices.base import DeviceConfig
+
+
+def make_mesh_capture(mesh="stream=1,time=8", stations=None, rate=800_000):
+    drv = FakeDriver(
+        stations=stations
+        if stations is not None
+        else [
+            FakeStation(
+                offset_hz=100_000.0, kind="nbfm", tone_hz=1000.0,
+                deviation_hz=4000.0,
+            )
+        ]
+    )
+    mgr = CaptureManager(drv)
+    cap = mgr.create_capture(
+        config=CaptureConfig(
+            center_hz=155e6, sample_rate=rate, mesh=mesh,
+            wide_capacity=0, p25_capacity=0,
+        )
+    )
+    return mgr, cap
+
+
+class TestMeshSpec:
+    def test_parse(self):
+        assert parse_mesh_spec("stream=1,time=8") == {"stream": 1, "time": 8}
+        assert parse_mesh_spec("stream=2, time=4") == {"stream": 2, "time": 4}
+        with pytest.raises(ValueError):
+            parse_mesh_spec("time=8")
+        with pytest.raises(ValueError):
+            parse_mesh_spec("stream=1,time=0")
+        with pytest.raises(ValueError):
+            parse_mesh_spec("stream=1,time=x")
+
+    def test_build_mesh_too_big(self):
+        with pytest.raises(ValueError):
+            build_mesh("stream=64,time=64")
+
+
+class TestMeshConstraints:
+    def test_rejects_wide_and_p25_modes(self):
+        _, cap = make_mesh_capture()
+        with pytest.raises(ValueError, match="narrow analog"):
+            cap.create_channel(
+                ChannelSpec(id="w", mode="wbfm", frequency_hz=155.1e6)
+            )
+        with pytest.raises(ValueError, match="narrow analog"):
+            cap.create_channel(
+                ChannelSpec(id="p", mode="p25", frequency_hz=155.1e6)
+            )
+
+    def test_rejects_second_mode_group(self):
+        _, cap = make_mesh_capture()
+        cap.create_channel(ChannelSpec(id="a", mode="nbfm", frequency_hz=155.1e6))
+        with pytest.raises(ValueError, match="ONE"):
+            cap.create_channel(
+                ChannelSpec(id="b", mode="am", frequency_hz=155.2e6)
+            )
+
+    def test_rejects_bin_collision(self):
+        _, cap = make_mesh_capture()
+        cap.create_channel(ChannelSpec(id="a", mode="nbfm", frequency_hz=155.1e6))
+        with pytest.raises(ValueError, match="bin"):
+            # 2 kHz away: same 25 kHz channelizer bin
+            cap.create_channel(
+                ChannelSpec(id="b", mode="nbfm", frequency_hz=155.102e6)
+            )
+
+    def test_block_geometry_covers_halo(self):
+        _, cap = make_mesh_capture()
+        m = cap._channelizer.channel_count
+        t = cap._channelizer.taps_per_channel
+        n_time = parse_mesh_spec(cap.config.mesh)["time"]
+        assert cap.block_size % (m * n_time) == 0
+        assert cap.block_size >= m * t * n_time
+
+
+@pytest.mark.slow
+class TestMeshEndToEnd:
+    def _collect_audio(self, cap, ch, need=48_000, timeout=240.0):
+        sub = ch.audio.subscribe(maxsize=64)
+        chunks: list[np.ndarray] = []
+        t0 = time.time()
+        try:
+            while time.time() - t0 < timeout and sum(map(len, chunks)) < need:
+                got = sub.get_nowait()
+                if got is not None:
+                    chunks.append(np.asarray(got))
+                else:
+                    time.sleep(0.05)
+        finally:
+            sub.close()
+        return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    def test_nbfm_tone_through_mesh_engine(self):
+        """Full production path: fake device -> engine reader -> i16
+        transport -> sharded grid program on the 8-device mesh ->
+        channel audio fan-out.  The 1 kHz station must come out."""
+        mgr, cap = make_mesh_capture()
+        ch = cap.create_channel(
+            ChannelSpec(id="c1", mode="nbfm", frequency_hz=155.1e6)
+        )
+        cap.start()
+        try:
+            audio = self._collect_audio(cap, ch)
+        finally:
+            cap.stop()
+        assert len(audio) >= 48_000, "mesh capture produced no audio"
+        seg = audio[4800:]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        freqs = np.fft.rfftfreq(len(seg), 1 / 48_000)
+        assert abs(freqs[int(np.argmax(spec))] - 1000.0) < 25.0
+        assert float(np.sqrt(np.mean(seg**2))) > 0.05
+        assert cap.status()["mesh"] == "stream=1,time=8"
+
+    def test_overflow_resets_mesh_state_and_recovers(self):
+        """The engine's overflow contract on the mesh: device overflow
+        drops in-flight batches, re-inits GridState (hist/demod carries),
+        and the stream keeps decoding afterwards (single-chip has this
+        pinned in test_capture_engine; this is the mesh twin)."""
+        from wavecap_tpu.devices.fake import FakeDevice, FakeStream
+
+        overflow_at = {"n": 3}
+
+        class OverflowingStream(FakeStream):
+            def __init__(self, *a, **k):
+                super().__init__(*a, **k)
+                self._reads = 0
+
+            def read(self, n):
+                samples, _ = super().read(n)
+                self._reads += 1
+                if self._reads == overflow_at["n"]:
+                    return samples, True
+                return samples, False
+
+        class OverflowingDevice(FakeDevice):
+            def start_stream(self):
+                return OverflowingStream(
+                    self.config, self.stations, device=self
+                )
+
+        class OverflowingDriver(FakeDriver):
+            def open(self, device_id):
+                infos = {d.id: d for d in self.enumerate()}
+                return OverflowingDevice(infos[device_id], self.stations)
+
+        drv = OverflowingDriver(
+            stations=[
+                FakeStation(
+                    offset_hz=100_000.0, kind="nbfm", tone_hz=1000.0,
+                    deviation_hz=4000.0,
+                )
+            ]
+        )
+        mgr = CaptureManager(drv)
+        cap = mgr.create_capture(
+            config=CaptureConfig(
+                center_hz=155e6, sample_rate=800_000, mesh="stream=1,time=8",
+                wide_capacity=0, p25_capacity=0,
+            )
+        )
+        ch = cap.create_channel(
+            ChannelSpec(id="c1", mode="nbfm", frequency_hz=155.1e6)
+        )
+        cap.start()
+        try:
+            audio = self._collect_audio(cap, ch, need=96_000)
+        finally:
+            cap.stop()
+        assert cap.overflow_count >= 1, "overflow never reported"
+        # the capture kept producing audio after the reset
+        assert len(audio) >= 96_000
+        seg = audio[len(audio) // 2 :]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        freqs = np.fft.rfftfreq(len(seg), 1 / 48_000)
+        assert abs(freqs[int(np.argmax(spec))] - 1000.0) < 25.0

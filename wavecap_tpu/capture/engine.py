@@ -104,6 +104,14 @@ class CaptureConfig:
     # >1 amortizes the fixed relay round trip for throughput-bound offline
     # runs at the cost of latency; real-time captures should keep 1.
     blocks_per_dispatch: int = 1
+    # Multi-chip backend: a mesh spec like "stream=1,time=8" runs this
+    # capture's block step through the sharded grid
+    # (parallel/sharded.py: ppermute halo channelizer + all_to_all
+    # channel-parallel demod) over jax.devices().  Mesh captures
+    # demodulate every channelizer bin with ONE shared narrow mode
+    # (channels map to bins); wide/P25 captures stay single-chip.
+    # None = single-chip slot-bank program (capture/pipeline.py).
+    mesh: str | None = None
 
 
 class ChannelHandle:
@@ -237,9 +245,19 @@ class Capture:
 
             for sym_rate in (4800, 6000):  # C4FM / Phase 2 H-DQPSK
                 unit = int(np.lcm(unit, cfg.sample_rate // gcd(int(cfg.sample_rate), sym_rate)))
+        min_block = unit
+        if cfg.mesh:
+            from wavecap_tpu.capture.mesh import parse_mesh_spec
+
+            n_time = parse_mesh_spec(cfg.mesh)["time"]
+            # each time shard channelizes a whole number of M-sample
+            # steps, and its local block must cover the M*T halo history
+            unit = int(np.lcm(unit, m * n_time))
+            min_block = -(-(m * ch.taps_per_channel * n_time) // unit) * unit
         n = int(round(cfg.sample_rate * cfg.block_seconds))
-        self.block_size = max(unit, (n // unit) * unit)
+        self.block_size = max(min_block, unit, (n // unit) * unit)
         self._channelizer = ch
+        self._mesh = None  # built lazily on first mesh program rebuild
 
     # -- channel management ----------------------------------------------
 
@@ -309,6 +327,35 @@ class Capture:
             raise RuntimeError(f"no free {name} slots (capacity {cap})")
         return free[0]
 
+    def _mesh_bin(self, spec: ChannelSpec, exclude_id: str | None = None) -> int:
+        """Mesh-backend slot = channelizer bin index for the frequency."""
+        off = spec.frequency_hz - self.config.center_hz
+        bin_idx = self._channelizer.channel_index(off)
+        for c in self.channels.values():
+            if c.spec.id != exclude_id and c.slot == bin_idx:
+                raise ValueError(
+                    f"channelizer bin {bin_idx} already carries channel "
+                    f"{c.spec.id!r} (mesh backend: one channel per bin)"
+                )
+        return bin_idx
+
+    def _check_mesh_group(self, group, exclude_id: str | None = None) -> None:
+        if isinstance(group, str):  # "wide" or "p25"
+            raise ValueError(
+                "mesh-backend captures support narrow analog modes only "
+                "(wide/P25 captures run the single-chip program)"
+            )
+        others = {
+            c.mode_group
+            for c in self.channels.values()
+            if c.spec.id != exclude_id
+        }
+        if others and group not in others:
+            raise ValueError(
+                "mesh-backend captures share ONE (mode, dsp) across all "
+                "channels (the grid demodulates every bin with one program)"
+            )
+
     def create_channel(self, spec: ChannelSpec) -> ChannelHandle:
         with self._lock:
             if spec.id in self.channels:
@@ -320,7 +367,12 @@ class Capture:
                 raise ValueError(
                     f"frequency {spec.frequency_hz} outside capture span"
                 )
-            ch = ChannelHandle(spec, group, self._alloc_slot(group))
+            if self.config.mesh:
+                self._check_mesh_group(group)
+                slot = self._mesh_bin(spec)
+            else:
+                slot = self._alloc_slot(group)
+            ch = ChannelHandle(spec, group, slot)
             self.channels[spec.id] = ch
             self._rebuild_pipeline_if_needed()
             self._ctl_dirty = True
@@ -363,7 +415,10 @@ class Capture:
                     dsp=cand_dsp,
                 )
                 group = self._group_for(cand)  # validates mode + dsp
-                if group != ch.mode_group:
+                if self.config.mesh:
+                    self._check_mesh_group(group, exclude_id=ch.spec.id)
+                    ch.mode_group = group
+                elif group != ch.mode_group:
                     ch.slot = self._alloc_slot(group, exclude_id=ch.spec.id)
                     ch.mode_group = group
                 ch.spec.mode = cand.mode
@@ -373,6 +428,9 @@ class Capture:
                     ch.spec.squelch_db = v  # explicit None = open squelch
                 elif v is not None and hasattr(ch.spec, k):
                     setattr(ch.spec, k, v)
+            if self.config.mesh and freq is not None:
+                # retune re-bins the channel on the grid
+                ch.slot = self._mesh_bin(ch.spec, exclude_id=ch.spec.id)
             self._rebuild_pipeline_if_needed()
             self._ctl_dirty = True
             return ch
@@ -498,10 +556,26 @@ class Capture:
         if new_cfg != self._pipe_cfg:
             self._flush_pending()
             self._pipe_cfg = new_cfg
-            self._jit_step = pl.jit_capture_multi(
-                new_cfg, max(1, self.config.blocks_per_dispatch)
-            )
-            self._init_state = pl.jit_pipeline_init(new_cfg)
+            if self.config.mesh and new_cfg.narrow_modes:
+                from wavecap_tpu.capture import mesh as mesh_mod
+
+                if self._mesh is None:
+                    self._mesh = mesh_mod.build_mesh(self.config.mesh)
+                entry = new_cfg.narrow_modes[0]
+                self._jit_step = mesh_mod.jit_mesh_capture_multi(
+                    new_cfg,
+                    max(1, self.config.blocks_per_dispatch),
+                    self._mesh,
+                    entry,
+                )
+                self._init_state = mesh_mod.jit_mesh_init(
+                    new_cfg, entry, self._mesh
+                )
+            else:
+                self._jit_step = pl.jit_capture_multi(
+                    new_cfg, max(1, self.config.blocks_per_dispatch)
+                )
+                self._init_state = pl.jit_pipeline_init(new_cfg)
             self._dev_state = self._init_state()
             # Tag the state with the program that produced it: an in-flight
             # dispatch snapshot from the OLD program must not write its
@@ -513,6 +587,14 @@ class Capture:
     def _build_control(self) -> Any:
         assert self._pipe_cfg is not None
         cfg = self._pipe_cfg
+        if self.config.mesh and cfg.narrow_modes:
+            from wavecap_tpu.capture import mesh as mesh_mod
+
+            entry = cfg.narrow_modes[0]
+            chans = [
+                c for c in self.channels.values() if c.mode_group == entry
+            ]
+            return mesh_mod.mesh_control(cfg, chans, self.config.center_hz)
         ctl = pl.control_init(cfg)
         ch_cfg = self._channelizer
         wide = dict(off=[0.0] * cfg.wide_capacity, act=[False] * cfg.wide_capacity,
@@ -1016,6 +1098,7 @@ class Capture:
             "antenna": self.config.antenna,
             "agc": self.config.agc,
             "blockSize": self.block_size,
+            "mesh": self.config.mesh,
             "blocksProcessed": self.blocks_processed,
             "overflowCount": self.overflow_count,
             "blockMs": round(self.block_ms, 2),

@@ -1,0 +1,170 @@
+"""Mesh capture backend: the production multi-chip path.
+
+Plugs :mod:`wavecap_tpu.parallel.sharded` (time-sharded channelizer with
+``ppermute`` halo exchange, ``all_to_all`` re-shard to channel-parallel
+stateful demod) into the capture engine behind the same
+``(x_rows, state, ctl) -> (outs, state)`` calling convention as the
+single-chip slot-bank program (``pipeline.jit_capture_multi``), so the
+engine's reader/dispatch/fetch/fan-out machinery — transport packing,
+overflow reset, watchdogs, WS streaming — is identical in both modes.
+
+Enable with ``CaptureConfig.mesh = "stream=1,time=8"`` (axis sizes over
+``jax.devices()``; a 1-device mesh is the trivial degenerate case).  The
+mesh backend demodulates every channelizer bin with ONE shared demod
+mode per capture (channel specs map to bins; activation/fine-offset/
+squelch are traced per-bin control), which is the wideband-monitoring
+shape multi-chip exists for.  Mixed-mode / wide / P25 captures stay on
+the slot-bank program.
+
+SURVEY §7.2 step 8; the reference's analog is its process-per-device
+scale-out (``trunking/manager.py:49``) — here one capture scales across
+chips instead of processes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from wavecap_tpu import ops
+from wavecap_tpu.parallel.sharded import (
+    GridControl,
+    ShardedGridConfig,
+    grid_init,
+    sharded_grid_step,
+)
+
+
+def parse_mesh_spec(spec: str) -> dict[str, int]:
+    """``"stream=1,time=8"`` -> ``{"stream": 1, "time": 8}``.
+
+    Both axes are required by the sharded grid; order in the string is
+    preserved as the mesh axis order."""
+    axes: dict[str, int] = {}
+    for part in str(spec).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            name, size = part.split("=")
+            axes[name.strip()] = int(size)
+        except ValueError:
+            raise ValueError(f"bad mesh spec segment {part!r} in {spec!r}")
+    if set(axes) != {"stream", "time"}:
+        raise ValueError(
+            f"mesh spec must name exactly 'stream' and 'time' axes, got {spec!r}"
+        )
+    if any(v < 1 for v in axes.values()):
+        raise ValueError(f"mesh axis sizes must be >= 1: {spec!r}")
+    return axes
+
+
+def build_mesh(spec: str) -> Mesh:
+    axes = parse_mesh_spec(spec)
+    n = int(np.prod(list(axes.values())))
+    devices = jax.devices()
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {spec!r} needs {n} devices; only {len(devices)} available"
+        )
+    arr = np.array(devices[:n]).reshape(tuple(axes.values()))
+    return Mesh(arr, tuple(axes.keys()))
+
+
+def mesh_grid_cfg(pipe_cfg, entry) -> ShardedGridConfig:
+    """Grid config for the capture's single narrow bank ``entry``."""
+    bank = pipe_cfg.bank_cfg(entry)
+    return ShardedGridConfig(
+        channelizer=pipe_cfg.channelizer(),
+        mode=bank.mode,
+        demod_cfg=bank.demod_cfg,
+    )
+
+
+def jit_mesh_init(pipe_cfg, entry, mesh: Mesh):
+    gcfg = mesh_grid_cfg(pipe_cfg, entry)
+    return jax.jit(lambda: grid_init(gcfg, 1))
+
+
+def mesh_control(pipe_cfg, channels, center_hz: float) -> GridControl:
+    """Traced per-bin control from the engine's channel handles.
+
+    ``channels`` are engine ``ChannelHandle``s whose ``slot`` is the
+    channelizer bin index (set by the engine in mesh mode)."""
+    ch_cfg = pipe_cfg.channelizer()
+    m = ch_cfg.channel_count
+    fine = np.zeros((1, m), np.float32)
+    active = np.zeros((1, m), bool)
+    squelch = np.full((1, m), -1e9, np.float32)
+    for ch in channels:
+        bin_idx = ch.slot
+        off = ch.spec.frequency_hz - center_hz
+        fine[0, bin_idx] = off - ch_cfg.channel_offset_hz(bin_idx)
+        active[0, bin_idx] = True
+        if ch.spec.squelch_db is not None:
+            squelch[0, bin_idx] = ch.spec.squelch_db
+    return GridControl(
+        fine_offset_hz=jnp.asarray(fine),
+        active=jnp.asarray(active),
+        squelch_db=jnp.asarray(squelch),
+    )
+
+
+def jit_mesh_capture_multi(pipe_cfg, n_blocks: int, mesh: Mesh, entry):
+    """Mesh analog of ``pipeline.jit_capture_multi``: scan over stacked
+    transport rows, one sharded grid step per block, slot-bank-shaped
+    outputs (``spectrum`` + ``banks[entry]`` + ``_packed``)."""
+    from wavecap_tpu.capture.pipeline import _to_complex
+
+    gcfg = mesh_grid_cfg(pipe_cfg, entry)
+    gstep = sharded_grid_step(mesh, gcfg)
+    fft_size = pipe_cfg.fft_size
+    spectrum_frames = pipe_cfg.spectrum_frames
+
+    def one_block(x, state, ctl):
+        n_fft_frames = max(x.shape[-1] // fft_size, 1)
+        spectrum = ops.spectrogram(
+            x,
+            fft_size,
+            hop=fft_size,
+            average=max(1, n_fft_frames // max(spectrum_frames, 1)),
+        )
+        g_out, state = gstep(x[None, :], state, ctl)
+        out = {
+            "spectrum": spectrum,
+            "banks": {
+                entry: {"audio": g_out["audio"][0], "rssi": g_out["rssi"][0]}
+            },
+        }
+        out["_packed"] = jnp.concatenate(
+            [
+                leaf.astype(jnp.float32).ravel()
+                for leaf in jax.tree_util.tree_leaves(out)
+            ]
+        )
+        return out, state
+
+    def multi(x_rows, state, ctl):
+        if isinstance(x_rows, tuple):
+            rows, scales = x_rows
+
+            def body_scaled(st, rs):
+                row, s = rs
+                out, st2 = one_block(_to_complex(row, s), st, ctl)
+                return st2, out
+
+            state, outs = jax.lax.scan(body_scaled, state, (rows, scales))
+            return outs, state
+
+        def body(st, row):
+            out, st2 = one_block(_to_complex(row), st, ctl)
+            return st2, out
+
+        state, outs = jax.lax.scan(body, state, x_rows)
+        return outs, state
+
+    return jax.jit(multi)

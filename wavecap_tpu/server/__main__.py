@@ -43,6 +43,10 @@ async def _run(args) -> int:
         cfg.server.host = args.bind
     if args.port:
         cfg.server.port = args.port
+    if args.mesh:
+        # multi-chip backend for every capture created on this server
+        # (capture/mesh.py; e.g. --mesh stream=1,time=8)
+        cfg.stream.mesh = args.mesh
     lock = _acquire_lock(cfg.server.port)
     if lock is None:
         return 1
@@ -80,6 +84,11 @@ def main() -> int:
     p.add_argument("--bind", default=None)
     p.add_argument("--port", type=int, default=None)
     p.add_argument("--log-level", default=None)
+    p.add_argument(
+        "--mesh",
+        default=None,
+        help="multi-chip mesh spec for captures, e.g. stream=1,time=8",
+    )
     args = p.parse_args()
 
     level = args.log_level or os.environ.get("WAVECAP_LOG_LEVEL", "INFO")

@@ -226,6 +226,7 @@ class AppState:
                     center_hz=spec.center_hz,
                     sample_rate=spec.sample_rate,
                     gain_db=spec.gain_db,
+                    mesh=spec.mesh or self.config.stream.mesh,
                     narrow_capacity=self.config.limits.max_channels_per_capture,
                     wide_capacity=self.config.limits.max_wide_channels,
                     p25_capacity=self.config.limits.max_p25_channels,
@@ -515,6 +516,7 @@ def build_router(state: AppState) -> Router:
                     bandwidth_hz=body.get("bandwidthHz"),
                     antenna=body.get("antenna"),
                     agc=bool(body.get("agc", False)),
+                    mesh=body.get("mesh", state.config.stream.mesh),
                     narrow_capacity=state.config.limits.max_channels_per_capture,
                     wide_capacity=state.config.limits.max_wide_channels,
                     p25_capacity=state.config.limits.max_p25_channels,

@@ -36,6 +36,10 @@ class StreamConfig:
     fft_size: int = 2048
     spectrum_fps: float = 10.0
     iq_format: str = "iq16"  # iq16 | f32
+    # default multi-chip backend for new captures: a mesh spec like
+    # "stream=1,time=8" shards each capture's block step over
+    # jax.devices() (capture/mesh.py); None = single-chip
+    mesh: str | None = None
 
 
 @dataclass
@@ -87,6 +91,7 @@ class CaptureSpecConfig:
     device_id: str | None = None
     gain_db: float | None = None
     auto_start: bool = True
+    mesh: str | None = None  # per-capture multi-chip backend override
     channels: list = field(default_factory=list)
 
 
@@ -176,6 +181,7 @@ def config_from_dict(d: dict, paths: list[str] | None = None) -> AppConfig:
                 device_id=c.get("device_id", c.get("deviceId")),
                 gain_db=c.get("gain_db", c.get("gainDb")),
                 auto_start=bool(c.get("auto_start", c.get("autoStart", True))),
+                mesh=c.get("mesh"),
                 channels=chans,
             )
         )

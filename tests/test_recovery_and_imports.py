@@ -197,9 +197,11 @@ class TestPersistentCompileCache:
             warm_s = time.perf_counter() - t0
             # A disk-cache hit skips XLA entirely (~0.1 s load vs multi-
             # second compile).  Only assert the ratio when the cold
-            # compile was long enough to measure against CI load noise.
+            # compile was long enough to measure against CI load noise,
+            # and grant an absolute floor so a saturated host (parallel
+            # jobs stealing the cores) can't flake a genuine cache hit.
             if cold_s > 1.5:
-                assert warm_s < 0.6 * cold_s, (cold_s, warm_s)
+                assert warm_s < max(0.6 * cold_s, 1.0), (cold_s, warm_s)
         finally:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
             jax.config.update("jax_compilation_cache_dir", None)

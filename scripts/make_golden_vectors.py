@@ -77,6 +77,45 @@ def make_nbfm_iq(fs=48_000, seconds=1.0, seed=21):
     ).astype(np.complex64)
 
 
+def make_cqpsk_iq(
+    symbol_rate=12_000.0,
+    alpha=1.0,
+    fs=48_000.0,
+    seed=31,
+    noise=0.001,
+    with_sync=False,
+):
+    """pi/4-DQPSK IQ from this repo's modulator.
+
+    ``with_sync`` embeds the P25 frame sync periodically (exercises the
+    sync-pattern phase trajectories); otherwise pure random dibits — the
+    reference Phase 2 demod's per-sample Costas loop wanders on the long
+    constant-rotation runs the sync pattern creates, so the Phase 2 vector
+    uses random payload only."""
+    sys.path.insert(0, str(REPO))
+    from wavecap_tpu.models.p25.cqpsk import modulate_cqpsk
+
+    rng = np.random.default_rng(seed)
+    if with_sync:
+        from wavecap_tpu.decoders.p25_frames import FRAME_SYNC_DIBITS
+
+        parts = [np.zeros(64, np.uint8)]
+        for _ in range(8):
+            parts.append(np.asarray(FRAME_SYNC_DIBITS, np.uint8))
+            parts.append(rng.integers(0, 4, 360).astype(np.uint8))
+        dibits = np.concatenate(parts + [np.zeros(64, np.uint8)])
+    else:
+        dibits = rng.integers(0, 4, 3200).astype(np.uint8)
+    iq = modulate_cqpsk(
+        dibits, sample_rate=fs, symbol_rate=symbol_rate, alpha=alpha
+    ).astype(np.complex64)
+    nz = np.random.default_rng(seed + 1)
+    iq = iq + noise * (
+        nz.standard_normal(len(iq)) + 1j * nz.standard_normal(len(iq))
+    ).astype(np.complex64)
+    return dibits, iq
+
+
 def make_am_iq(fs=48_000, seconds=1.0, seed=23):
     """AM: 600 Hz tone at 60% modulation depth."""
     t = np.arange(int(fs * seconds)) / fs
@@ -133,6 +172,49 @@ def main() -> None:
         ref_audio=audio.astype(np.float32),
     )
     print(f"wbfm: {len(iq)} iq -> {len(audio)} ref audio samples")
+
+    # -- CQPSK: the reference has TWO pi/4-DQPSK demods with different
+    # dibit alphabets.
+    #
+    # Phase 2 H-DQPSK (reference dsp/p25/cqpsk.py:344): its slicer maps
+    # delta-phase +45deg->2, +135deg->3, -45deg->1, -135deg->0; remap
+    # through [3,2,0,1] to the standard P25 convention (+45->0, +135->1,
+    # -45->2, -135->3) used by this repo and by the reference's own
+    # Phase 1 LSM demod (decoders/p25.py:556 slicer).
+    from wavecapsdr.dsp.p25.cqpsk import CQPSKDemodulator as P2Demod
+
+    P2_TO_STD = np.array([3, 2, 0, 1], np.uint8)
+    tx, iq = make_cqpsk_iq(symbol_rate=12_000, alpha=1.0, noise=0.001)
+    # carrier_loop_bw=0.005: the widest setting where the reference's
+    # per-sample decision-directed Costas holds lock on this vector
+    demod = P2Demod(
+        sample_rate=48_000, symbol_rate=12_000, rrc_alpha=1.0,
+        carrier_loop_bw=0.005,
+    )
+    ref_dibits = P2_TO_STD[np.asarray(demod.demodulate(iq), np.uint8)]
+    np.savez_compressed(
+        OUT / "cqpsk_parity.npz",
+        iq=iq, sample_rate=48_000, symbol_rate=12_000, rrc_alpha=1.0,
+        tx_dibits=tx.astype(np.uint8), ref_dibits=ref_dibits,
+    )
+    print(f"cqpsk_parity: {len(iq)} iq -> {len(ref_dibits)} ref dibits @ 12000 baud")
+
+    # Phase 1 LSM / simulcast (reference decoders/p25.py:190): MMSE
+    # interpolation + Gardner TED + differential slicing, already in the
+    # standard dibit convention.
+    from wavecapsdr.decoders.p25 import CQPSKDemodulator as LsmDemod
+
+    tx, iq = make_cqpsk_iq(
+        symbol_rate=4_800, alpha=0.2, noise=0.003, with_sync=True
+    )
+    lsm = LsmDemod(sample_rate=48_000, symbol_rate=4_800)
+    ref_dibits = np.asarray(lsm.demodulate(iq), np.uint8)
+    np.savez_compressed(
+        OUT / "cqpsk_lsm_parity.npz",
+        iq=iq, sample_rate=48_000, symbol_rate=4_800, rrc_alpha=0.2,
+        tx_dibits=tx.astype(np.uint8), ref_dibits=ref_dibits,
+    )
+    print(f"cqpsk_lsm_parity: {len(iq)} iq -> {len(ref_dibits)} ref dibits @ 4800 baud")
 
     tx_dibits, c4iq = make_c4fm_iq()
     demod = C4FMDemodulator(sample_rate=48_000)

@@ -109,6 +109,80 @@ class TestC4fmParity:
         assert corr > 0.9
 
 
+def _dibit_agreement(ref: np.ndarray, mine: np.ndarray, max_lag: int, trim: int):
+    """Align by correlation on symbol levels, return (agreement, lag)."""
+    lvl = np.array([1, 3, -1, -3], np.float32)
+    corr, lag = best_lag_metrics(lvl[ref], lvl[mine], max_lag=max_lag)
+    if lag >= 0:
+        x, y = ref[lag:], mine[: len(mine) - lag if lag else len(mine)]
+    else:
+        x, y = ref[: len(ref) + lag], mine[-lag:]
+    n = min(len(x), len(y))
+    x, y = x[trim : n - trim], y[trim : n - trim]
+    return float(np.mean(x == y)), lag
+
+
+def _my_cqpsk_dibits(d) -> np.ndarray:
+    from wavecap_tpu.models.p25.cqpsk import (
+        CqpskConfig,
+        cqpsk_demodulate,
+        cqpsk_init,
+    )
+
+    cfg = CqpskConfig(
+        sample_rate=int(d["sample_rate"]),
+        symbol_rate=float(d["symbol_rate"]),
+        rrc_alpha=float(d["rrc_alpha"]),
+    )
+    _, dibits, _ = cqpsk_demodulate(jnp.asarray(d["iq"]), cqpsk_init(cfg), cfg)
+    return np.asarray(dibits).astype(np.int32)
+
+
+class TestCqpskParity:
+    """pi/4-DQPSK dibit parity vs the reference demodulators on identical
+    IQ (VERDICT round 2, item 6):
+
+    * ``cqpsk_parity``: Phase 2 H-DQPSK, 12000 baud, alpha=1.0 — reference
+      ``dsp/p25/cqpsk.py:199`` (RRC + Costas + Mueller-Muller), output
+      remapped to the standard dibit alphabet in the generator.
+    * ``cqpsk_lsm_parity``: Phase 1 LSM, 4800 baud, alpha=0.2 — reference
+      ``decoders/p25.py:190`` (MMSE interpolation + Gardner TED).
+
+    The reference's per-sample loops slip a few symbols mid-stream on
+    clean IQ (windowed agreement vs tx dips to ~0.84 / ~0.94), so the
+    parity chain is: (a) the reference recovers the transmitted dibits —
+    externally validating this repo's modulator — and (b) this repo's
+    demod recovers the same transmitted dibits at >=0.99, i.e. reads the
+    reference-validated waveform at least as faithfully as the reference
+    itself (c) while agreeing with the reference's own decisions wherever
+    its loops held lock."""
+
+    @pytest.mark.parametrize("name", ["cqpsk_parity", "cqpsk_lsm_parity"])
+    def test_reference_recovered_transmitted_dibits(self, name):
+        d = np.load(GOLDEN / f"{name}.npz")
+        tx = d["tx_dibits"].astype(np.int32)
+        ref = d["ref_dibits"].astype(np.int32)
+        # trim the reference loops' acquisition transient (~300 symbols)
+        agree, lag = _dibit_agreement(tx, ref, max_lag=40, trim=400)
+        assert agree > 0.90, f"{name} golden: ref vs tx agreement {agree:.4f} @ {lag}"
+
+    @pytest.mark.parametrize("name", ["cqpsk_parity", "cqpsk_lsm_parity"])
+    def test_cqpsk_dibits_match_transmitted(self, name):
+        d = np.load(GOLDEN / f"{name}.npz")
+        tx = d["tx_dibits"].astype(np.int32)
+        mine = _my_cqpsk_dibits(d)
+        agree, lag = _dibit_agreement(tx, mine, max_lag=40, trim=64)
+        assert agree >= 0.99, f"{name} ours vs tx agreement {agree:.4f} @ lag {lag}"
+
+    @pytest.mark.parametrize("name", ["cqpsk_parity", "cqpsk_lsm_parity"])
+    def test_cqpsk_dibits_match_reference(self, name):
+        d = np.load(GOLDEN / f"{name}.npz")
+        ref = d["ref_dibits"].astype(np.int32)
+        mine = _my_cqpsk_dibits(d)
+        agree, lag = _dibit_agreement(ref, mine, max_lag=40, trim=400)
+        assert agree >= 0.90, f"{name} ours vs ref agreement {agree:.4f} @ lag {lag}"
+
+
 class TestNbfmParity:
     def test_nbfm_audio_matches_reference(self):
         d = np.load(GOLDEN / "nbfm_parity.npz")

@@ -63,6 +63,43 @@ class TestFrontendAssets:
                 assert pairs[o] == c, f"{f.name}: mismatched {o!r}...{c!r} at {i}"
         assert not stack, f"{f.name}: unclosed {stack[-1]}"
 
+    def test_named_imports_are_exported(self):
+        """Every `import {a, b} from "./x.js"` name must be exported by
+        x.js — the most common runtime breakage a vanilla ES-module SPA
+        can ship, caught statically since no JS engine exists here."""
+        export_re = re.compile(
+            r"export\s+(?:async\s+)?(?:function|class|const|let)\s+(\w+)")
+        misses = []
+        for f in js_modules():
+            src = f.read_text()
+            for m in re.finditer(
+                r'import\s*\{([^}]+)\}\s*from\s*"(\.[\w./-]+)"', src
+            ):
+                names = [
+                    n.split(" as ")[0].strip()
+                    for n in m.group(1).split(",") if n.strip()
+                ]
+                target = (f.parent / m.group(2)).resolve()
+                exported = set(export_re.findall(target.read_text()))
+                for n in names:
+                    if n not in exported:
+                        misses.append((f.name, n, target.name))
+        assert not misses, misses
+
+    def test_css_classes_used_are_defined(self):
+        """Classes the JS assigns (class: "...") must exist in app.css —
+        catches dead styling after a rename. Only single-class literals
+        are checked; dynamic/composite class strings are skipped."""
+        css = (STATIC / "css" / "app.css").read_text()
+        defined = set(re.findall(r"\.([\w-]+)", css))
+        misses = []
+        for f in js_modules():
+            for m in re.finditer(r'class:\s*"([\w-]+)"', f.read_text()):
+                cls = m.group(1)
+                if cls not in defined:
+                    misses.append((f.name, cls))
+        assert not misses, misses
+
     def test_css_served_name_matches(self):
         index = (STATIC / "index.html").read_text()
         m = re.search(r'href="/static/(css/[\w./-]+)"', index)

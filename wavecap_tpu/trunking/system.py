@@ -97,6 +97,7 @@ class TrunkingSystem:
             roam_margin_db=config.roam_margin_db,
         )
         self._probe_slot: str | None = None
+        self._cc_power: dict[float, float] = {}  # freq -> last measured dBFS
         self.call_history: deque = deque(maxlen=self.CALL_HISTORY)
         self.events = deque(maxlen=500)  # (time, type, payload) for the API/WS
         self.message_log: deque = deque(maxlen=500)
@@ -237,7 +238,7 @@ class TrunkingSystem:
                 )
             self._cc_sub = self._cc_channel.symbols.subscribe()
             self._spectrum_sub = self.capture.spectrum_subs.subscribe(maxsize=2)
-            self._cc_power: dict[float, float] = {}
+            self._cc_power = {}
             self._voice_subs = {
                 vid: self.capture.channels[vid].symbols.subscribe()
                 for vid in voice_ids

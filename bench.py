@@ -101,26 +101,45 @@ def worker() -> None:
         )
         return (hist, dstates, phases), checksum
 
+    # Input pool: N_DISTINCT *distinct* resident blocks, consumed by
+    # scanning over the pool's leading axis (ROUNDS passes per step call),
+    # so every iteration reads fresh HBM pages instead of re-scanning one
+    # warm block (round-2 review weak #3).  The pool is kept at 8 blocks
+    # x ~16 MB — big enough to defeat any cache, small enough that the
+    # one-time relay upload stays cheap.  Host->device upload itself
+    # stays excluded by design — this is the kernel-throughput figure;
+    # sustained ingest including upload is measured by
+    # scripts/benchmark_p25.py and scripts/benchmark_dual_capture.py on
+    # the real capture engine.
+    N_DISTINCT = min(int(os.environ.get("WAVECAP_BENCH_DISTINCT", "8")), BLOCKS_PER_STEP)
+    ROUNDS = BLOCKS_PER_STEP // N_DISTINCT
+
     @jax.jit
-    def step(x_f32, carry):
-        x = jax.lax.complex(x_f32[0::2], x_f32[1::2])
+    def prep(xs_f32):
+        # one-time interleaved-f32 -> complex64 pool conversion on device
+        return jax.lax.complex(xs_f32[:, 0::2], xs_f32[:, 1::2])
 
-        def body(c, _):
-            return one_block(c, x)  # same block each iter: avoids a
-            # (BLOCKS, N) materialization; the carry chain still forces
-            # sequential full computation
+    @jax.jit
+    def step(xs_c, carry):
+        def one_round(c, _):
+            c, checks = jax.lax.scan(one_block, c, xs_c)
+            return c, jnp.sum(checks)
 
-        carry, checksums = jax.lax.scan(body, carry, None, length=BLOCKS_PER_STEP)
+        carry, checksums = jax.lax.scan(one_round, carry, None, length=ROUNDS)
         return carry, jnp.sum(checksums).reshape(1)
 
     rng = np.random.default_rng(0)
-    x = jax.device_put(
-        (rng.standard_normal(2 * n_block) * 0.1).astype(np.float32)
+    xs_c = prep(
+        jax.device_put(
+            (rng.standard_normal((N_DISTINCT, 2 * n_block)) * 0.1).astype(
+                np.float32
+            )
+        )
     )
 
     t0 = time.perf_counter()
     carry = init()
-    carry, cs = step(x, carry)
+    carry, cs = step(xs_c, carry)
     _ = float(np.asarray(cs)[0])
     compile_s = time.perf_counter() - t0
 
@@ -128,7 +147,7 @@ def worker() -> None:
         nonlocal carry
         t0 = time.perf_counter()
         for _ in range(iters):
-            carry, cs = step(x, carry)
+            carry, cs = step(xs_c, carry)
         _ = float(np.asarray(cs)[0])
         return time.perf_counter() - t0
 

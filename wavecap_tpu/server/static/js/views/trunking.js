@@ -20,6 +20,8 @@ let eventsWs = null;
 const eventLog = [];
 let voicePlayer = null;
 let voiceSid = null;
+let recorderPlayer = null;   // per-recorder voice WS player
+let recorderSid = null;      // "sid/recorderId" key
 let detail = {
   calls: null, talkgroups: null, locations: null, messages: null,
   channels: null, voiceStreams: null, huntMode: "hunt", fetched: 0,
@@ -29,6 +31,12 @@ function stopVoice() {
   voicePlayer?.close();
   voicePlayer = null;
   voiceSid = null;
+}
+
+function stopRecorderVoice() {
+  recorderPlayer?.close();
+  recorderPlayer = null;
+  recorderSid = null;
 }
 
 async function createSystemDlg() {
@@ -425,7 +433,7 @@ function recordingsTable(sys) {
           : el("span", { class: "muted" }, "codewords only")))))));
 }
 
-function voiceStreamsTable() {
+function voiceStreamsTable(sys) {
   const vs = detail.voiceStreams || [];
   if (!vs.length) return null;
   return el("div", { style: "margin-top:8px" },
@@ -434,13 +442,31 @@ function voiceStreamsTable() {
       el("thead", {}, el("tr", {},
         el("th", {}, "Recorder"), el("th", {}, "State"),
         el("th", {}, "Talkgroup"), el("th", {}, "Frequency"),
-        el("th", {}, "Started"))),
-      el("tbody", {}, vs.map((v) => el("tr", {},
-        el("td", { class: "mono" }, `#${v.recorderId} (${v.channelId})`),
-        el("td", {}, badge(v.state)),
-        el("td", {}, v.tgid ? `${v.talkgroup || ""} (${v.tgid})` : "—"),
-        el("td", { class: "mono" }, v.frequencyHz ? fmtHz(v.frequencyHz) : "—"),
-        el("td", {}, v.startTime ? fmtTime(v.startTime) : "—"))))));
+        el("th", {}, "Started"), el("th", {}, ""))),
+      el("tbody", {}, vs.map((v) => {
+        const key = `${sys.id}/${v.recorderId}`;
+        const on = recorderSid === key;
+        return el("tr", {},
+          el("td", { class: "mono" }, `#${v.recorderId} (${v.channelId})`),
+          el("td", {}, badge(v.state)),
+          el("td", {}, v.tgid ? `${v.talkgroup || ""} (${v.tgid})` : "—"),
+          el("td", { class: "mono" }, v.frequencyHz ? fmtHz(v.frequencyHz) : "—"),
+          el("td", {}, v.startTime ? fmtTime(v.startTime) : "—"),
+          el("td", {}, el("button", {
+            class: `small ${on ? "primary" : ""}`,
+            title: "Listen to this recorder only (per-recorder voice WS)",
+            onClick: () => {
+              stopRecorderVoice();
+              if (!on) {
+                recorderPlayer = new ChannelPlayer(
+                  `/trunking/stream/${sys.id}/voice/${v.recorderId}`,
+                  { rate: 8000 });
+                recorderSid = key;
+              }
+              render();
+            },
+          }, on ? "■" : "▶")));
+      }))));
 }
 
 // ---------------------------------------------------------------------------
@@ -502,7 +528,7 @@ function systemDetail(sys) {
         locTable(detail.locations))),
     el("div", { class: "row" },
       el("div", { class: "panel" },
-        ccPanel(sys), voiceStreamsTable(), networkPanel(sys)),
+        ccPanel(sys), voiceStreamsTable(sys), networkPanel(sys)),
       el("div", { class: "panel" },
         el("h2", {}, "Control-channel messages"),
         el("div", { style: "max-height:300px; overflow-y:auto" },

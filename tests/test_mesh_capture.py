@@ -57,16 +57,33 @@ class TestMeshSpec:
 
 
 class TestMeshConstraints:
-    def test_rejects_wide_and_p25_modes(self):
+    def test_rejects_wide_accepts_p25(self):
+        """Round 3: p25 became a first-class mesh mode (soft symbols from
+        the sharded grid); wide stays single-chip-only, and p25 needs its
+        capacity declared at creation (block geometry must be
+        symbol-commensurate)."""
         _, cap = make_mesh_capture()
-        with pytest.raises(ValueError, match="narrow analog"):
+        with pytest.raises(ValueError, match="narrow analog and p25"):
             cap.create_channel(
                 ChannelSpec(id="w", mode="wbfm", frequency_hz=155.1e6)
             )
-        with pytest.raises(ValueError, match="narrow analog"):
+        with pytest.raises(ValueError, match="p25_capacity"):
             cap.create_channel(
                 ChannelSpec(id="p", mode="p25", frequency_hz=155.1e6)
             )
+
+        drv = FakeDriver()
+        mgr = CaptureManager(drv)
+        cap2 = mgr.create_capture(
+            config=CaptureConfig(
+                center_hz=851e6, sample_rate=800_000, mesh="stream=1,time=8",
+                wide_capacity=0, p25_capacity=1,
+            )
+        )
+        ch = cap2.create_channel(
+            ChannelSpec(id="p", mode="p25", frequency_hz=851.1e6)
+        )
+        assert ch.mode_group == "p25"
 
     def test_rejects_second_mode_group(self):
         _, cap = make_mesh_capture()
@@ -74,6 +91,10 @@ class TestMeshConstraints:
         with pytest.raises(ValueError, match="ONE"):
             cap.create_channel(
                 ChannelSpec(id="b", mode="am", frequency_hz=155.2e6)
+            )
+        with pytest.raises(ValueError, match="ONE"):
+            cap.create_channel(
+                ChannelSpec(id="p", mode="p25", frequency_hz=155.3e6)
             )
 
     def test_rejects_bin_collision(self):
@@ -194,3 +215,59 @@ class TestMeshEndToEnd:
         spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
         freqs = np.fft.rfftfreq(len(seg), 1 / 48_000)
         assert abs(freqs[int(np.argmax(spec))] - 1000.0) < 25.0
+
+    def test_p25_cc_through_mesh_engine(self):
+        """The flagship digital path on the mesh: a synthesized P25
+        control channel -> engine reader -> sharded grid (C4FM soft
+        symbols demodulated on the 8-device mesh) -> symbols fan-out ->
+        host framer/TSBK stack.  Steady-state CRC must match the
+        single-chip contract (round-3 extension: mesh previously
+        supported narrow analog modes only)."""
+        from tests.test_trunking import make_p25_cc_iq
+        from wavecap_tpu.trunking.control import ControlChannelMonitor
+
+        rate = 800_000
+        # place the CC exactly on a channelizer bin center
+        from wavecap_tpu.ops.channelizer import ChannelizerConfig
+
+        ch_cfg = ChannelizerConfig(sample_rate=float(rate), channel_bandwidth=12_500.0)
+        off = ch_cfg.channel_offset_hz(5)
+        iq = make_p25_cc_iq(rate, off, n_frames=60)
+        drv = FakeDriver(
+            stations=[FakeStation(offset_hz=0.0, kind="iq_loop", iq_loop=iq,
+                                  amplitude=1.0)]
+        )
+        mgr = CaptureManager(drv)
+        cap = mgr.create_capture(
+            config=CaptureConfig(
+                center_hz=851e6, sample_rate=rate, mesh="stream=1,time=8",
+                wide_capacity=0, narrow_capacity=0, p25_capacity=1,
+            )
+        )
+        ch = cap.create_channel(
+            ChannelSpec(id="cc", mode="p25", frequency_hz=851e6 + off)
+        )
+        tsbks: list[dict] = []
+        mon = ControlChannelMonitor(on_tsbk=lambda parsed, blk: tsbks.append(parsed))
+        sub = ch.symbols.subscribe(maxsize=64)
+        cap.start()
+        try:
+            t0 = time.time()
+            fed = 0
+            while time.time() - t0 < 240.0 and fed < 30_000:
+                got = sub.get_nowait()
+                if got is None:
+                    time.sleep(0.05)
+                    continue
+                soft = np.asarray(got["soft"])
+                fed += len(soft)
+                mon.process_symbols(soft)
+        finally:
+            sub.close()
+            cap.stop()
+        assert mon.stats.tsdu_frames >= 5, (
+            f"framer never locked on mesh symbols: {mon.stats}"
+        )
+        assert mon.stats.crc_rate_steady >= 0.95, f"{mon.stats}"
+        opcodes = {t.get("opcode") for t in tsbks}
+        assert len(tsbks) >= 10 and len(opcodes) >= 2, (fed, len(tsbks), opcodes)

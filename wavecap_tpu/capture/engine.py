@@ -108,8 +108,10 @@ class CaptureConfig:
     # capture's block step through the sharded grid
     # (parallel/sharded.py: ppermute halo channelizer + all_to_all
     # channel-parallel demod) over jax.devices().  Mesh captures
-    # demodulate every channelizer bin with ONE shared narrow mode
-    # (channels map to bins); wide/P25 captures stay single-chip.
+    # demodulate every channelizer bin with ONE shared mode — narrow
+    # analog (audio out) or p25 (soft symbols out, p25_capacity > 0
+    # required at creation for symbol-commensurate block geometry);
+    # wide captures stay single-chip.
     # None = single-chip slot-bank program (capture/pipeline.py).
     mesh: str | None = None
 
@@ -340,10 +342,10 @@ class Capture:
         return bin_idx
 
     def _check_mesh_group(self, group, exclude_id: str | None = None) -> None:
-        if isinstance(group, str):  # "wide" or "p25"
+        if group == "wide":
             raise ValueError(
-                "mesh-backend captures support narrow analog modes only "
-                "(wide/P25 captures run the single-chip program)"
+                "mesh-backend captures support narrow analog and p25 modes "
+                "(wide captures run the single-chip program)"
             )
         others = {
             c.mode_group
@@ -354,6 +356,13 @@ class Capture:
             raise ValueError(
                 "mesh-backend captures share ONE (mode, dsp) across all "
                 "channels (the grid demodulates every bin with one program)"
+            )
+        if group == "p25" and self.config.p25_capacity <= 0:
+            # block geometry must be symbol-commensurate, and that is
+            # decided at capture creation from p25_capacity (single-chip
+            # has the same capacity-at-creation contract)
+            raise ValueError(
+                "mesh p25 channels need p25_capacity > 0 at capture creation"
             )
 
     def create_channel(self, spec: ChannelSpec) -> ChannelHandle:
@@ -556,12 +565,14 @@ class Capture:
         if new_cfg != self._pipe_cfg:
             self._flush_pending()
             self._pipe_cfg = new_cfg
-            if self.config.mesh and new_cfg.narrow_modes:
+            if self.config.mesh and (new_cfg.narrow_modes or new_cfg.p25_capacity):
                 from wavecap_tpu.capture import mesh as mesh_mod
 
                 if self._mesh is None:
                     self._mesh = mesh_mod.build_mesh(self.config.mesh)
-                entry = new_cfg.narrow_modes[0]
+                entry = (
+                    new_cfg.narrow_modes[0] if new_cfg.narrow_modes else "p25"
+                )
                 self._jit_step = mesh_mod.jit_mesh_capture_multi(
                     new_cfg,
                     max(1, self.config.blocks_per_dispatch),
@@ -587,10 +598,10 @@ class Capture:
     def _build_control(self) -> Any:
         assert self._pipe_cfg is not None
         cfg = self._pipe_cfg
-        if self.config.mesh and cfg.narrow_modes:
+        if self.config.mesh and (cfg.narrow_modes or cfg.p25_capacity):
             from wavecap_tpu.capture import mesh as mesh_mod
 
-            entry = cfg.narrow_modes[0]
+            entry = cfg.narrow_modes[0] if cfg.narrow_modes else "p25"
             chans = [
                 c for c in self.channels.values() if c.mode_group == entry
             ]

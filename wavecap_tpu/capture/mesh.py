@@ -76,7 +76,25 @@ def build_mesh(spec: str) -> Mesh:
 
 
 def mesh_grid_cfg(pipe_cfg, entry) -> ShardedGridConfig:
-    """Grid config for the capture's single narrow bank ``entry``."""
+    """Grid config for the capture's single mode group ``entry``.
+
+    ``entry == "p25"`` shards the flagship digital path: every bin runs
+    the C4FM (or CQPSK) demod and the grid's output is soft symbols the
+    host framer / trunking stack consumes, exactly like the single-chip
+    p25 bank."""
+    if entry == "p25":
+        from wavecap_tpu.capture.pipeline import p25_cfg_for
+
+        mode = (
+            "p25-cqpsk-soft"
+            if pipe_cfg.p25_modulation == "cqpsk"
+            else "p25-soft"
+        )
+        return ShardedGridConfig(
+            channelizer=pipe_cfg.channelizer(),
+            mode=mode,
+            demod_cfg=p25_cfg_for(pipe_cfg),
+        )
     bank = pipe_cfg.bank_cfg(entry)
     return ShardedGridConfig(
         channelizer=pipe_cfg.channelizer(),
@@ -134,12 +152,19 @@ def jit_mesh_capture_multi(pipe_cfg, n_blocks: int, mesh: Mesh, entry):
             average=max(1, n_fft_frames // max(spectrum_frames, 1)),
         )
         g_out, state = gstep(x[None, :], state, ctl)
-        out = {
-            "spectrum": spectrum,
-            "banks": {
-                entry: {"audio": g_out["audio"][0], "rssi": g_out["rssi"][0]}
-            },
-        }
+        if entry == "p25":
+            # the engine's p25 fan-out reads out["p25"]["soft"/"rssi"]
+            out = {
+                "spectrum": spectrum,
+                "p25": {"soft": g_out["audio"][0], "rssi": g_out["rssi"][0]},
+            }
+        else:
+            out = {
+                "spectrum": spectrum,
+                "banks": {
+                    entry: {"audio": g_out["audio"][0], "rssi": g_out["rssi"][0]}
+                },
+            }
         out["_packed"] = jnp.concatenate(
             [
                 leaf.astype(jnp.float32).ravel()

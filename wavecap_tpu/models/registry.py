@@ -18,6 +18,36 @@ class DemodSpec(NamedTuple):
     demod: Callable[..., Any]
 
 
+def _c4fm_soft(iq, state, cfg):
+    """C4FM -> soft symbols in the (out, state) demod contract the channel
+    grid expects; the hard dibits are host-rederivable from soft."""
+    from .p25 import c4fm
+
+    soft, _dibits, state = c4fm.c4fm_demodulate(iq, state, cfg)
+    return soft, state
+
+
+def _cqpsk_soft(iq, state, cfg):
+    from .p25 import cqpsk
+
+    soft, _dibits, state = cqpsk.cqpsk_demodulate(iq, state, cfg)
+    return soft, state
+
+
+def _p25_specs():
+    from .p25 import c4fm, cqpsk
+
+    return {
+        # soft-symbol outputs for the sharded mesh grid (capture/mesh.py);
+        # not reachable as API channel modes — those route through the
+        # engine's dedicated p25 bank
+        "p25-soft": DemodSpec(c4fm.C4fmConfig, c4fm.c4fm_init, _c4fm_soft),
+        "p25-cqpsk-soft": DemodSpec(
+            cqpsk.CqpskConfig, cqpsk.cqpsk_init, _cqpsk_soft
+        ),
+    }
+
+
 REGISTRY: dict[str, DemodSpec] = {
     "wbfm": DemodSpec(analog.WbfmConfig, analog.wbfm_init, analog.wbfm_demod),
     "nbfm": DemodSpec(analog.NbfmConfig, analog.nbfm_init, analog.nbfm_demod),
@@ -25,6 +55,7 @@ REGISTRY: dict[str, DemodSpec] = {
     "sam": DemodSpec(analog.SamConfig, analog.sam_init, analog.sam_demod),
     "usb": DemodSpec(analog.SsbConfig, analog.ssb_init, analog.ssb_demod),
     "lsb": DemodSpec(analog.SsbConfig, analog.ssb_init, analog.ssb_demod),
+    **_p25_specs(),
 }
 
 

@@ -46,19 +46,36 @@ from wavecap_tpu.capture import CaptureConfig, CaptureManager, ChannelSpec
 from wavecap_tpu.devices import FakeDriver, FakeStation
 
 n_time = %(n)d
-m = 32 if 32 %% n_time == 0 else 4 * n_time
-fs = int(m * 25_000)
-drv = FakeDriver(stations=[FakeStation(offset_hz=100_000.0, kind="nbfm",
-                                       tone_hz=1000.0, deviation_hz=4000.0)])
-cap = CaptureManager(drv).create_capture(
-    config=CaptureConfig(
-        center_hz=155e6, sample_rate=fs, mesh=f"stream=1,time={n_time}",
-        # weak scaling: per-shard work constant -> block grows with n_time
-        block_seconds=%(block_s)f * n_time,
-        wide_capacity=0, p25_capacity=0,
+mode = "%(mode)s"
+if mode == "p25":
+    # flagship digital path: C4FM soft symbols demodulated on the grid
+    m = 64 if 64 %% n_time == 0 else 8 * n_time
+    fs = int(m * 12_500)
+    drv = FakeDriver()
+    cap = CaptureManager(drv).create_capture(
+        config=CaptureConfig(
+            center_hz=851e6, sample_rate=fs, mesh=f"stream=1,time={n_time}",
+            block_seconds=%(block_s)f * n_time,
+            wide_capacity=0, narrow_capacity=0, p25_capacity=1,
+        )
     )
-)
-cap.create_channel(ChannelSpec(id="c1", mode="nbfm", frequency_hz=155.1e6))
+    cap.create_channel(
+        ChannelSpec(id="cc", mode="p25", frequency_hz=851e6 + 12_500 * 3)
+    )
+else:
+    m = 32 if 32 %% n_time == 0 else 4 * n_time
+    fs = int(m * 25_000)
+    drv = FakeDriver(stations=[FakeStation(offset_hz=100_000.0, kind="nbfm",
+                                           tone_hz=1000.0, deviation_hz=4000.0)])
+    cap = CaptureManager(drv).create_capture(
+        config=CaptureConfig(
+            center_hz=155e6, sample_rate=fs, mesh=f"stream=1,time={n_time}",
+            # weak scaling: per-shard work constant -> block grows with n_time
+            block_seconds=%(block_s)f * n_time,
+            wide_capacity=0, p25_capacity=0,
+        )
+    )
+    cap.create_channel(ChannelSpec(id="c1", mode="nbfm", frequency_hz=155.1e6))
 jit_step = cap._jit_step
 state = cap._dev_state
 ctl = cap._build_control()
@@ -81,8 +98,8 @@ print(json.dumps({
 """
 
 
-def run_size(n: int, steps: int, block_s: float) -> dict:
-    code = _CHILD % {"n": n, "steps": steps, "block_s": block_s}
+def run_size(n: int, steps: int, block_s: float, mode: str) -> dict:
+    code = _CHILD % {"n": n, "steps": steps, "block_s": block_s, "mode": mode}
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     out = subprocess.run(
@@ -106,11 +123,15 @@ def main() -> None:
         "--block-s", type=float, default=0.25,
         help="per-device seconds of IQ per step (weak-scaling unit)",
     )
+    ap.add_argument(
+        "--mode", default="nbfm", choices=("nbfm", "p25"),
+        help="grid demod: narrow analog bank or the P25 soft-symbol path",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     rows = []
     for n in sizes:
-        r = run_size(n, args.steps, args.block_s)
+        r = run_size(n, args.steps, args.block_s, args.mode)
         rows.append(r)
         print(
             f"devices={r['devices']} block={r['block_size']} "
@@ -122,7 +143,9 @@ def main() -> None:
         r["weak_scaling_eff"] = round(
             r["samples_per_s"] / (r["devices"] * base), 3
         )
-    print(json.dumps({"host_cores": os.cpu_count(), "results": rows}))
+    print(json.dumps(
+        {"host_cores": os.cpu_count(), "mode": args.mode, "results": rows}
+    ))
 
 
 if __name__ == "__main__":

@@ -216,23 +216,25 @@ class TestMeshEndToEnd:
         freqs = np.fft.rfftfreq(len(seg), 1 / 48_000)
         assert abs(freqs[int(np.argmax(spec))] - 1000.0) < 25.0
 
-    def test_p25_cc_through_mesh_engine(self):
+    @pytest.mark.parametrize("modulation", ["c4fm", "cqpsk"])
+    def test_p25_cc_through_mesh_engine(self, modulation):
         """The flagship digital path on the mesh: a synthesized P25
-        control channel -> engine reader -> sharded grid (C4FM soft
-        symbols demodulated on the 8-device mesh) -> symbols fan-out ->
-        host framer/TSBK stack.  Steady-state CRC must match the
-        single-chip contract (round-3 extension: mesh previously
-        supported narrow analog modes only)."""
+        control channel -> engine reader -> sharded grid (C4FM or
+        pi/4-DQPSK soft symbols demodulated on the 8-device mesh) ->
+        symbols fan-out -> host framer/TSBK stack.  Steady-state CRC
+        must match the single-chip contract (round-3 extension: mesh
+        previously supported narrow analog modes only)."""
         from tests.test_trunking import make_p25_cc_iq
         from wavecap_tpu.trunking.control import ControlChannelMonitor
 
         rate = 800_000
-        # place the CC exactly on a channelizer bin center
+        # place the CC exactly on a channelizer bin center (the capture's
+        # default geometry: 25 kHz bins -> 32 bins at 800 ksps)
         from wavecap_tpu.ops.channelizer import ChannelizerConfig
 
-        ch_cfg = ChannelizerConfig(sample_rate=float(rate), channel_bandwidth=12_500.0)
+        ch_cfg = ChannelizerConfig(sample_rate=float(rate), channel_bandwidth=25_000.0)
         off = ch_cfg.channel_offset_hz(5)
-        iq = make_p25_cc_iq(rate, off, n_frames=60)
+        iq = make_p25_cc_iq(rate, off, n_frames=60, modulation=modulation)
         drv = FakeDriver(
             stations=[FakeStation(offset_hz=0.0, kind="iq_loop", iq_loop=iq,
                                   amplitude=1.0)]
@@ -242,6 +244,7 @@ class TestMeshEndToEnd:
             config=CaptureConfig(
                 center_hz=851e6, sample_rate=rate, mesh="stream=1,time=8",
                 wide_capacity=0, narrow_capacity=0, p25_capacity=1,
+                p25_modulation=modulation,
             )
         )
         ch = cap.create_channel(

@@ -164,9 +164,13 @@ class TestStateMachine:
         assert sys2.cc_locked == 851_000_000.0
 
 
-def make_p25_cc_iq(capture_rate: int, offset_hz: float, nac=0x293, n_frames=30):
+def make_p25_cc_iq(
+    capture_rate: int, offset_hz: float, nac=0x293, n_frames=30,
+    modulation="c4fm",
+):
     """A looping control-channel waveform at ``offset_hz`` in the capture."""
     from wavecap_tpu.models.p25.c4fm import modulate_c4fm
+    from wavecap_tpu.models.p25.cqpsk import modulate_cqpsk
 
     pieces = []
     for k in range(n_frames):
@@ -190,7 +194,10 @@ def make_p25_cc_iq(capture_rate: int, offset_hz: float, nac=0x293, n_frames=30):
         )
         pieces.append(pf.build_tsdu_frame(nac, [iden, grant, rfss]))
     dibits = np.concatenate(pieces)
-    iq48 = modulate_c4fm(dibits, 48_000)
+    if modulation == "cqpsk":
+        iq48 = modulate_cqpsk(dibits, 48_000)
+    else:
+        iq48 = modulate_c4fm(dibits, 48_000)
     from math import gcd
 
     g = gcd(capture_rate, 48_000)

@@ -140,42 +140,82 @@ def cqpsk_demodulate(iq: jnp.ndarray, state: CqpskState, cfg: CqpskConfig):
         return (pos_next, freq, integ, y), y
 
     if cfg.timing_impl == "block":
-        # vectorized per-block phase search (see c4fm._demod_block_timing):
-        # |y| dips between pi/4-DQPSK symbol instants (RRC transitions), so
-        # mean |y| over candidate phases peaks at the symbol centers
-        n_cand = 25
-        deltas = jnp.linspace(-sps / 2.0, sps / 2.0, n_cand)
+        # Vectorized feedforward timing, mirroring c4fm._demod_block_timing:
+        # the squared ENVELOPE |y|^2 of the RRC-shaped pi/4-DQPSK waveform
+        # carries a spectral line at the symbol rate (Oerder-Meyr
+        # nonlinearity for PSK); its complex angle locates the symbol
+        # instants absolutely (mod one symbol), and the half-block phase
+        # drift measures clock error.  The earlier mean-|y| candidate
+        # search had no usable S-curve for pi/4 transitions (the envelope
+        # barely dips between +-pi/4 steps), so the loop could latch a
+        # wrong clock in the acquisition transient and then free-run,
+        # slipping ~freq_err*n_sym samples per block (observed: 50 %
+        # steady-state TSBK CRC through the channelizer; one-shot 100 %).
+        n = filt.shape[-1]
+        u = jnp.abs(filt) ** 2
+        idx = jnp.arange(n, dtype=jnp.float32)
+        w = jnp.exp(-2j * jnp.pi * idx / sps)
+        uw = u.astype(jnp.complex64) * w
+        half_n = n // 2
+        A1 = jnp.sum(uw[:half_n])
+        A2 = jnp.sum(uw[half_n:])
+        lock = jnp.abs(A1 + A2) / jnp.maximum(jnp.sum(u), 1e-9)
+        dphi_line = jnp.angle(A2 * jnp.conj(A1))
+        slope = (dphi_line / (2.0 * jnp.pi)) * sps * (sps / jnp.maximum(half_n, 1))
+        slope = jnp.clip(slope, -0.005, 0.005)
+
+        tau_om = -jnp.angle(A1 + A2) / (2.0 * jnp.pi) * sps  # filt coords
+        pos_mod = jnp.mod(state.pos - INTERP_TAIL, sps)
+        delta_om = jnp.mod(tau_om - pos_mod + sps / 2.0, sps) - sps / 2.0
+
         m = jnp.arange(n_sym, dtype=jnp.float32)
         base = state.pos + m * freq0
-        pos_cand = jnp.clip(
-            base[None, :] + deltas[:, None], 0.0, buf.shape[-1] - 2.0
-        )
-        i0 = jnp.floor(pos_cand).astype(jnp.int32)
-        frac = (pos_cand - i0.astype(jnp.float32)).astype(jnp.float32)
-        yc = buf[i0] * (1.0 - frac) + buf[i0 + 1] * frac
-        metric = jnp.mean(jnp.abs(yc), axis=-1)
-        best = jnp.argmax(metric)
-        bm1 = jnp.clip(best - 1, 0, n_cand - 1)
-        bp1 = jnp.clip(best + 1, 0, n_cand - 1)
-        y0m, y1m, y2m = metric[bm1], metric[best], metric[bp1]
-        denom2 = y0m - 2.0 * y1m + y2m
-        frac_peak = jnp.where(jnp.abs(denom2) > 1e-9, 0.5 * (y0m - y2m) / denom2, 0.0)
-        frac_peak = jnp.clip(frac_peak, -1.0, 1.0)
-        significant = metric[best] > 1.02 * jnp.mean(metric)
-        delta_best = jnp.where(
-            significant, deltas[best] + frac_peak * (deltas[1] - deltas[0]), 0.0
-        )
-        pos_f = jnp.clip(base + delta_best, 0.0, buf.shape[-1] - 2.0)
-        i0f = jnp.floor(pos_f).astype(jnp.int32)
-        ff = (pos_f - i0f.astype(jnp.float32)).astype(jnp.float32)
-        syms = buf[i0f] * (1.0 - ff) + buf[i0f + 1] * ff
+        hi = buf.shape[-1] - 2.0
+
+        def sample(pos):
+            pos = jnp.clip(pos, 0.0, hi)
+            i0 = jnp.floor(pos).astype(jnp.int32)
+            fr = pos - i0.astype(jnp.float32)
+            return buf[i0] * (1.0 - fr) + buf[i0 + 1] * fr
+
+        def gardner(phase_off):
+            # complex Gardner TED, block-averaged (same discriminant the
+            # scan loop uses per symbol)
+            y = sample(base + phase_off)
+            ym = sample(base + phase_off - freq0 * 0.5)
+            g = jnp.mean((jnp.conj(ym[1:]) * (y[:-1] - y[1:])).real)
+            return g / jnp.maximum(jnp.mean(jnp.abs(y) ** 2), 1e-6)
+
+        # O&M is coarse but unambiguous; one Newton step on the Gardner
+        # S-curve refines it when the tracked position is already close
+        d0 = jnp.where(jnp.abs(delta_om) > 0.75, delta_om, 0.0)
+        g0 = gardner(d0)
+        g1 = gardner(d0 + 0.5)
+        k = (g1 - g0) / 0.5
+        delta = jnp.where(jnp.abs(k) > 1e-3, d0 - g0 / k, d0)
+        delta = jnp.clip(delta, -sps / 2.0, sps / 2.0)
+        g2 = gardner(delta)
+        delta2 = jnp.where(jnp.abs(k) > 1e-3, delta - g2 / k, delta)
+        delta = jnp.clip(delta2, -sps / 2.0, sps / 2.0)
+
+        # dead-air gate: no symbol-rate line -> freeze timing (alpha=0.2
+        # excess bandwidth gives a weaker line than C4FM's discriminator
+        # path, hence the lower threshold)
+        significant = lock > 0.002
+        delta = jnp.where(significant, delta, 0.0)
+        slope = jnp.where(significant, slope, 0.0)
+
         integ = jnp.clip(
-            state.integrator + beta * n_sym * 0.5 * (delta_best / sps),
+            state.integrator
+            + 0.5 * slope
+            + 0.05 * (delta / jnp.maximum(n_sym, 1)),
             fmin - sps,
             fmax - sps,
         )
         freq = jnp.clip(sps + integ, fmin, fmax)
-        pos = state.pos + delta_best + n_sym * freq
+        ramp = delta + slope * (m - 0.5 * n_sym)
+        syms = sample(base + ramp)
+        pos = state.pos + delta + n_sym * freq
         prev = syms[-1]
     else:
         carry0 = (state.pos, freq0, state.integrator, state.prev_sym)

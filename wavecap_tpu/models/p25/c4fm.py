@@ -386,10 +386,15 @@ def modulate_c4fm(
     dibits: np.ndarray,
     sample_rate: float = 48_000.0,
     amplitude: float = 1.0,
+    deviation_hz: float | None = None,
 ) -> np.ndarray:
-    """Dibits -> C4FM complex IQ at ``sample_rate`` (RRC-shaped 4FSK)."""
+    """Dibits -> C4FM complex IQ at ``sample_rate`` (RRC-shaped 4FSK).
+
+    ``deviation_hz`` overrides the outer-symbol deviation (default P25's
+    +-1800 Hz); DMR test signals pass 1944 (ETSI TS 102 361-1 4FSK)."""
     from wavecap_tpu.decoders.p25_frames import DIBIT_SYMBOLS
 
+    dev = DEVIATION_HZ if deviation_hz is None else float(deviation_hz)
     sps = sample_rate / SYMBOL_RATE
     assert abs(sps - round(sps)) < 1e-9, "integer sps required for synthesis"
     sps = int(round(sps))
@@ -398,7 +403,7 @@ def modulate_c4fm(
     impulses[::sps] = symbols * sps  # impulse-train gain compensation
     h = design_rrc(sample_rate)
     shaped = _sps.lfilter(h, 1.0, impulses)
-    freq_hz = shaped * (DEVIATION_HZ / 3.0)
+    freq_hz = shaped * (dev / 3.0)
     phase = 2 * np.pi * np.cumsum(freq_hz) / sample_rate
     return (amplitude * np.exp(1j * phase)).astype(np.complex64)
 

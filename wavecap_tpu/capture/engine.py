@@ -84,6 +84,10 @@ class CaptureConfig:
     wide_capacity: int = 2
     p25_capacity: int = 2
     p25_modulation: str = "c4fm"  # c4fm | cqpsk
+    # P25 Phase 2 TDMA voice slots (mode "p25p2"): 6000-baud H-DQPSK in a
+    # second vmapped bank — Phase 2 systems run a 4800-baud FDMA control
+    # channel and 6000-baud TDMA voice channels in the SAME capture
+    p25p2_capacity: int = 0
     audio_rate: int = 48_000
     channel_bandwidth: float = 25_000.0
     # Host->device IQ transport format.  Remote TPU relays are upload-
@@ -238,7 +242,7 @@ class Capture:
         m = ch.channel_count
         decim = max(1, int(cfg.sample_rate) // pl.WIDE_RATE)
         unit = int(np.lcm(m, decim))
-        if cfg.p25_capacity > 0:
+        if cfg.p25_capacity > 0 or cfg.p25p2_capacity > 0:
             # whole symbols per block: device samples n map to
             # n*symbol_rate/fs symbols at the channelized rate — keep that
             # integral or the demod slips a symbol every few blocks
@@ -267,18 +271,21 @@ class Capture:
         m = mode.lower()
         if m in WIDE_MODES:
             return "wide"
+        if m == "p25p2":  # Phase 2 TDMA voice: 6000-baud H-DQPSK bank
+            return "p25p2"
         if m in P25_MODES:
             return "p25"
         return m
 
     def _group_for(self, spec: ChannelSpec):
-        """Bank group key: "wide", "p25", or (mode, dsp_key) for narrow
-        channels — same (mode, DSP overrides) share one vmapped bank."""
+        """Bank group key: "wide", "p25", "p25p2", or (mode, dsp_key) for
+        narrow channels — same (mode, DSP overrides) share one vmapped
+        bank."""
         g = self._mode_group(spec.mode)
         if g == "wide":
             self._validate_dsp("wbfm", spec.dsp)
             return g
-        if g == "p25":
+        if g in ("p25", "p25p2"):
             if spec.dsp:
                 raise ValueError(f"dsp options not supported for {spec.mode}")
             return g
@@ -316,6 +323,8 @@ class Capture:
             cap = self.config.wide_capacity
         elif group == "p25":
             cap = self.config.p25_capacity
+        elif group == "p25p2":
+            cap = self.config.p25p2_capacity
         else:
             cap = self.config.narrow_capacity
         used = {
@@ -342,10 +351,10 @@ class Capture:
         return bin_idx
 
     def _check_mesh_group(self, group, exclude_id: str | None = None) -> None:
-        if group == "wide":
+        if group in ("wide", "p25p2"):
             raise ValueError(
                 "mesh-backend captures support narrow analog and p25 modes "
-                "(wide captures run the single-chip program)"
+                "(wide and Phase 2 TDMA captures run the single-chip program)"
             )
         others = {
             c.mode_group
@@ -514,7 +523,7 @@ class Capture:
                 {
                     c.mode_group
                     for c in self.channels.values()
-                    if c.mode_group not in ("wide", "p25")
+                    if c.mode_group not in ("wide", "p25", "p25p2")
                 }
             )
         )
@@ -555,6 +564,7 @@ class Capture:
             wide_capacity=cfg.wide_capacity if "wide" in groups else 0,
             p25_capacity=cfg.p25_capacity if "p25" in groups else 0,
             p25_modulation=cfg.p25_modulation,
+            p25p2_capacity=cfg.p25p2_capacity if "p25p2" in groups else 0,
             audio_rate=cfg.audio_rate,
             export_wide_baseband=self._wide_baseband and "wide" in groups,
             wide_dsp=self._wide_dsp() if "wide" in groups else (),
@@ -625,6 +635,12 @@ class Capture:
             act=np.zeros(cfg.p25_capacity, bool),
             sq=np.full(cfg.p25_capacity, -1e9, np.float32),
         )
+        p25p2 = dict(
+            idx=np.zeros(cfg.p25p2_capacity, np.int32),
+            fine=np.zeros(cfg.p25p2_capacity, np.float32),
+            act=np.zeros(cfg.p25p2_capacity, bool),
+            sq=np.full(cfg.p25p2_capacity, -1e9, np.float32),
+        )
         for ch in self.channels.values():
             off = ch.spec.frequency_hz - self.config.center_hz
             sq = ch.spec.squelch_db if ch.spec.squelch_db is not None else -1e9
@@ -633,6 +649,11 @@ class Capture:
                 p25["idx"][ch.slot] = ci
                 p25["fine"][ch.slot] = off - ch_cfg.channel_offset_hz(ci)
                 p25["act"][ch.slot] = True
+            elif ch.mode_group == "p25p2":
+                ci = ch_cfg.channel_index(off)
+                p25p2["idx"][ch.slot] = ci
+                p25p2["fine"][ch.slot] = off - ch_cfg.channel_offset_hz(ci)
+                p25p2["act"][ch.slot] = True
             elif ch.mode_group == "wide":
                 wide["off"][ch.slot] = off
                 wide["act"][ch.slot] = True
@@ -663,6 +684,16 @@ class Capture:
             if cfg.p25_capacity > 0
             else None
         )
+        new_p25p2 = (
+            pl.ChannelAssignment(
+                channel_index=jnp.asarray(p25p2["idx"]),
+                fine_offset_hz=jnp.asarray(p25p2["fine"]),
+                active=jnp.asarray(p25p2["act"]),
+                squelch_db=jnp.asarray(p25p2["sq"]),
+            )
+            if cfg.p25p2_capacity > 0
+            else None
+        )
         new_wide = (
             pl.WideAssignment(
                 offset_hz=jnp.asarray(np.asarray(wide["off"], np.float32)),
@@ -672,7 +703,9 @@ class Capture:
             if cfg.wide_capacity > 0
             else None
         )
-        return pl.CaptureControl(banks=new_banks, wide=new_wide, p25=new_p25)
+        return pl.CaptureControl(
+            banks=new_banks, wide=new_wide, p25=new_p25, p25p2=new_p25p2
+        )
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -1068,8 +1101,8 @@ class Capture:
                     # per-channel stop (reference POST /channels/{id}/stop):
                     # slot keeps running traced, host just stops publishing
                     continue
-                if ch.mode_group == "p25":
-                    grp = out.get("p25")
+                if ch.mode_group in ("p25", "p25p2"):
+                    grp = out.get(ch.mode_group)
                     if grp is None:
                         continue
                     ch.record_rssi(float(grp["rssi"][b][ch.slot]), now)

@@ -110,6 +110,11 @@ class CapturePipelineConfig:
     wide_capacity: int = 0
     p25_capacity: int = 0
     p25_modulation: str = "c4fm"  # c4fm | cqpsk (LSM/simulcast)
+    # P25 Phase 2 TDMA voice bank: 6000-baud H-DQPSK (alpha=1.0) slots,
+    # separate from the 4800-baud p25 bank because a vmapped bank shares
+    # ONE traced demod config — Phase 2 systems run their FDMA control
+    # channel at 4800 and voice at 6000 simultaneously
+    p25p2_capacity: int = 0
     audio_rate: int = 48_000
     # export the per-slot pre-MPX FM discriminator at the wide IF rate
     # (RDS consumers need the 57 kHz subcarrier, which cannot survive the
@@ -181,12 +186,14 @@ class CaptureState(NamedTuple):
     banks: dict  # mode -> ChannelBankState
     wide: WideState | None
     p25: P25BankState | None
+    p25p2: P25BankState | None = None  # Phase 2 6000-baud H-DQPSK bank
 
 
 class CaptureControl(NamedTuple):
     banks: dict  # mode -> ChannelAssignment
     wide: WideAssignment | None
     p25: ChannelAssignment | None  # channel_index/fine/active reused
+    p25p2: ChannelAssignment | None = None
 
 
 def wide_assignment_init(capacity: int) -> WideAssignment:
@@ -228,10 +235,32 @@ def _p25_fns(cfg: CapturePipelineConfig):
     return c4fm_init, c4fm_demodulate
 
 
+def p25p2_cfg_for(cfg: CapturePipelineConfig) -> CqpskConfig:
+    """Phase 2 TDMA voice: 6000-baud H-DQPSK, full-excess-bandwidth RRC
+    (reference dsp/p25/cqpsk.py Phase 2 path uses alpha=1.0)."""
+    import os
+
+    rate = int(cfg.channelizer().channel_rate)
+    timing = os.environ.get("WAVECAP_P25_TIMING", "block")
+    return CqpskConfig(
+        sample_rate=rate, symbol_rate=6000.0, rrc_alpha=1.0,
+        timing_impl=timing,
+    )
+
+
 def p25_init(cfg: CapturePipelineConfig) -> P25BankState:
     init_fn, _ = _p25_fns(cfg)
     base = init_fn(p25_cfg_for(cfg))
     p = cfg.p25_capacity
+    return P25BankState(
+        nco_phase=jnp.zeros(p, jnp.uint32),
+        c4fm=jax.tree.map(lambda x: jnp.broadcast_to(x, (p,) + x.shape), base),
+    )
+
+
+def p25p2_init(cfg: CapturePipelineConfig) -> P25BankState:
+    base = cqpsk_init(p25p2_cfg_for(cfg))
+    p = cfg.p25p2_capacity
     return P25BankState(
         nco_phase=jnp.zeros(p, jnp.uint32),
         c4fm=jax.tree.map(lambda x: jnp.broadcast_to(x, (p,) + x.shape), base),
@@ -244,16 +273,22 @@ def pipeline_init(cfg: CapturePipelineConfig) -> CaptureState:
     banks = {m: bank_init(cfg.bank_cfg(m)) for m in cfg.narrow_modes}
     wide = wide_init(cfg.wide_cfg()) if cfg.wide_capacity > 0 else None
     p25 = p25_init(cfg) if cfg.p25_capacity > 0 else None
-    needs_chan = bool(cfg.narrow_modes) or cfg.p25_capacity > 0
+    p25p2 = p25p2_init(cfg) if cfg.p25p2_capacity > 0 else None
+    needs_chan = (
+        bool(cfg.narrow_modes) or cfg.p25_capacity > 0 or cfg.p25p2_capacity > 0
+    )
     chan = channelizer_init(cfg.channelizer()) if needs_chan else None
-    return CaptureState(chan_state=chan, banks=banks, wide=wide, p25=p25)
+    return CaptureState(
+        chan_state=chan, banks=banks, wide=wide, p25=p25, p25p2=p25p2
+    )
 
 
 def control_init(cfg: CapturePipelineConfig) -> CaptureControl:
     banks = {m: assignment_init(cfg.narrow_capacity) for m in cfg.narrow_modes}
     wide = wide_assignment_init(cfg.wide_capacity) if cfg.wide_capacity > 0 else None
     p25 = assignment_init(cfg.p25_capacity) if cfg.p25_capacity > 0 else None
-    return CaptureControl(banks=banks, wide=wide, p25=p25)
+    p25p2 = assignment_init(cfg.p25p2_capacity) if cfg.p25p2_capacity > 0 else None
+    return CaptureControl(banks=banks, wide=wide, p25=p25, p25p2=p25p2)
 
 
 def _wide_step(
@@ -330,8 +365,19 @@ def capture_step(
 
     new_p25 = state.p25
     if cfg.p25_capacity > 0 and state.p25 is not None and ctl.p25 is not None:
-        po, new_p25 = _p25_step(chans, state.p25, ctl.p25, cfg)
+        _, demod_fn = _p25_fns(cfg)
+        po, new_p25 = _p25_step(
+            chans, state.p25, ctl.p25, cfg, p25_cfg_for(cfg), demod_fn
+        )
         out["p25"] = po
+
+    new_p25p2 = state.p25p2
+    if cfg.p25p2_capacity > 0 and state.p25p2 is not None and ctl.p25p2 is not None:
+        po2, new_p25p2 = _p25_step(
+            chans, state.p25p2, ctl.p25p2, cfg, p25p2_cfg_for(cfg),
+            cqpsk_demodulate,
+        )
+        out["p25p2"] = po2
 
     # Single-buffer output packing: remote TPU runtimes pay a full RPC
     # roundtrip PER fetched array, so the host fetches out["_packed"] once
@@ -342,15 +388,17 @@ def capture_step(
     )
 
     return out, CaptureState(
-        chan_state=new_chan_state, banks=new_banks, wide=new_wide, p25=new_p25
+        chan_state=new_chan_state, banks=new_banks, wide=new_wide,
+        p25=new_p25, p25p2=new_p25p2,
     )
 
 
-def _p25_step(chans, state: P25BankState, assign, cfg: CapturePipelineConfig):
-    """C4FM symbol bank over the shared channelizer output."""
+def _p25_step(chans, state: P25BankState, assign, cfg: CapturePipelineConfig,
+              c4, demod_fn):
+    """4FSK/DQPSK symbol bank over the shared channelizer output; ``c4``
+    and ``demod_fn`` select the variant (4800-baud C4FM/CQPSK bank or the
+    Phase 2 6000-baud H-DQPSK bank)."""
     ch = cfg.channelizer()
-    c4 = p25_cfg_for(cfg)
-    _, demod_fn = _p25_fns(cfg)
     selected = chans[assign.channel_index]
     rate = ch.channel_rate
 

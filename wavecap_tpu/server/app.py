@@ -230,6 +230,7 @@ class AppState:
                     narrow_capacity=self.config.limits.max_channels_per_capture,
                     wide_capacity=self.config.limits.max_wide_channels,
                     p25_capacity=self.config.limits.max_p25_channels,
+                    p25p2_capacity=self.config.limits.max_p25p2_channels,
                     audio_rate=self.config.stream.audio_rate,
                     fft_size=self.config.stream.fft_size,
                 ),
@@ -520,6 +521,7 @@ def build_router(state: AppState) -> Router:
                     narrow_capacity=state.config.limits.max_channels_per_capture,
                     wide_capacity=state.config.limits.max_wide_channels,
                     p25_capacity=state.config.limits.max_p25_channels,
+                    p25p2_capacity=state.config.limits.max_p25p2_channels,
                     audio_rate=state.config.stream.audio_rate,
                 ),
             )
@@ -839,6 +841,7 @@ def build_router(state: AppState) -> Router:
                     narrow_capacity=state.config.limits.max_channels_per_capture,
                     wide_capacity=state.config.limits.max_wide_channels,
                     p25_capacity=state.config.limits.max_p25_channels,
+                    p25p2_capacity=state.config.limits.max_p25p2_channels,
                     audio_rate=state.config.stream.audio_rate,
                 ),
             )

@@ -97,6 +97,7 @@ class TrunkingSystem:
             roam_margin_db=config.roam_margin_db,
         )
         self._probe_slot: str | None = None
+        self._dedicated_probe: str | None = None  # Phase 2 4800-baud CC probe
         self._cc_power: dict[float, float] = {}  # freq -> last measured dBFS
         self.call_history: deque = deque(maxlen=self.CALL_HISTORY)
         self.events = deque(maxlen=500)  # (time, type, payload) for the API/WS
@@ -173,9 +174,27 @@ class TrunkingSystem:
                 blocks_per_dispatch=2,
                 narrow_capacity=0,
                 wide_capacity=0,
-                p25_capacity=1 + cfg.max_voice_channels,
-                # Phase 2 TDMA control+voice are CQPSK (H-DQPSK); Phase 1
-                # defaults to C4FM (reference system.py:437 vocoder select)
+                # Phase 2 systems: the control channel stays a 4800-baud
+                # FDMA slot (CQPSK/LSM), while voice channels are 6000-baud
+                # H-DQPSK TDMA and live in the dedicated p25p2 bank — the
+                # two symbol rates run simultaneously in one capture
+                # (reference keeps one 6000-baud decoder per channel and a
+                # separate Phase 1 CC; decoders/p25_phase2.py:7)
+                # Phase 2 keeps a SECOND 4800-baud slot as a dedicated CC
+                # probe: voice slots are 6000-baud and cannot sync-verify a
+                # 4800-baud control-channel candidate
+                p25_capacity=(
+                    2
+                    if cfg.protocol == TrunkingProtocol.P25_PHASE2
+                    else 1 + cfg.max_voice_channels
+                ),
+                p25p2_capacity=(
+                    cfg.max_voice_channels
+                    if cfg.protocol == TrunkingProtocol.P25_PHASE2
+                    else 0
+                ),
+                # Phase 2 FDMA CC is CQPSK (LSM); Phase 1 defaults to C4FM
+                # (reference system.py:437 vocoder select)
                 p25_modulation=(
                     "cqpsk" if cfg.protocol == TrunkingProtocol.P25_PHASE2 else "c4fm"
                 ),
@@ -206,12 +225,27 @@ class TrunkingSystem:
             self._cc_channel = self.capture.create_channel(
                 ChannelSpec(id="cc", mode="p25", frequency_hz=cc_freq, name="control")
             )
+            voice_mode = (
+                "p25p2"
+                if cfg.protocol == TrunkingProtocol.P25_PHASE2
+                else "p25"
+            )
+            self._dedicated_probe = None
+            if cfg.protocol == TrunkingProtocol.P25_PHASE2:
+                self.capture.create_channel(
+                    ChannelSpec(
+                        id="probe", mode="p25", frequency_hz=cc_freq,
+                        name="cc probe",
+                    )
+                )
+                self._dedicated_probe = "probe"
             voice_ids = []
             for i in range(cfg.max_voice_channels):
                 vid = f"voice{i}"
                 self.capture.create_channel(
                     ChannelSpec(
-                        id=vid, mode="p25", frequency_hz=cc_freq, name=f"voice {i}"
+                        id=vid, mode=voice_mode, frequency_hz=cc_freq,
+                        name=f"voice {i}",
                     )
                 )
                 voice_ids.append(vid)
@@ -243,6 +277,12 @@ class TrunkingSystem:
                 vid: self.capture.channels[vid].symbols.subscribe()
                 for vid in voice_ids
             }
+            if self._dedicated_probe:
+                # rides the voice-sub pump; pool.by_channel("probe") is
+                # None so non-probe batches from it are discarded
+                self._voice_subs[self._dedicated_probe] = self.capture.channels[
+                    self._dedicated_probe
+                ].symbols.subscribe()
             self.capture.start()
             self._stop.clear()
             self._thread = threading.Thread(
@@ -349,7 +389,11 @@ class TrunkingSystem:
                 self._cc_power[f] = m.power_db
 
     def _can_probe(self) -> bool:
-        """A live voice slot is idle and wired for symbols -> probes possible."""
+        """A slot that can sync-verify a 4800-baud CC candidate is free:
+        the dedicated probe slot (Phase 2 — its voice slots are 6000-baud
+        H-DQPSK and cannot see Phase 1 CC sync) or an idle voice slot."""
+        if getattr(self, "_dedicated_probe", None):
+            return bool(getattr(self, "_voice_subs", None))
         return bool(
             self.pool is not None
             and getattr(self, "_voice_subs", None)
@@ -357,12 +401,18 @@ class TrunkingSystem:
         )
 
     def _start_probe(self, freq: float, now: float) -> None:
-        rec = self.pool.available() if self.pool else None
-        if rec is None or self.capture is None:
+        if self.capture is None:
             return
-        self._probe_slot = rec.channel_id
-        self.capture.update_channel(rec.channel_id, frequency_hz=freq)
-        self.scanner.start_probe(freq, rec.channel_id, now)
+        if getattr(self, "_dedicated_probe", None):
+            slot = self._dedicated_probe
+        else:
+            rec = self.pool.available() if self.pool else None
+            if rec is None:
+                return
+            slot = rec.channel_id
+        self._probe_slot = slot
+        self.capture.update_channel(slot, frequency_hz=freq)
+        self.scanner.start_probe(freq, slot, now)
 
     def _retune_cc(self, freq: float, candidates: list[float], now: float, reason: str) -> None:
         self.cc_index = candidates.index(freq) if freq in candidates else 0

@@ -48,6 +48,8 @@ class LimitsConfig:
     max_channels_per_capture: int = 8
     max_wide_channels: int = 2
     max_p25_channels: int = 4
+    # P25 Phase 2 TDMA (6000-baud H-DQPSK) voice slots per capture
+    max_p25p2_channels: int = 2
 
 
 @dataclass

@@ -185,3 +185,114 @@ class TestRecoveryEscalation:
             hang.set()
             cap.auto_restart = False
             cap.stop()
+
+
+class TestLivePocsag:
+    def test_pocsag_decodes_from_rf_through_nbfm_channel(self):
+        """Pager FSK from RF, end to end: FM IQ -> capture engine ->
+        channelizer -> NBFM demod (voice band filters DISABLED — the
+        default 300 Hz highpass destroys the FSK's low-frequency bit
+        runs; round-3 RF-audit find, previously only synthetic audio was
+        ever fed to the decoder) -> PocsagAttachment -> parsed message.
+        The server's attachment route applies these dsp overrides
+        automatically (tested in test_server.py)."""
+        from math import gcd
+
+        from scipy import signal as sps_
+
+        from wavecap_tpu.capture.attachments import PocsagAttachment
+        from wavecap_tpu.decoders import pocsag
+        from wavecap_tpu.ops.channelizer import ChannelizerConfig
+
+        rate = 800_000
+        cc = ChannelizerConfig(
+            sample_rate=float(rate), channel_bandwidth=25_000.0
+        )
+        off = cc.channel_offset_hz(4)
+        bits = pocsag.encode_message(133_7003, "HELLO WORLD")
+        audio = pocsag.modulate_pocsag(bits, 48_000, 1200)
+        a = np.concatenate([audio, np.zeros(4800, np.float32)])
+        phase = 2 * np.pi * 4500.0 * np.cumsum(a) / 48_000
+        iq48 = np.exp(1j * phase).astype(np.complex64)
+        g = gcd(rate, 48_000)
+        iq = sps_.resample_poly(iq48, rate // g, 48_000 // g).astype(
+            np.complex64
+        )
+        t = np.arange(len(iq)) / rate
+        iq = (iq * np.exp(2j * np.pi * off * t)).astype(np.complex64)
+        st = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        st.iq_loop = iq
+        cap = CaptureManager(FakeDriver(stations=[st])).create_capture(
+            config=CaptureConfig(
+                center_hz=152e6, sample_rate=rate,
+                wide_capacity=0, p25_capacity=0,
+            )
+        )
+        ch = cap.create_channel(
+            ChannelSpec(
+                id="pg", mode="nbfm", frequency_hz=152e6 + off,
+                dsp={"enable_highpass": False, "enable_lowpass": False},
+            )
+        )
+        att = PocsagAttachment(ch)
+        cap.start()
+        try:
+            assert wait_for(lambda: len(att.messages) >= 1, timeout=90)
+        finally:
+            cap.stop()
+            att.stop()
+        msgs = list(att.messages)
+        assert any(
+            m["address"] == 133_7003 and "HELLO" in m["content"]
+            for m in msgs
+        ), msgs
+
+    def test_flex_decodes_from_rf_through_nbfm_channel(self):
+        """FLEX from RF through the same filter-disabled NBFM path."""
+        from math import gcd
+
+        from scipy import signal as sps_
+
+        from wavecap_tpu.capture.attachments import FlexAttachment
+        from wavecap_tpu.decoders import flex
+        from wavecap_tpu.ops.channelizer import ChannelizerConfig
+
+        rate = 800_000
+        cc = ChannelizerConfig(
+            sample_rate=float(rate), channel_bandwidth=25_000.0
+        )
+        off = cc.channel_offset_hz(4)
+        bits = flex.encode_frame(1234567, "TEST PAGE")
+        audio = flex.modulate_flex(bits, 48_000)
+        a = np.concatenate([audio, np.zeros(4800, np.float32)])
+        phase = 2 * np.pi * 4800.0 * np.cumsum(a) / 48_000
+        iq48 = np.exp(1j * phase).astype(np.complex64)
+        g = gcd(rate, 48_000)
+        iq = sps_.resample_poly(iq48, rate // g, 48_000 // g).astype(
+            np.complex64
+        )
+        t = np.arange(len(iq)) / rate
+        iq = (iq * np.exp(2j * np.pi * off * t)).astype(np.complex64)
+        st = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        st.iq_loop = iq
+        cap = CaptureManager(FakeDriver(stations=[st])).create_capture(
+            config=CaptureConfig(
+                center_hz=152e6, sample_rate=rate,
+                wide_capacity=0, p25_capacity=0,
+            )
+        )
+        ch = cap.create_channel(
+            ChannelSpec(
+                id="fx", mode="nbfm", frequency_hz=152e6 + off,
+                dsp={"enable_highpass": False, "enable_lowpass": False},
+            )
+        )
+        att = FlexAttachment(ch)
+        cap.start()
+        try:
+            assert wait_for(lambda: len(att.messages) >= 1, timeout=90)
+        finally:
+            cap.stop()
+            att.stop()
+        msgs = list(att.messages)
+        assert any("TEST PAGE" in m.get("content", "") for m in msgs), msgs

@@ -1114,3 +1114,29 @@ class TestRound3ApiCrumbs:
             assert r.status_code == 404
         finally:
             client.delete("/trunking/systems/pcmtest")
+
+
+class TestPagerAttachmentDsp:
+    def test_pocsag_attachment_disables_voice_filters(self, client):
+        """POSTing a pocsag/flex attachment on an nbfm channel must turn
+        off the voice band shaping (300 Hz highpass / 3 kHz lowpass
+        forced on by bank_cfg) — pager FSK does not survive it
+        (round-3 RF-path audit; e2e decode pinned in
+        test_attachments_live.py)."""
+        cid = client.post(
+            "/captures", json={"centerHz": 152e6, "sampleRate": 800_000}
+        ).json()["id"]
+        ch = client.post(
+            f"/captures/{cid}/channels",
+            json={"mode": "nbfm", "frequencyHz": 152.1e6},
+        ).json()
+        r = client.post(
+            f"/channels/{ch['id']}/attachments", json={"kind": "pocsag"}
+        )
+        assert r.status_code == 201, r.text
+        dsp = client.get(f"/channels/{ch['id']}").json()["dsp"]
+        assert dsp.get("enable_highpass") is False
+        assert dsp.get("enable_lowpass") is False
+        assert dsp.get("enable_deemphasis") is False
+        client.delete(f"/channels/{ch['id']}/attachments/pocsag")
+        client.delete(f"/captures/{cid}")

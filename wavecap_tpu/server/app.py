@@ -1914,6 +1914,20 @@ def build_router(state: AppState) -> Router:
             # export rebuilds the capture pipeline once
             att = cls(ch, capture=cap)
         else:
+            if kind in ("pocsag", "flex") and ch.spec.mode.lower() == "nbfm":
+                # pager FSK rides the FM discriminator: the nbfm voice
+                # band shaping (300 Hz highpass forced on in bank_cfg)
+                # destroys the low-frequency bit runs — round-3 find via
+                # the RF-path audit; decoding worked only on synthetic
+                # audio fed straight to the decoder.  Disabling the voice
+                # filters re-keys the channel's bank (one recompile).
+                dsp = dict(ch.spec.dsp)
+                dsp.update(
+                    enable_highpass=False,
+                    enable_lowpass=False,
+                    enable_deemphasis=False,
+                )
+                cap.update_channel(ch.id, dsp=dsp)
             att = cls(ch, audio_rate=state.config.stream.audio_rate)
         state.attachments[key] = att
         return Response.json(att.status(), status=201)

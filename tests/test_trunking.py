@@ -637,3 +637,126 @@ class TestDmrTier3Trunking:
         rec.process_symbols(
             dmr.DIBIT_SYMBOLS[burst].astype(np.float32), now=6.0)
         assert rec.last_activity == 0.0
+
+
+class TestPhase2Trunking:
+    def test_locks_grants_and_collects_tdma_voice(self, tmp_path):
+        """Full P25 Phase 2 stack from RF: CQPSK/LSM control channel
+        (IDEN_UP_TDMA + TDMA grant) + a 6000-baud H-DQPSK voice carrier
+        with slot-1 AMBE superframes, through the real capture engine's
+        DUAL-RATE banks (4800 CC in the p25 bank, 6000 voice in the
+        p25p2 bank) -> lock, slot-aware grant, voice PCM.  Round-3
+        capstone for the p25p2 bank: before it, Phase 2 voice-from-IQ
+        was demodulated at 4800 baud and produced garbage."""
+        from math import gcd
+
+        from wavecap_tpu.decoders.ambe_vocoder import AmbeEncoder
+        from wavecap_tpu.decoders.p25_phase2 import (
+            FRAGMENT_DIBITS,
+            build_test_fragment,
+            build_voice_burst,
+        )
+        from wavecap_tpu.models.p25.cqpsk import modulate_cqpsk
+
+        capture_rate = 960_000
+        center = 851_500_000.0
+        cc_freq = 851_200_000.0
+
+        # -- control channel: LSM (4800) TSDUs carrying a TDMA grant ----
+        iden = pf.encode_tsbk_block(
+            tsbk.TSBKOpcode.IDEN_UP_TDMA,
+            tsbk.make_iden_up_tdma_data(
+                identifier=2, base_freq_mhz=851.0, channel_type=3
+            ),
+            last=False,
+        )
+        # channel 21 = carrier 10 (851.125 MHz), slot 1
+        grant = pf.encode_tsbk_block(
+            tsbk.TSBKOpcode.GRP_V_CH_GRANT,
+            tsbk.make_group_grant_data(
+                tgid=901, source_id=77, band=2, channel_number=21
+            ),
+        )
+        rfss = pf.encode_tsbk_block(
+            tsbk.TSBKOpcode.RFSS_STS_BCAST,
+            tsbk.make_rfss_status_data(
+                system_id=0x2B7, rfss_id=1, site_id=4, band=2, channel_number=0
+            ),
+            last=True,
+        )
+        cc_dibits = np.concatenate(
+            [pf.build_tsdu_frame(0x293, [iden, grant, rfss])] * 24
+        )
+        cc48 = modulate_cqpsk(cc_dibits, 48_000.0, 4800.0)
+        g = gcd(capture_rate, 48_000)
+        cc_iq = sps.resample_poly(
+            cc48, capture_rate // g, 48_000 // g
+        ).astype(np.complex64)
+        t = np.arange(len(cc_iq)) / capture_rate
+        cc_iq = (
+            cc_iq * np.exp(2j * np.pi * (cc_freq - center) * t)
+        ).astype(np.complex64)
+
+        # -- voice carrier: H-DQPSK (6000) superframes, slot-1 AMBE ----
+        tt = np.arange(int(0.5 * 8000)) / 8000.0
+        x = np.zeros_like(tt)
+        for k, a in ((1, 1.0), (2, 0.6), (3, 0.45), (4, 0.3)):
+            x += a * np.sin(2 * np.pi * 155.0 * k * tt)
+        tone = (0.3 * x / np.max(np.abs(x))).astype(np.float32)
+        frames = AmbeEncoder().encode(tone)
+        assert frames.shape[0] >= 8
+        frag = np.zeros(FRAGMENT_DIBITS, np.uint8)
+        frag[180:360] = build_voice_burst(frames[0:4])
+        frag[540:720] = build_voice_burst(frames[4:8], with_sync=True)
+        frag = build_test_fragment(frag)
+        v_dibits = np.concatenate([frag] * 12)
+        v48 = modulate_cqpsk(v_dibits, 48_000.0, 6000.0, alpha=1.0)
+        v_iq = sps.resample_poly(
+            v48, capture_rate // g, 48_000 // g
+        ).astype(np.complex64)
+        tv = np.arange(len(v_iq)) / capture_rate
+        v_iq = (
+            v_iq * np.exp(2j * np.pi * (851_125_000.0 - center) * tv)
+        ).astype(np.complex64)
+
+        cc_station = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        cc_station.iq_loop = cc_iq
+        v_station = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        v_station.iq_loop = v_iq
+        mgr = CaptureManager(FakeDriver(stations=[cc_station, v_station]))
+        tm = TrunkingManager(mgr, state_dir=tmp_path)
+        cfg = TrunkingSystemConfig(
+            id="p2full",
+            protocol=TrunkingProtocol.P25_PHASE2,
+            control_channels=[cc_freq],
+            center_hz=center,
+            sample_rate=capture_rate,
+            max_voice_channels=2,
+            recording_dir=str(tmp_path / "rec"),
+        )
+        sys_ = tm.create_system(cfg)
+        sys_.start()
+        try:
+            t0 = time.time()
+            call = None
+            while time.time() - t0 < 300:
+                seen = list(sys_.active_calls.values()) + list(sys_.call_history)
+                hit = [c for c in seen if c.tgid == 901]
+                st = sys_.status()
+                if st["synced"] and hit and hit[0].imbe_frames >= 8:
+                    call = hit[0]
+                    break
+                time.sleep(0.25)
+            st = sys_.status()
+            assert st["synced"], st
+            assert call is not None, (st, sys_.call_history)
+            assert abs(call.frequency_hz - 851_125_000.0) < 1
+            assert call.tdma_slot == 1
+            assert call.source_id == 77
+            # the recorder synthesized voice PCM via the native AMBE+2
+            # vocoder from symbols demodulated ON THE 6000-BAUD BANK
+            rec = sys_.pool.for_tgid(901)
+            if rec is not None:  # call may have just ended
+                assert rec._pcm, "no PCM synthesized"
+        finally:
+            tm.stop_all()

@@ -333,3 +333,62 @@ class TestPhase2TrunkingWiring:
             assert sys_.scanner.probe.channel_id == "probe"
         finally:
             sys_.stop()
+
+
+class TestImpairmentFloors:
+    """Operating-point regressions from the round-3 impairment sweep
+    (docs/perf.md): the differential detector's AWGN edge and its
+    simulcast-echo tolerance — the two properties LSM exists for."""
+
+    def _crc_rate(self, iq):
+        cfg = CqpskConfig(sample_rate=48_000)
+        state = cqpsk_init(cfg)
+        framer = P25Framer()
+        ok = tot = 0
+        for i in range(len(iq) // 4800):
+            soft, _, state = cqpsk_demodulate(
+                jnp.asarray(iq[i * 4800 : (i + 1) * 4800]), state, cfg
+            )
+            for f in framer.process(np.asarray(soft)):
+                if f.duid != pf.DUID.TSDU:
+                    continue
+                pl = pf.remove_status_dibits(f.dibits[57:], 57)
+                for b in pf.decode_tsbk_payload(pl):
+                    tot += 1
+                    ok += b.crc_valid
+        return ok, tot
+
+    def test_cqpsk_awgn_minus1db(self):
+        from tests.test_trunking import make_p25_cc_iq
+
+        iq0 = make_p25_cc_iq(48_000, 0.0, n_frames=8, modulation="cqpsk")
+        sig_p = float(np.mean(np.abs(iq0) ** 2))
+        rng = np.random.default_rng(11)
+        noise_std = np.sqrt(sig_p / (10 ** (-1.0 / 10)) / 2)
+        iq = (
+            iq0
+            + noise_std
+            * (rng.standard_normal(len(iq0)) + 1j * rng.standard_normal(len(iq0)))
+        ).astype(np.complex64)
+        ok, tot = self._crc_rate(np.concatenate([np.zeros(1000, np.complex64), iq]))
+        assert tot >= 15 and ok / tot >= 0.85, (ok, tot)
+
+    def test_cqpsk_simulcast_echo_70us(self):
+        from tests.test_trunking import make_p25_cc_iq
+
+        iq0 = make_p25_cc_iq(48_000, 0.0, n_frames=8, modulation="cqpsk")
+        rng = np.random.default_rng(3)
+        d = int(round(70e-6 * 48_000))
+        echo = np.concatenate(
+            [np.zeros(d, np.complex64), iq0[: len(iq0) - d]]
+        ) * (0.5 * np.exp(1j * rng.uniform(0, 2 * np.pi)))
+        sig = iq0 + echo
+        sig_p = float(np.mean(np.abs(sig) ** 2))
+        noise_std = np.sqrt(sig_p / (10 ** (10.0 / 10)) / 2)
+        iq = (
+            sig
+            + noise_std
+            * (rng.standard_normal(len(sig)) + 1j * rng.standard_normal(len(sig)))
+        ).astype(np.complex64)
+        ok, tot = self._crc_rate(np.concatenate([np.zeros(1000, np.complex64), iq]))
+        assert tot >= 15 and ok / tot >= 0.9, (ok, tot)

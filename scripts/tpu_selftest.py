@@ -113,6 +113,44 @@ def main() -> int:
     )
     check("power_spectrum", s(xf), ref_s, 40)
 
+    # 7. CQPSK demod on-device vs transmitted ground truth (round 3:
+    # the O&M-envelope block timing must survive device numerics)
+    from wavecap_tpu.decoders.p25_frames import DIBIT_SYMBOLS
+    from wavecap_tpu.models.p25 import cqpsk as cq
+
+    dibits = rng.integers(0, 4, 4000).astype(np.uint8)
+    iq_cq = cq.modulate_cqpsk(dibits, 48_000.0, 4800.0)
+    ccfg = cq.CqpskConfig(sample_rate=48_000)
+    # state must be BORN on-device inside a jitted program: the relay
+    # cannot pass eagerly-created complex64 buffers across the executable
+    # boundary (UNIMPLEMENTED transfer), while jit-output -> jit-input
+    # complex residency is fine — the exact pattern the capture engine
+    # uses for its demod state
+    cst = jax.jit(lambda: cq.cqpsk_init(ccfg))()
+    dem = jax.jit(cq.cqpsk_demodulate, static_argnums=2)
+    softs = []
+    vbuf = jax.device_put(np.ascontiguousarray(iq_cq).view(np.float32))
+    B = 4800
+    for i in range(len(iq_cq) // B):
+        soft, _, cst = dem(cplx(vbuf[2 * i * B : 2 * (i + 1) * B]), cst, ccfg)
+        softs.append(np.asarray(soft))
+    soft = np.concatenate(softs)
+    tx = DIBIT_SYMBOLS[dibits].astype(np.float64)
+    best = min(
+        (
+            (off, float(np.mean(np.abs(soft[off : off + 3000] - tx[8 : 8 + 3000]) > 1.0)))
+            for off in range(0, 60)
+        ),
+        key=lambda x: x[1],
+    )
+    ok = best[1] < 0.02
+    print(
+        f"{'cqpsk_demod(block)':28s} SER {best[1]*100:6.2f} %  (floor 2 %)  "
+        f"{'OK' if ok else 'FAIL'}"
+    )
+    if not ok:
+        failures.append("cqpsk_demod")
+
     if failures:
         print(f"FAILED: {failures}", file=sys.stderr)
         return 1

@@ -51,6 +51,25 @@ class TestHarness:
         assert report["systemId"] == 0x123 and report["calls"] >= 1
         assert (tmp_path / "harness_p25-trunk.json").exists()
 
+    def test_p25_phase2_trunk_preset_locks_on_lsm_cc(self, tmp_path):
+        """The p25-phase2-trunk preset drives the dual-rate Phase 2
+        capture: a CQPSK/LSM control channel (loop-continuous pi/4-DQPSK,
+        modulate_cqpsk_cyclic) must lock with near-lossless steady CRC
+        and follow a grant."""
+        from wavecap_tpu.harness import run_trunking_harness
+
+        args = argparse.Namespace(
+            preset="p25-phase2-trunk", duration=3.0, iq_file=None,
+            out_dir=str(tmp_path),
+        )
+        report = asyncio.run(run_trunking_harness(args))
+        assert report["synced"], report
+        assert report["nac"] == 0x293
+        assert report["tsbkCountSteady"] >= 30, report
+        assert report["tsbkCrcRateSteady"] >= 0.95, report
+        assert report["systemId"] == 0x123 and report["calls"] >= 1
+        assert (tmp_path / "harness_p25-phase2-trunk.json").exists()
+
 
 class TestFileReplay:
     def make_wav(self, tmp_path, n=48_000, rate=800_000):

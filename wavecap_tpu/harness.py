@@ -72,10 +72,23 @@ PRESETS = {
         "cc_freq": 851.2e6,
         "nac": 0x293,
     },
+    # Phase 2 system: CQPSK/LSM control channel through the dual-rate
+    # capture (4800-baud CC + probe slots, 6000-baud H-DQPSK voice bank)
+    "p25-phase2-trunk": {
+        "driver": "fake",
+        "trunking": True,
+        "protocol": "p25_phase2",
+        "center_hz": 851.5e6,
+        "sample_rate": 960_000,
+        "cc_freq": 851.2e6,
+        "nac": 0x293,
+    },
 }
 
 
-def _make_p25_cc_iq(capture_rate: int, offset_hz: float, nac: int) -> np.ndarray:
+def _make_p25_cc_iq(
+    capture_rate: int, offset_hz: float, nac: int, modulation: str = "c4fm"
+) -> np.ndarray:
     """Seamlessly loopable control-channel IQ: TSDUs with IDEN + group
     grant + RFSS.
 
@@ -115,7 +128,12 @@ def _make_p25_cc_iq(capture_rate: int, offset_hz: float, nac: int) -> np.ndarray
     dibits = np.concatenate(
         [pf.build_tsdu_frame(nac, [iden, grant, rfss]) for _ in range(30)]
     )
-    iq = modulate_c4fm_cyclic(dibits, capture_rate)
+    if modulation == "cqpsk":
+        from wavecap_tpu.models.p25.cqpsk import modulate_cqpsk_cyclic
+
+        iq = modulate_cqpsk_cyclic(dibits, capture_rate)
+    else:
+        iq = modulate_c4fm_cyclic(dibits, capture_rate)
     n = len(iq)
     # integer number of mixer cycles over the loop -> phase-continuous wrap
     cycles = round(offset_hz * n / capture_rate)
@@ -135,7 +153,12 @@ async def run_trunking_harness(args) -> dict:
     center, rate = preset["center_hz"], preset["sample_rate"]
     station = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
     station.iq_loop = _make_p25_cc_iq(
-        rate, preset["cc_freq"] - center, preset["nac"]
+        rate,
+        preset["cc_freq"] - center,
+        preset["nac"],
+        modulation=(
+            "cqpsk" if preset.get("protocol") == "p25_phase2" else "c4fm"
+        ),
     )
     server.state.driver = FakeDriver(stations=[station])
     server.state.captures.driver = server.state.driver
@@ -149,6 +172,7 @@ async def run_trunking_harness(args) -> dict:
                 json={
                     "id": "harness", "control_channels": [preset["cc_freq"]],
                     "center_hz": center, "sample_rate": rate,
+                    "protocol": preset.get("protocol", "p25_phase1"),
                     "recording_dir": str(Path(args.out_dir) / "rec"),
                     "autoStart": True,
                 },

@@ -287,3 +287,43 @@ def modulate_cqpsk(
     h = design_rrc_cqpsk(sample_rate, symbol_rate, alpha)
     shaped = _sps.lfilter(h, 1.0, impulses)
     return (amplitude * shaped / np.abs(shaped).max()).astype(np.complex64)
+
+
+def modulate_cqpsk_cyclic(
+    dibits: np.ndarray,
+    sample_rate: float = 48_000.0,
+    symbol_rate: float = 4800.0,
+    alpha: float = 0.2,
+    amplitude: float = 1.0,
+) -> np.ndarray:
+    """Dibits -> seamlessly *loopable* pi/4-DQPSK IQ.
+
+    Loop continuity needs two closures (cf. ``modulate_c4fm_cyclic``):
+    the differential phase accumulated over the loop must be a multiple
+    of 2*pi — achieved by appending <=2 pad dibits whose steps cancel the
+    residue (pi/4-step lattice, so an exact closure always exists) — and
+    the RRC shaping is applied as a circular convolution so the pulse
+    tails wrap instead of truncating.
+    """
+    from wavecap_tpu.decoders.p25_frames import DIBIT_SYMBOLS
+
+    sps = sample_rate / symbol_rate
+    assert abs(sps - round(sps)) < 1e-9
+    sps = int(round(sps))
+    units = DIBIT_SYMBOLS[np.asarray(dibits, np.uint8)].astype(np.int64)
+    residue = int(np.sum(units)) % 8  # phase in pi/4 units, mod 2*pi
+    # pad steps (in {+1,+3,-1,-3}) that sum to -residue mod 8
+    pads = {0: [], 1: [-1], 2: [-1, -1], 3: [-3], 4: [3, 1], 5: [3],
+            6: [1, 1], 7: [1]}[residue]
+    units = np.concatenate([units, np.asarray(pads, np.int64)])
+    phases = np.cumsum(units * (np.pi / 4))
+    symbols = np.exp(1j * phases)
+    n = len(symbols) * sps
+    impulses = np.zeros(n, np.complex128)
+    impulses[::sps] = symbols * sps
+    h = design_rrc_cqpsk(sample_rate, symbol_rate, alpha).astype(np.float64)
+    h_pad = np.zeros(n)
+    h_pad[: len(h)] = h
+    h_pad = np.roll(h_pad, -(len(h) // 2))  # zero-delay centered pulse
+    shaped = np.fft.ifft(np.fft.fft(impulses) * np.fft.fft(h_pad))
+    return (amplitude * shaped / np.abs(shaped).max()).astype(np.complex64)

@@ -390,7 +390,9 @@ def cmd_serve(args) -> int:
 
     sys.argv = ["wavecap_tpu.server"] + (
         ["--config", args.config] if args.config else []
-    ) + (["--port", str(args.port)] if args.port else [])
+    ) + (["--port", str(args.port)] if args.port else []) + (
+        ["--mesh", args.mesh] if getattr(args, "mesh", None) else []
+    )
     return server_main()
 
 
@@ -462,6 +464,10 @@ def main() -> int:
 
     s = sub.add_parser("serve")
     s.add_argument("--port", type=int, default=None)
+    s.add_argument(
+        "--mesh", default=None,
+        help="run captures on the device mesh, e.g. stream=1,time=8",
+    )
     s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args()

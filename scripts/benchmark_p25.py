@@ -29,7 +29,21 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--protocol", default="phase1", choices=("phase1", "phase2"))
+    ap.add_argument(
+        "--channels",
+        type=int,
+        default=0,
+        help="BASELINE operating-point mode: run ONE capture at --rate with "
+        "this many active 12.5 kHz channels (1 P25 CC + half-1 p25 voice + "
+        "half NBFM) through the full engine incl. host transport",
+    )
+    ap.add_argument("--rate", type=float, default=10e6)
+    ap.add_argument("--block-seconds", type=float, default=0.25)
+    ap.add_argument("--blocks-per-dispatch", type=int, default=4)
     args = ap.parse_args()
+    if args.channels:
+        run_baseline_point(args)
+        return
     phase2 = args.protocol == "phase2"
 
     rate = 2_400_000
@@ -97,6 +111,103 @@ def main() -> None:
             ),
             flush=True,
         )
+
+
+def run_baseline_point(args) -> None:
+    """The literal BASELINE.json operating point, end-to-end.
+
+    ONE capture at ``--rate`` (default 10 Msps) with ``--channels`` live
+    12.5 kHz channels — 1 P25 control channel + (half-1) P25 voice slots +
+    half an NBFM bank — through the production ``capture/engine.py`` path:
+    fake-device reads on the capture thread, adaptive-i8 host->device
+    transport, the full jitted channelizer+banks program on chip, and the
+    wire-packed device->host fetch with audio/soft fan-out.  Reports the
+    sustained wall-clock per block and the realtime factor (>=1.5 is the
+    published target).  Reference hot loop being replaced:
+    reference ``capture.py:3052-3331``."""
+    from wavecap_tpu.capture import CaptureConfig, CaptureManager, ChannelSpec
+    from wavecap_tpu.devices import FakeDriver
+
+    rate = int(args.rate)
+    n_total = int(args.channels)
+    n_nbfm = n_total // 2
+    n_p25 = n_total - n_nbfm  # 1 CC + voice
+    # noise-only fake device: station synthesis at 10 Msps would charge the
+    # capture thread for float64 work real hardware doesn't do (a real SDR
+    # read is a USB memcpy); decode correctness at this operating point is
+    # covered by tests, this measures sustained throughput
+    mgr = CaptureManager(FakeDriver(stations=[]))
+    cap = mgr.create_capture(
+        config=CaptureConfig(
+            center_hz=851.5e6,
+            sample_rate=rate,
+            block_seconds=args.block_seconds,
+            narrow_capacity=n_nbfm,
+            wide_capacity=0,
+            p25_capacity=n_p25,
+            channel_bandwidth=25_000.0,
+            transport="i8",
+            pipeline_depth=2,
+            blocks_per_dispatch=args.blocks_per_dispatch,
+        )
+    )
+    half = rate / 2
+    step = 12_500.0
+    # interleave p25 and nbfm across the passband (every assignment is a
+    # distinct channelizer bin; the program runs all slots regardless)
+    f0 = 851.5e6 - half * 0.8
+    cap.create_channel(ChannelSpec(id="cc", mode="p25", frequency_hz=f0))
+    for i in range(n_p25 - 1):
+        cap.create_channel(
+            ChannelSpec(id=f"v{i}", mode="p25", frequency_hz=f0 + (i + 1) * 2 * step)
+        )
+    for i in range(n_nbfm):
+        cap.create_channel(
+            ChannelSpec(
+                id=f"n{i}", mode="nbfm", frequency_hz=f0 + step + i * 2 * step
+            )
+        )
+    # audio subscribers on a sample of channels: fan-out cost is per-publish
+    # regardless, but a subscriber proves PCM actually reaches the host tier
+    subs = [cap.channels[c].audio.subscribe() for c in ("n0", f"n{n_nbfm-1}")]
+    t_start = time.time()
+    cap.start()
+    warm_n, end_n = 8, 48
+    t_warm = n_warm = None
+    deadline = time.time() + 1800
+    while time.time() < deadline:
+        n = cap.blocks_processed
+        if t_warm is None and n >= warm_n:
+            t_warm, n_warm = time.time(), n
+        if n >= end_n:
+            break
+        if cap.state == "failed":
+            raise SystemExit(f"capture failed: {cap.error}")
+        time.sleep(0.05)
+    n_blocks = cap.blocks_processed
+    elapsed = time.time() - t_warm if t_warm else 0.0
+    got_audio = sum(s.queue.qsize() + s.dropped for s in subs)
+    block_lat_ms = cap.block_ms
+    cap.stop()
+    wall_ms = elapsed * 1e3 / max(n_blocks - n_warm, 1) if t_warm else 0.0
+    block_ms = args.block_seconds * 1e3
+    rt = block_ms / wall_ms if wall_ms else 0.0
+    print(
+        json.dumps(
+            {
+                "config": f"baseline_{n_total}ch_{rate/1e6:g}msps",
+                "channels": n_total,
+                "rate_msps": rate / 1e6,
+                "blocks": n_blocks,
+                "block_wall_ms": round(wall_ms, 1),
+                "block_latency_ms": round(block_lat_ms, 1),
+                "realtime_x": round(rt, 2),
+                "audio_batches_received": got_audio,
+                "startup_s": round(t_warm - t_start, 1) if t_warm else None,
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

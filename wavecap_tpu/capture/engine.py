@@ -1075,18 +1075,8 @@ class Capture:
         unpacked = dict(out)
         packed_dev = unpacked.pop("_packed", None)
         if packed_dev is not None:
-            leaves, treedef = _jax.tree_util.tree_flatten(unpacked)
             flat = np.asarray(packed_dev).reshape(n, -1)
-            rebuilt = []
-            off = 0
-            for leaf in leaves:
-                m = int(np.prod(leaf.shape[1:])) if len(leaf.shape) > 1 else 1
-                arr = flat[:, off : off + m].reshape(leaf.shape)
-                if leaf.dtype == np.uint8 or str(leaf.dtype) == "uint8":
-                    arr = arr.astype(np.uint8)
-                rebuilt.append(arr)
-                off += m
-            out = _jax.tree_util.tree_unflatten(treedef, rebuilt)
+            out = pl.unpack_wire(unpacked, flat)
         else:  # pragma: no cover - packing always on in capture_step
             out = _jax.tree_util.tree_map(np.asarray, unpacked)
         now = time.time()

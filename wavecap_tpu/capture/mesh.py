@@ -165,12 +165,9 @@ def jit_mesh_capture_multi(pipe_cfg, n_blocks: int, mesh: Mesh, entry):
                     entry: {"audio": g_out["audio"][0], "rssi": g_out["rssi"][0]}
                 },
             }
-        out["_packed"] = jnp.concatenate(
-            [
-                leaf.astype(jnp.float32).ravel()
-                for leaf in jax.tree_util.tree_leaves(out)
-            ]
-        )
+        from wavecap_tpu.capture.pipeline import pack_wire
+
+        out["_packed"] = pack_wire(out)
         return out, state
 
     def multi(x_rows, state, ctl):

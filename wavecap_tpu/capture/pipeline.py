@@ -58,6 +58,74 @@ from wavecap_tpu.models.p25.cqpsk import (
 NARROW_MODES = ("nbfm", "am", "sam", "usb", "lsb")
 WIDE_RATE = 240_000  # WBFM intermediate rate
 
+# --- device->host wire formats ---------------------------------------------
+# The remote-TPU fetch path costs ~27 ms fixed + ~25 us/KB (measured round
+# 4), so fetched bytes are the real-time budget at high channel counts.
+# Each output leaf rides its natural wire width instead of f32:
+#   * audio        -> i16 (the WS PCM stream is 16-bit anyway; demod output
+#                     is soft-clipped to [-1, 1])
+#   * P25 soft     -> i8 at 1/16 resolution (constellation is +-1/+-3; the
+#                     trellis soft metric is insensitive far below this)
+#   * baseband     -> i16 at +-8 range (wide pre-MPX discriminator for RDS)
+#   * everything else (spectrum dB, rssi) -> f32
+# ``pack_wire`` builds the single fetched uint8 buffer on device;
+# ``unpack_wire`` (host, engine._finish_batch) reverses it using only the
+# shape/dtype metadata of the un-fetched leaves.
+_WIRE_SPECS: dict[str, tuple] = {
+    "audio": (jnp.int16, 32767.0),
+    "soft": (jnp.int8, 16.0),
+    "baseband": (jnp.int16, 4095.0),
+}
+
+
+def _wire_leaf_name(path) -> str:
+    key = path[-1]
+    return str(getattr(key, "key", key))
+
+
+def wire_spec(name: str) -> tuple:
+    """Wire (dtype, scale) for an output-leaf name; f32 passthrough default."""
+    return _WIRE_SPECS.get(name, (jnp.float32, 1.0))
+
+
+def pack_wire(out: dict) -> jnp.ndarray:
+    """Concatenate every output leaf into ONE uint8 buffer (one fetch RPC)."""
+    parts = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(out)[0]:
+        dtype, scale = wire_spec(_wire_leaf_name(path))
+        if dtype == jnp.float32:
+            enc = leaf.astype(jnp.float32)
+        else:
+            info = jnp.iinfo(dtype)
+            enc = jnp.clip(
+                jnp.round(leaf.astype(jnp.float32) * scale), info.min + 1, info.max
+            ).astype(dtype)
+        parts.append(jax.lax.bitcast_convert_type(enc, jnp.uint8).ravel())
+    return jnp.concatenate(parts)
+
+
+def unpack_wire(unpacked: dict, flat_u8: np.ndarray) -> dict:
+    """Host-side inverse of :func:`pack_wire` for a stacked batch.
+
+    ``unpacked`` holds the un-fetched device leaves (shape/dtype metadata
+    only, leading block axis); ``flat_u8`` is the fetched ``(n, bytes)``
+    uint8 buffer."""
+    leaves_p, treedef = jax.tree_util.tree_flatten_with_path(unpacked)
+    rebuilt = []
+    off = 0
+    for path, leaf in leaves_p:
+        dtype, scale = wire_spec(_wire_leaf_name(path))
+        np_dtype = np.dtype(str(jnp.dtype(dtype)))
+        per = int(np.prod(leaf.shape[1:])) if len(leaf.shape) > 1 else 1
+        nb = per * np_dtype.itemsize
+        raw = np.ascontiguousarray(flat_u8[:, off : off + nb]).view(np_dtype)
+        arr = raw.reshape(leaf.shape)
+        if np_dtype != np.float32:
+            arr = arr.astype(np.float32) * np.float32(1.0 / scale)
+        rebuilt.append(arr)
+        off += nb
+    return jax.tree_util.tree_unflatten(treedef, rebuilt)
+
 
 def bank_key_parts(entry) -> tuple[str, tuple]:
     """A ``narrow_modes`` entry -> ``(mode, dsp_overrides)``.
@@ -382,10 +450,10 @@ def capture_step(
     # Single-buffer output packing: remote TPU runtimes pay a full RPC
     # roundtrip PER fetched array, so the host fetches out["_packed"] once
     # and reslices it from the (local) shape/dtype metadata of the other
-    # leaves.  f32 covers every output dtype here (dibits are uint8).
-    out["_packed"] = jnp.concatenate(
-        [leaf.astype(jnp.float32).ravel() for leaf in jax.tree_util.tree_leaves(out)]
-    )
+    # leaves.  Leaves ride per-name wire dtypes (audio i16, soft i8) — see
+    # pack_wire — because fetched bytes are the real-time budget at the
+    # BASELINE 100-channel operating point.
+    out["_packed"] = pack_wire(out)
 
     return out, CaptureState(
         chan_state=new_chan_state, banks=new_banks, wide=new_wide,

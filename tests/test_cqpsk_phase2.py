@@ -373,6 +373,65 @@ class TestImpairmentFloors:
         ok, tot = self._crc_rate(np.concatenate([np.zeros(1000, np.complex64), iq]))
         assert tot >= 15 and ok / tot >= 0.85, (ok, tot)
 
+    @pytest.mark.parametrize("cfo_hz", (1000.0, -1000.0))
+    def test_cqpsk_cfo_acquisition_1khz(self, cfo_hz):
+        """Round-4 CFO acquisition: the 4th-power feedforward estimator +
+        NCO pre-correction must hold >=0.9 CRC at +-1 kHz (the round-3
+        detector folded at 500 Hz: 2*pi*500/4800 = 0.65 rad vs the pi/4
+        decision cell).  Reference analog: the Costas loop at reference
+        dsp/p25/cqpsk.py:84 tracks this range."""
+        from tests.test_trunking import make_p25_cc_iq
+
+        iq0 = make_p25_cc_iq(48_000, 0.0, n_frames=8, modulation="cqpsk")
+        sig_p = float(np.mean(np.abs(iq0) ** 2))
+        rng = np.random.default_rng(7)
+        t = np.arange(len(iq0)) / 48_000
+        iq = iq0 * np.exp(2j * np.pi * cfo_hz * t)
+        noise_std = np.sqrt(sig_p / (10 ** (6.0 / 10)) / 2)
+        iq = (
+            iq
+            + noise_std
+            * (rng.standard_normal(len(iq)) + 1j * rng.standard_normal(len(iq)))
+        ).astype(np.complex64)
+        ok, tot = self._crc_rate(np.concatenate([np.zeros(1000, np.complex64), iq]))
+        assert tot >= 12 and ok / tot >= 0.9, (ok, tot)
+
+    def test_cqpsk_cfo_acquisition_6000_baud(self):
+        """Phase 2 H-DQPSK (6000 baud, alpha=1.0) acquires +-1 kHz too
+        (span scales with symbol rate: Rs/4 = 1.5 kHz)."""
+        from tests.test_trunking import make_p25_cc_iq
+
+        iq0 = make_p25_cc_iq(
+            48_000, 0.0, n_frames=8, modulation="cqpsk", baud=6000
+        )
+        sig_p = float(np.mean(np.abs(iq0) ** 2))
+        rng = np.random.default_rng(9)
+        t = np.arange(len(iq0)) / 48_000
+        iq = iq0 * np.exp(2j * np.pi * 1000.0 * t)
+        noise_std = np.sqrt(sig_p / (10 ** (6.0 / 10)) / 2)
+        iq = (
+            iq
+            + noise_std
+            * (rng.standard_normal(len(iq)) + 1j * rng.standard_normal(len(iq)))
+        ).astype(np.complex64)
+        cfg = CqpskConfig(sample_rate=48_000, symbol_rate=6000.0, rrc_alpha=1.0)
+        state = cqpsk_init(cfg)
+        framer = P25Framer()
+        ok = tot = 0
+        sig = np.concatenate([np.zeros(1000, np.complex64), iq])
+        for i in range(len(sig) // 4800):
+            soft, _, state = cqpsk_demodulate(
+                jnp.asarray(sig[i * 4800 : (i + 1) * 4800]), state, cfg
+            )
+            for f in framer.process(np.asarray(soft)):
+                if f.duid != pf.DUID.TSDU:
+                    continue
+                pl = pf.remove_status_dibits(f.dibits[57:], 57)
+                for b in pf.decode_tsbk_payload(pl):
+                    tot += 1
+                    ok += b.crc_valid
+        assert tot >= 12 and ok / tot >= 0.9, (ok, tot)
+
     def test_cqpsk_simulcast_echo_70us(self):
         from tests.test_trunking import make_p25_cc_iq
 

@@ -166,7 +166,7 @@ class TestStateMachine:
 
 def make_p25_cc_iq(
     capture_rate: int, offset_hz: float, nac=0x293, n_frames=30,
-    modulation="c4fm",
+    modulation="c4fm", baud=4800,
 ):
     """A looping control-channel waveform at ``offset_hz`` in the capture."""
     from wavecap_tpu.models.p25.c4fm import modulate_c4fm
@@ -195,7 +195,10 @@ def make_p25_cc_iq(
         pieces.append(pf.build_tsdu_frame(nac, [iden, grant, rfss]))
     dibits = np.concatenate(pieces)
     if modulation == "cqpsk":
-        iq48 = modulate_cqpsk(dibits, 48_000)
+        iq48 = modulate_cqpsk(
+            dibits, 48_000, symbol_rate=float(baud),
+            alpha=1.0 if baud == 6000 else 0.2,
+        )
     else:
         iq48 = modulate_c4fm(dibits, 48_000)
     from math import gcd

@@ -62,10 +62,27 @@ class CqpskConfig:
     loop_bandwidth: float = 0.005
     max_clock_ppm: float = 2000.0
     timing_impl: str = "block"  # "block" (vectorized, TPU-fast) | "scan"
+    # Coarse carrier-frequency-offset acquisition (round 4).  The
+    # differential detector folds when |CFO| approaches Rs/8 (the pi/4
+    # decision cell: 2*pi*CFO/Rs vs pi/4); real 800 MHz oscillators at
+    # +-0.5 ppm sit exactly there.  A per-block feedforward estimate from
+    # the 4th-power spectrum (pi/4-DQPSK: x^4 carries lines at
+    # 4*CFO +- Rs/2; a joint two-line search is unambiguous for
+    # |CFO| < Rs/4) drives an NCO pre-correction carried as traced state.
+    # The reference tracks such offsets with its Costas loop
+    # (reference dsp/p25/cqpsk.py:84); this is the block-feedforward
+    # equivalent.  0.0 disables acquisition.
+    cfo_max_hz: float = -1.0  # -1 = auto (0.23 * symbol_rate)
 
     @property
     def sps(self) -> float:
         return self.sample_rate / self.symbol_rate
+
+    @property
+    def cfo_span_hz(self) -> float:
+        if self.cfo_max_hz < 0:
+            return 0.23 * self.symbol_rate
+        return self.cfo_max_hz
 
 
 class CqpskState(NamedTuple):
@@ -76,6 +93,8 @@ class CqpskState(NamedTuple):
     integrator: jnp.ndarray
     prev_sym: jnp.ndarray  # complex symbol at previous instant
     bias: jnp.ndarray  # carrier-offset phase bias (radians/symbol)
+    cfo_hz: jnp.ndarray  # acquired carrier offset (NCO pre-correction)
+    cfo_phase: jnp.ndarray  # uint32 NCO phase carry for the correction
 
 
 INTERP_TAIL = 64
@@ -91,7 +110,39 @@ def cqpsk_init(cfg: CqpskConfig) -> CqpskState:
         integrator=jnp.zeros((), jnp.float32),
         prev_sym=jnp.zeros((), jnp.complex64),
         bias=jnp.zeros((), jnp.float32),
+        cfo_hz=jnp.zeros((), jnp.float32),
+        cfo_phase=jnp.zeros((), jnp.uint32),
     )
+
+
+def _estimate_cfo_residual(filt: jnp.ndarray, cfg: CqpskConfig) -> jnp.ndarray:
+    """Feedforward CFO estimate from the 4th-power spectrum of one block.
+
+    pi/4-DQPSK steps are ODD multiples of pi/4, so ``x^4`` flips sign
+    every symbol: ``x^4 = (-1)^k * exp(j*2*pi*(4*CFO)*t)`` — spectral
+    lines at ``4*CFO +- Rs/2`` (odd harmonics of the per-symbol square
+    wave).  Summing |X| at both line positions over a candidate grid is
+    unambiguous for |CFO| < Rs/4 and needs no decisions.  Returns 0 when
+    no significant line exists (dead air), so the carried ``cfo_hz``
+    freezes instead of random-walking on noise."""
+    fs = float(cfg.sample_rate)
+    rs = float(cfg.symbol_rate)
+    n = filt.shape[-1]
+    size = 1 << int(np.ceil(np.log2(max(int(n), 1024))))
+    p4 = filt * filt
+    p4 = p4 * p4
+    X = jnp.abs(jnp.fft.fft(p4, size))
+    span = min(cfg.cfo_span_hz, 0.249 * rs)
+    K4 = max(1, int(round(4.0 * span / fs * size)))
+    k = jnp.arange(-K4, K4 + 1)
+    off = int(round(rs / 2.0 / fs * size))
+    M = X[(k + off) % size] + X[(k - off) % size]
+    j = jnp.argmax(M)
+    df = (j - K4).astype(jnp.float32) * np.float32(fs / size / 4.0)
+    # line significance: the two matched bins of a locked signal hold a
+    # large multiple of the average bin magnitude
+    significant = M[j] > 8.0 * jnp.mean(X)
+    return jnp.where(significant, df, jnp.float32(0.0))
 
 
 def n_symbols_per_block(cfg: CqpskConfig, block_len: int) -> int:
@@ -101,11 +152,42 @@ def n_symbols_per_block(cfg: CqpskConfig, block_len: int) -> int:
 def cqpsk_demodulate(iq: jnp.ndarray, state: CqpskState, cfg: CqpskConfig):
     """One block -> (soft_symbols, dibits, state); soft in C4FM units."""
     sps = cfg.sps
+    if cfg.cfo_span_hz > 0:
+        # de-rotate by the acquired offset (phase-continuous NCO); the
+        # residual is re-estimated from this block's 4th-power spectrum
+        iq, cfo_phase = ops.freq_shift(
+            iq, -state.cfo_hz, float(cfg.sample_rate), state.cfo_phase
+        )
+    else:
+        cfo_phase = state.cfo_phase
     rrc = jnp.asarray(design_rrc_cqpsk(float(cfg.sample_rate), cfg.symbol_rate, cfg.rrc_alpha))
     filt, rrc_tail = ops.fir_filter(iq, rrc, state.rrc_tail)
     # normalize amplitude blockwise (AGC)
     scale = 1.0 / jnp.maximum(jnp.sqrt(jnp.mean(jnp.abs(filt) ** 2)), 1e-6)
     filt = filt * scale
+
+    if cfg.cfo_span_hz > 0:
+        # feedforward: estimate the residual offset from THIS block's
+        # 4th-power spectrum and de-rotate the block before detection (the
+        # ramp starts at 0, so the carried interp_tail stays continuous at
+        # the boundary); the total is folded into the carried NCO so the
+        # next block's pre-correction continues phase-exactly
+        from wavecap_tpu.ops.nco import tuning_word
+
+        resid_hz = _estimate_cfo_residual(filt, cfg)
+        nf = filt.shape[-1]
+        ramp = jnp.arange(nf, dtype=jnp.float32) * (
+            -2.0 * np.pi / float(cfg.sample_rate)
+        )
+        ph = ramp * resid_hz
+        filt = filt * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+        span = jnp.float32(min(cfg.cfo_span_hz, 0.249 * float(cfg.symbol_rate)))
+        cfo_hz = jnp.clip(state.cfo_hz + resid_hz, -span, span)
+        cfo_phase = cfo_phase + jnp.uint32(nf) * tuning_word(
+            resid_hz, float(cfg.sample_rate)
+        )
+    else:
+        cfo_hz = state.cfo_hz
 
     buf = jnp.concatenate([state.interp_tail, filt])
     n_sym = n_symbols_per_block(cfg, iq.shape[-1])
@@ -244,6 +326,8 @@ def cqpsk_demodulate(iq: jnp.ndarray, state: CqpskState, cfg: CqpskConfig):
         integrator=integ,
         prev_sym=prev,
         bias=bias,
+        cfo_hz=cfo_hz,
+        cfo_phase=cfo_phase,
     )
     return soft, dibits, new_state
 

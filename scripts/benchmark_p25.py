@@ -172,13 +172,15 @@ def run_baseline_point(args) -> None:
     subs = [cap.channels[c].audio.subscribe() for c in ("n0", f"n{n_nbfm-1}")]
     t_start = time.time()
     cap.start()
-    warm_n, end_n = 8, 48
+    warm_n, end_n = 8, 88
     t_warm = n_warm = None
+    perf_warm: dict = {}
     deadline = time.time() + 1800
     while time.time() < deadline:
         n = cap.blocks_processed
         if t_warm is None and n >= warm_n:
             t_warm, n_warm = time.time(), n
+            perf_warm = dict(cap.perf)  # exclude compile/startup dispatches
         if n >= end_n:
             break
         if cap.state == "failed":
@@ -188,6 +190,13 @@ def run_baseline_point(args) -> None:
     elapsed = time.time() - t_warm if t_warm else 0.0
     got_audio = sum(s.queue.qsize() + s.dropped for s in subs)
     block_lat_ms = cap.block_ms
+    perf = {
+        k: cap.perf.get(k, 0.0) - perf_warm.get(k, 0.0) for k in cap.perf
+    }
+    nd = max(perf.get("dispatches", 1), 1)
+    stage_ms = {
+        k: round(v / nd, 1) for k, v in perf.items() if k != "dispatches"
+    }
     cap.stop()
     wall_ms = elapsed * 1e3 / max(n_blocks - n_warm, 1) if t_warm else 0.0
     block_ms = args.block_seconds * 1e3
@@ -204,6 +213,7 @@ def run_baseline_point(args) -> None:
                 "realtime_x": round(rt, 2),
                 "audio_batches_received": got_audio,
                 "startup_s": round(t_warm - t_start, 1) if t_warm else None,
+                "stage_ms_per_dispatch": stage_ms,
             }
         ),
         flush=True,

@@ -199,6 +199,11 @@ class Capture:
         self.overflow_count = 0
         self.last_block_time: float = 0.0
         self.block_ms: float = 0.0
+        # per-stage wall-time accumulators (ms totals + dispatch count),
+        # exposed via status()["perf"] and GET /debug/perf — the host-side
+        # analog of the reference's rolling loop/dsp/fft timings
+        # (reference capture.py:1866-1905)
+        self.perf: dict[str, float] = {}
 
         # health monitoring (reference capture.py:2012-2151)
         self.startup_timeout_s = 120.0
@@ -283,8 +288,11 @@ class Capture:
         bank."""
         g = self._mode_group(spec.mode)
         if g == "wide":
+            # per-channel wide DSP (round 4): like narrow banks, wide
+            # channels sharing (mode, overrides) share one vmapped group —
+            # reference per-channel ChannelSettings semantics
             self._validate_dsp("wbfm", spec.dsp)
-            return g
+            return ("wide", dsp_key(spec.dsp))
         if g in ("p25", "p25p2"):
             if spec.dsp:
                 raise ValueError(f"dsp options not supported for {spec.mode}")
@@ -319,7 +327,7 @@ class Capture:
             )
 
     def _alloc_slot(self, group, exclude_id: str | None = None) -> int:
-        if group == "wide":
+        if isinstance(group, tuple) and group[0] == "wide":
             cap = self.config.wide_capacity
         elif group == "p25":
             cap = self.config.p25_capacity
@@ -339,19 +347,30 @@ class Capture:
         return free[0]
 
     def _mesh_bin(self, spec: ChannelSpec, exclude_id: str | None = None) -> int:
-        """Mesh-backend slot = channelizer bin index for the frequency."""
+        """Mesh-backend slot = channelizer bin index for the frequency.
+
+        Channels at the SAME frequency may share a bin (both handles read
+        the one demodulated stream — how mesh trunking parks idle voice
+        slots on the control channel); two different frequencies mapping
+        to one bin would need different fine offsets the per-bin control
+        cannot hold, so that collision is rejected."""
         off = spec.frequency_hz - self.config.center_hz
         bin_idx = self._channelizer.channel_index(off)
         for c in self.channels.values():
-            if c.spec.id != exclude_id and c.slot == bin_idx:
+            if (
+                c.spec.id != exclude_id
+                and c.slot == bin_idx
+                and c.spec.frequency_hz != spec.frequency_hz
+            ):
                 raise ValueError(
                     f"channelizer bin {bin_idx} already carries channel "
-                    f"{c.spec.id!r} (mesh backend: one channel per bin)"
+                    f"{c.spec.id!r} at {c.spec.frequency_hz} Hz (mesh "
+                    f"backend: one frequency per bin)"
                 )
         return bin_idx
 
     def _check_mesh_group(self, group, exclude_id: str | None = None) -> None:
-        if group in ("wide", "p25p2"):
+        if group == "p25p2" or (isinstance(group, tuple) and group[0] == "wide"):
             raise ValueError(
                 "mesh-backend captures support narrow analog and p25 modes "
                 "(wide and Phase 2 TDMA captures run the single-chip program)"
@@ -517,27 +536,34 @@ class Capture:
 
     # -- pipeline build ----------------------------------------------------
 
+    @staticmethod
+    def _is_wide(group) -> bool:
+        return isinstance(group, tuple) and group[0] == "wide"
+
     def _narrow_modes(self) -> tuple:
         return tuple(
             sorted(
                 {
                     c.mode_group
                     for c in self.channels.values()
-                    if c.mode_group not in ("wide", "p25", "p25p2")
+                    if c.mode_group not in ("p25", "p25p2")
+                    and not self._is_wide(c.mode_group)
                 }
             )
         )
 
-    def _wide_dsp(self) -> tuple:
-        """Merged WBFM DSP overrides across wide channels (one shared
-        vmapped config; deterministic channel-id order, later ids win)."""
-        merged: dict = {}
-        for c in sorted(
-            (c for c in self.channels.values() if c.mode_group == "wide"),
-            key=lambda c: c.spec.id,
-        ):
-            merged.update(c.spec.dsp)
-        return dsp_key(merged)
+    def _wide_groups(self) -> tuple:
+        """Distinct wide DSP-override sets present (one vmapped group
+        each; reference per-channel ChannelSettings semantics)."""
+        return tuple(
+            sorted(
+                {
+                    c.mode_group[1]
+                    for c in self.channels.values()
+                    if self._is_wide(c.mode_group)
+                }
+            )
+        )
 
     def enable_wide_baseband(self) -> None:
         """Turn on the 240 kHz pre-MPX baseband export for wide slots
@@ -551,6 +577,7 @@ class Capture:
     def _make_pipe_cfg(self) -> pl.CapturePipelineConfig:
         cfg = self.config
         groups = {c.mode_group for c in self.channels.values()}
+        wide_groups = self._wide_groups()
         # Only compile/run the bank types that have channels: an idle
         # capture costs just the FFT, and the first wbfm/p25 channel
         # triggers one recompile (same contract as narrow modes).
@@ -561,13 +588,13 @@ class Capture:
             narrow_modes=self._narrow_modes(),
             narrow_capacity=cfg.narrow_capacity,
             channel_bandwidth=cfg.channel_bandwidth,
-            wide_capacity=cfg.wide_capacity if "wide" in groups else 0,
+            wide_capacity=cfg.wide_capacity if wide_groups else 0,
             p25_capacity=cfg.p25_capacity if "p25" in groups else 0,
             p25_modulation=cfg.p25_modulation,
             p25p2_capacity=cfg.p25p2_capacity if "p25p2" in groups else 0,
             audio_rate=cfg.audio_rate,
-            export_wide_baseband=self._wide_baseband and "wide" in groups,
-            wide_dsp=self._wide_dsp() if "wide" in groups else (),
+            export_wide_baseband=self._wide_baseband and bool(wide_groups),
+            wide_groups=wide_groups,
         )
 
     def _rebuild_pipeline_if_needed(self) -> None:
@@ -618,8 +645,14 @@ class Capture:
             return mesh_mod.mesh_control(cfg, chans, self.config.center_hz)
         ctl = pl.control_init(cfg)
         ch_cfg = self._channelizer
-        wide = dict(off=[0.0] * cfg.wide_capacity, act=[False] * cfg.wide_capacity,
-                    sq=[-1e9] * cfg.wide_capacity)
+        wide_arrays = {
+            g: dict(
+                off=[0.0] * cfg.wide_capacity,
+                act=[False] * cfg.wide_capacity,
+                sq=[-1e9] * cfg.wide_capacity,
+            )
+            for g in cfg.wide_groups
+        }
         bank_arrays = {
             m: dict(
                 idx=np.zeros(cfg.narrow_capacity, np.int32),
@@ -654,10 +687,11 @@ class Capture:
                 p25p2["idx"][ch.slot] = ci
                 p25p2["fine"][ch.slot] = off - ch_cfg.channel_offset_hz(ci)
                 p25p2["act"][ch.slot] = True
-            elif ch.mode_group == "wide":
-                wide["off"][ch.slot] = off
-                wide["act"][ch.slot] = True
-                wide["sq"][ch.slot] = sq
+            elif self._is_wide(ch.mode_group):
+                warr = wide_arrays[ch.mode_group[1]]
+                warr["off"][ch.slot] = off
+                warr["act"][ch.slot] = True
+                warr["sq"][ch.slot] = sq
             else:
                 arr = bank_arrays[ch.mode_group]
                 ci = ch_cfg.channel_index(off)
@@ -695,11 +729,14 @@ class Capture:
             else None
         )
         new_wide = (
-            pl.WideAssignment(
-                offset_hz=jnp.asarray(np.asarray(wide["off"], np.float32)),
-                active=jnp.asarray(np.asarray(wide["act"], bool)),
-                squelch_db=jnp.asarray(np.asarray(wide["sq"], np.float32)),
-            )
+            {
+                g: pl.WideAssignment(
+                    offset_hz=jnp.asarray(np.asarray(a["off"], np.float32)),
+                    active=jnp.asarray(np.asarray(a["act"], bool)),
+                    squelch_db=jnp.asarray(np.asarray(a["sq"], np.float32)),
+                )
+                for g, a in wide_arrays.items()
+            }
             if cfg.wide_capacity > 0
             else None
         )
@@ -749,6 +786,54 @@ class Capture:
                     daemon=True,
                 )
                 self._health_thread.start()
+
+    def warmup(self) -> threading.Thread:
+        """Background-compile this capture's program before ``start()``.
+
+        Builds the jitted step for the current channel/config shape and
+        pushes one zeros batch through it, so the multi-minute XLA compile
+        (and the persistent-cache write, ``utils/jaxenv.py``) happens at
+        boot instead of on first start — a later start reaches first
+        audio without the compile stall.  No device interaction; the
+        carried DSP state is rebuilt by ``start()`` as usual.  Returns
+        the worker thread (joinable in tests)."""
+
+        def _go() -> None:
+            try:
+                with self._lock:
+                    self._rebuild_pipeline_if_needed()
+                    jit_step = self._jit_step
+                    state = self._dev_state
+                    ctl = self._build_control()
+                if jit_step is None:  # pragma: no cover - no banks configured
+                    return
+                n = max(1, self.config.blocks_per_dispatch)
+                size = self.block_size
+                if self.config.transport == "i8":
+                    batch: Any = (
+                        np.zeros((n, size), np.int16),
+                        np.full(n, 1.0 / 127.0, np.float32),
+                    )
+                elif self.config.transport == "i16":
+                    batch = np.zeros((n, size), np.int32)
+                else:
+                    batch = np.zeros((n, 2 * size), np.float32)
+                self._compile_started = time.time()
+                self._compiling = True
+                try:
+                    out, _ = jit_step(
+                        jax.tree_util.tree_map(jnp.asarray, batch), state, ctl
+                    )
+                    jax.block_until_ready(out)
+                finally:
+                    self._compiling = False
+                self._program_warm = True
+            except Exception:  # pragma: no cover - warmup is best-effort
+                logger.exception("capture %s warmup failed", self.id)
+
+        t = threading.Thread(target=_go, name=f"Warmup-{self.id}", daemon=True)
+        t.start()
+        return t
 
     def _health_monitor(self) -> None:
         """Watchdog: thread death / stalled blocks -> failed (+auto restart).
@@ -958,13 +1043,20 @@ class Capture:
             pipe_gen = self._pipe_gen
             channels = list(self.channels.values())
         assert jit_step is not None
+        t_conv0 = time.perf_counter()
+        # Integer transports ship ONE word per complex sample (i8 pairs in
+        # an int16, i16 pairs in an int32 — a free np .view of the
+        # quantized interleaved bytes); the device splits I/Q with shifts
+        # (see pipeline._to_complex for why not stride-2 slicing).
         if self.config.transport == "i16":
             rows = [
                 np.clip(
                     np.round(np.ascontiguousarray(b).view(np.float32) * 32767.0),
                     -32768,
                     32767,
-                ).astype(np.int16)
+                )
+                .astype(np.int16)
+                .view(np.int32)
                 for b in blocks
             ]
             batch: Any = np.stack(rows)
@@ -974,7 +1066,9 @@ class Capture:
                 [max(float(np.max(np.abs(r))), 1e-12) for r in f_rows], np.float32
             )
             rows = [
-                np.clip(np.round(r * (127.0 / p)), -127, 127).astype(np.int8)
+                np.clip(np.round(r * (127.0 / p)), -127, 127)
+                .astype(np.int8)
+                .view(np.int16)
                 for r, p in zip(f_rows, peaks)
             ]
             # per-block scale folded back on-device: x_f32 = x_i8 * scale
@@ -982,6 +1076,7 @@ class Capture:
         else:
             rows = [np.ascontiguousarray(b).view(np.float32) for b in blocks]
             batch = np.stack(rows)
+        t_conv1 = time.perf_counter()
         # heartbeat BEFORE dispatch: a cold jit compile (tens of seconds on
         # first block / after a mode-set change) must not trip the stall
         # watchdog and trigger a pointless restart loop
@@ -991,7 +1086,9 @@ class Capture:
             self._compiling = True
         try:
             dev_batch = jax.tree_util.tree_map(jnp.asarray, batch)
+            t_up = time.perf_counter()
             out, state = jit_step(dev_batch, state, ctl)
+            t_disp = time.perf_counter()
         finally:
             self._compiling = False
             self._program_warm = True
@@ -1000,6 +1097,11 @@ class Capture:
             # moment after a long first compile — without this the startup
             # watchdog sees a stale last_block_time and restarts needlessly
             self.last_block_time = time.time()
+        p = self.perf
+        p["conv_ms"] = p.get("conv_ms", 0.0) + (t_conv1 - t_conv0) * 1e3
+        p["upload_ms"] = p.get("upload_ms", 0.0) + (t_up - t_conv1) * 1e3
+        p["dispatch_ms"] = p.get("dispatch_ms", 0.0) + (t_disp - t_up) * 1e3
+        p["dispatches"] = p.get("dispatches", 0) + 1
         with self._lock:
             if self._pipe_gen == pipe_gen:
                 self._dev_state = state
@@ -1009,6 +1111,7 @@ class Capture:
         # more than pipeline_depth batches are already in flight (device or
         # relay can't keep up) so dispatch paces itself to the real rate.
         limit = max(0, self.config.pipeline_depth)
+        t_wait0 = time.perf_counter()
         with self._pend_cv:
             self._pending.append((out, blocks, channels, t0))
             self._pend_cv.notify_all()
@@ -1019,6 +1122,7 @@ class Capture:
                 and self._fetch_thread.is_alive()
             ):
                 self._pend_cv.wait(0.1)
+        p["wait_ms"] = p.get("wait_ms", 0.0) + (time.perf_counter() - t_wait0) * 1e3
         if self._fetch_thread is None or not self._fetch_thread.is_alive():
             self._drain_inline()
 
@@ -1072,6 +1176,7 @@ class Capture:
         import jax as _jax
 
         n = len(blocks)
+        t_f0 = time.perf_counter()
         unpacked = dict(out)
         packed_dev = unpacked.pop("_packed", None)
         if packed_dev is not None:
@@ -1079,6 +1184,7 @@ class Capture:
             out = pl.unpack_wire(unpacked, flat)
         else:  # pragma: no cover - packing always on in capture_step
             out = _jax.tree_util.tree_map(np.asarray, unpacked)
+        t_f1 = time.perf_counter()
         now = time.time()
         for b in range(n):
             spec = np.asarray(out["spectrum"][b])
@@ -1103,8 +1209,8 @@ class Capture:
                         }
                     )
                     continue
-                if ch.mode_group == "wide":
-                    grp = out.get("wide")
+                if self._is_wide(ch.mode_group):
+                    grp = (out.get("wide") or {}).get(ch.mode_group[1])
                 else:
                     grp = out["banks"].get(ch.mode_group)
                 if grp is None:
@@ -1116,6 +1222,9 @@ class Capture:
         self.blocks_processed += n
         self.last_block_time = time.time()
         self.block_ms = (time.perf_counter() - t0) * 1e3 / n
+        p = self.perf
+        p["fetch_ms"] = p.get("fetch_ms", 0.0) + (t_f1 - t_f0) * 1e3
+        p["fanout_ms"] = p.get("fanout_ms", 0.0) + (time.perf_counter() - t_f1) * 1e3
 
     # -- info --------------------------------------------------------------
 
@@ -1136,6 +1245,7 @@ class Capture:
             "blocksProcessed": self.blocks_processed,
             "overflowCount": self.overflow_count,
             "blockMs": round(self.block_ms, 2),
+            "perf": {k: round(v, 1) for k, v in self.perf.items()},
             "channels": [
                 {
                     "id": c.id,

@@ -144,12 +144,8 @@ def jit_mesh_capture_multi(pipe_cfg, n_blocks: int, mesh: Mesh, entry):
     spectrum_frames = pipe_cfg.spectrum_frames
 
     def one_block(x, state, ctl):
-        n_fft_frames = max(x.shape[-1] // fft_size, 1)
-        spectrum = ops.spectrogram(
-            x,
-            fft_size,
-            hop=fft_size,
-            average=max(1, n_fft_frames // max(spectrum_frames, 1)),
+        spectrum = ops.spectrogram_sampled(
+            x, fft_size, n_out=max(spectrum_frames, 1)
         )
         g_out, state = gstep(x[None, :], state, ctl)
         if entry == "p25":

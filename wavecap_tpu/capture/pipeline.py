@@ -188,10 +188,12 @@ class CapturePipelineConfig:
     # (RDS consumers need the 57 kHz subcarrier, which cannot survive the
     # 48 kHz audio path) — costs ~1 MB/s/slot of fetch, so opt-in
     export_wide_baseband: bool = False
-    # WbfmConfig overrides for the wide (WBFM) slot group, ((field, value),
-    # ...).  Wide slots share one vmapped config, so DSP settings apply to
-    # the whole group (documented caveat vs the reference's per-channel)
-    wide_dsp: tuple = ()
+    # Wide (WBFM) slot groups present, keyed by their DSP-override tuples
+    # ((field, value), ...) — one vmapped group per distinct override set,
+    # so per-channel deemphasis/notch/NR match the reference's per-channel
+    # ChannelSettings semantics (round 4; narrow banks already worked this
+    # way).  Each group has ``wide_capacity`` slots.
+    wide_groups: tuple = ()
     # spectrum frames fetched per block: raw FFT frames are averaged down
     # (in the power domain, on-device) to this many.  Raw frames at
     # block_size/fft_size per block dominated the device->host fetch
@@ -223,12 +225,12 @@ class CapturePipelineConfig:
             capacity=self.narrow_capacity,
         )
 
-    def wide_cfg(self) -> WideSlotConfig:
+    def wide_cfg(self, dsp: tuple = ()) -> WideSlotConfig:
         return WideSlotConfig(
             sample_rate=self.sample_rate,
             capacity=self.wide_capacity,
             audio_rate=self.audio_rate,
-            dsp=self.wide_dsp,
+            dsp=dsp,
         )
 
 
@@ -252,14 +254,14 @@ class P25BankState(NamedTuple):
 class CaptureState(NamedTuple):
     chan_state: jnp.ndarray | None  # shared channelizer history
     banks: dict  # mode -> ChannelBankState
-    wide: WideState | None
+    wide: dict | None  # dsp-key -> WideState (one vmapped group per DSP set)
     p25: P25BankState | None
     p25p2: P25BankState | None = None  # Phase 2 6000-baud H-DQPSK bank
 
 
 class CaptureControl(NamedTuple):
     banks: dict  # mode -> ChannelAssignment
-    wide: WideAssignment | None
+    wide: dict | None  # dsp-key -> WideAssignment
     p25: ChannelAssignment | None  # channel_index/fine/active reused
     p25p2: ChannelAssignment | None = None
 
@@ -339,7 +341,11 @@ def pipeline_init(cfg: CapturePipelineConfig) -> CaptureState:
     from wavecap_tpu.ops.channelizer import channelizer_init
 
     banks = {m: bank_init(cfg.bank_cfg(m)) for m in cfg.narrow_modes}
-    wide = wide_init(cfg.wide_cfg()) if cfg.wide_capacity > 0 else None
+    wide = (
+        {g: wide_init(cfg.wide_cfg(g)) for g in cfg.wide_groups}
+        if cfg.wide_capacity > 0
+        else None
+    )
     p25 = p25_init(cfg) if cfg.p25_capacity > 0 else None
     p25p2 = p25p2_init(cfg) if cfg.p25p2_capacity > 0 else None
     needs_chan = (
@@ -353,7 +359,11 @@ def pipeline_init(cfg: CapturePipelineConfig) -> CaptureState:
 
 def control_init(cfg: CapturePipelineConfig) -> CaptureControl:
     banks = {m: assignment_init(cfg.narrow_capacity) for m in cfg.narrow_modes}
-    wide = wide_assignment_init(cfg.wide_capacity) if cfg.wide_capacity > 0 else None
+    wide = (
+        {g: wide_assignment_init(cfg.wide_capacity) for g in cfg.wide_groups}
+        if cfg.wide_capacity > 0
+        else None
+    )
     p25 = assignment_init(cfg.p25_capacity) if cfg.p25_capacity > 0 else None
     p25p2 = assignment_init(cfg.p25p2_capacity) if cfg.p25p2_capacity > 0 else None
     return CaptureControl(banks=banks, wide=wide, p25=p25, p25p2=p25p2)
@@ -399,12 +409,8 @@ def capture_step(
     from wavecap_tpu.models.channel_bank import bank_demod_step
 
     out: dict[str, Any] = {}
-    n_fft_frames = max(x.shape[-1] // cfg.fft_size, 1)
-    out["spectrum"] = ops.spectrogram(
-        x,
-        cfg.fft_size,
-        hop=cfg.fft_size,
-        average=max(1, n_fft_frames // max(cfg.spectrum_frames, 1)),
+    out["spectrum"] = ops.spectrogram_sampled(
+        x, cfg.fft_size, n_out=max(cfg.spectrum_frames, 1)
     )
     out["rssi"] = ops.rssi_dbfs(x)
 
@@ -426,10 +432,19 @@ def capture_step(
 
     new_wide = state.wide
     if cfg.wide_capacity > 0 and state.wide is not None and ctl.wide is not None:
-        wo, new_wide = _wide_step(
-            x, state.wide, ctl.wide, cfg.wide_cfg(), cfg.export_wide_baseband
-        )
-        out["wide"] = wo
+        wide_out = {}
+        new_wide = {}
+        for g in cfg.wide_groups:
+            wo, ws = _wide_step(
+                x,
+                state.wide[g],
+                ctl.wide[g],
+                cfg.wide_cfg(g),
+                cfg.export_wide_baseband,
+            )
+            wide_out[g] = wo
+            new_wide[g] = ws
+        out["wide"] = wide_out
 
     new_p25 = state.p25
     if cfg.p25_capacity > 0 and state.p25 is not None and ctl.p25 is not None:
@@ -491,17 +506,31 @@ def _p25_step(chans, state: P25BankState, assign, cfg: CapturePipelineConfig,
 
 
 def _to_complex(x_in: jnp.ndarray, scale: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Interleaved I/Q -> complex64 on device.  Accepts f32 (unit scale),
-    i16 (scaled by 1/32768), or i8 with an explicit per-block ``scale``
-    (adaptive quantization: host sends block_max/127, device folds it
-    back).  Integer transport shrinks the host->device bytes, which is
-    the bottleneck on remote TPU relays."""
-    if scale is not None:
-        x_f32 = x_in.astype(jnp.float32) * scale
-    elif jnp.issubdtype(x_in.dtype, jnp.integer):
-        x_f32 = x_in.astype(jnp.float32) * (1.0 / 32768.0)
-    else:
-        x_f32 = x_in
+    """Packed I/Q words -> complex64 on device.
+
+    Integer transport arrives as one WORD per complex sample — the host
+    views the interleaved byte stream in place (free) and the device
+    splits I/Q with arithmetic shifts, which lower to pure elementwise
+    vector ops.  The previous stride-2 deinterleave (``x[0::2]``) forced
+    a lane-stride relayout that cost ~160 ms per second of 10 Msps IQ on
+    its own (round-4 bisect) — tiny-minor-dim layouts are TPU poison.
+
+      int16 word + ``scale``: adaptive-i8 pairs (lo byte I, hi byte Q,
+                              little-endian; scale = block_max/127)
+      int32 word:             i16 pairs, scaled 1/32768
+      f32:                    interleaved floats (tests; stride path)
+    """
+    if x_in.dtype == jnp.int16:
+        assert scale is not None, "packed-i8 transport carries a scale"
+        i = ((x_in << 8) >> 8).astype(jnp.float32) * scale
+        q = (x_in >> 8).astype(jnp.float32) * scale
+        return jax.lax.complex(i, q)
+    if x_in.dtype == jnp.int32:
+        s = jnp.float32(1.0 / 32768.0)
+        i = ((x_in << 16) >> 16).astype(jnp.float32) * s
+        q = (x_in >> 16).astype(jnp.float32) * s
+        return jax.lax.complex(i, q)
+    x_f32 = x_in
     return jax.lax.complex(x_f32[..., 0::2], x_f32[..., 1::2])
 
 

@@ -28,6 +28,6 @@ from .iir import (
 from .agc import apply_agc, simple_agc, agc_init, AgcState
 from .clip import soft_clip, rms_normalize, rssi_dbfs, squelch_gate
 from .demod import quadrature_demod, am_envelope, ssb_product, fm_discriminator_init
-from .spectrum import power_spectrum, spectrogram
+from .spectrum import power_spectrum, spectrogram, spectrogram_sampled
 
 __all__ = [n for n in dir() if not n.startswith("_")]

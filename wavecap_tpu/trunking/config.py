@@ -66,6 +66,18 @@ class TrunkingSystemConfig:
     dmr_base_hz: float | None = None
     dmr_spacing_hz: float = 12_500.0
     dmr_slots_per_carrier: int = 2
+    # Phase 1 air-interface override: "cqpsk" selects the LSM simulcast
+    # demod for control + voice (reference P25Modulation C4FM/LSM,
+    # reference decoders/p25.py:1755); None = protocol default (Phase 1
+    # C4FM, Phase 2 CQPSK).
+    modulation: str | None = None
+    # Multi-chip backend: a mesh spec like "stream=1,time=8" runs this
+    # system's capture through the sharded grid (capture/mesh.py) — every
+    # channelizer bin demodulated as 4800-baud soft symbols, CC + voice
+    # slots mapped to bins.  Phase 1 (C4FM/CQPSK) and DMR only: Phase 2
+    # runs dual symbol rates (4800 CC + 6000 voice) which the one-mode
+    # grid cannot host.  None = single-chip slot-bank program.
+    mesh: str | None = None
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "TrunkingSystemConfig":
@@ -112,6 +124,8 @@ class TrunkingSystemConfig:
             dmr_slots_per_carrier=int(
                 d.get("dmr_slots_per_carrier", d.get("dmrSlotsPerCarrier", 2))
             ),
+            modulation=d.get("modulation"),
+            mesh=d.get("mesh"),
         )
 
     def effective_center_hz(self) -> float:

@@ -161,6 +161,16 @@ class TrunkingSystem:
                 return
             from .config import TrunkingProtocol
 
+            if cfg.mesh and cfg.protocol == TrunkingProtocol.P25_PHASE2:
+                # the sharded grid demodulates every bin with ONE mode;
+                # Phase 2 needs 4800-baud CC + 6000-baud voice at once
+                self.state = "failed"
+                self.error = (
+                    "mesh backend supports Phase 1 / DMR trunking only "
+                    "(Phase 2 runs dual symbol rates in one capture)"
+                )
+                return
+
             cap_cfg = CaptureConfig(
                 center_hz=cfg.effective_center_hz(),
                 sample_rate=cfg.sample_rate,
@@ -196,7 +206,12 @@ class TrunkingSystem:
                 # Phase 2 FDMA CC is CQPSK (LSM); Phase 1 defaults to C4FM
                 # (reference system.py:437 vocoder select)
                 p25_modulation=(
-                    "cqpsk" if cfg.protocol == TrunkingProtocol.P25_PHASE2 else "c4fm"
+                    cfg.modulation
+                    or (
+                        "cqpsk"
+                        if cfg.protocol == TrunkingProtocol.P25_PHASE2
+                        else "c4fm"
+                    )
                 ),
                 # Adaptive-scale int8 IQ transport: digital voice tolerates
                 # the 8-bit front-end dynamic-range model (RTL-SDRs are
@@ -207,6 +222,10 @@ class TrunkingSystem:
                 # and k-1 fetches.  A real-time-paced SDR keeps the queue at
                 # 0-1 in steady state, so grant latency stays ~one block.
                 pipeline_depth=2,
+                # multi-chip: run the whole trunking program (CC + voice
+                # slots as channelizer bins, p25 soft symbols out) on the
+                # sharded grid — BASELINE config #5 at pod scale
+                mesh=cfg.mesh,
             )
             self.capture = self.capture_manager.create_capture(
                 device_id=cfg.device_id, config=cap_cfg
@@ -411,7 +430,12 @@ class TrunkingSystem:
                 return
             slot = rec.channel_id
         self._probe_slot = slot
-        self.capture.update_channel(slot, frequency_hz=freq)
+        try:
+            self.capture.update_channel(slot, frequency_hz=freq)
+        except ValueError:
+            # mesh bin collision (see _handle_voice_grant): skip this probe
+            self._probe_slot = None
+            return
         self.scanner.start_probe(freq, slot, now)
 
     def _retune_cc(self, freq: float, candidates: list[float], now: float, reason: str) -> None:
@@ -703,7 +727,18 @@ class TrunkingSystem:
             encrypted=bool(parsed.get("encrypted")),
             tdma_slot=tdma_slot,
         )
-        self.capture.update_channel(rec.channel_id, frequency_hz=freq)
+        try:
+            self.capture.update_channel(rec.channel_id, frequency_hz=freq)
+        except ValueError as e:
+            # mesh backend: the granted frequency's channelizer bin can be
+            # held by a different-frequency channel (adjacent 12.5 kHz
+            # assignments sharing one 25 kHz bin) — skip the grant rather
+            # than corrupt another channel's tuning
+            self._emit(
+                "grant_skipped",
+                {"tgid": tgid, "frequencyHz": freq, "reason": str(e)},
+            )
+            return
         rec.assign(call)
         self.active_calls[tgid] = call
         self._emit(

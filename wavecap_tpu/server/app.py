@@ -248,6 +248,13 @@ class AppState:
                 )
             if spec.auto_start:
                 cap.start()
+            else:
+                # boot-time compile warmup: prime the XLA compile (and the
+                # persistent cache) for configured-but-idle captures so a
+                # later start reaches first audio without the compile
+                # stall (round 4; reference restarts captures from YAML
+                # instantly, reference app.py:188-351)
+                cap.warmup()
         for tdict in self.config.trunking_systems:
             if self.trunking_workers is not None:
                 self.trunking_workers.add_system(tdict)

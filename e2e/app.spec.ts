@@ -50,7 +50,7 @@ test("creates a capture, sees the spectrum paint, adds a channel and listens", a
     .toBeGreaterThan(100);
 
   // add a channel and toggle playback
-  await page.locator("button", { hasText: "+ Add channel" }).click();
+  await page.locator("button", { hasText: "+ channel" }).click();
   await fillModalField(page, "Name", "e2e-ch");
   await page.locator(".modal button.primary").click();
   const row = page.locator("tr", { hasText: "e2e-ch" });

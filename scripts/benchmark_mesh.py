@@ -98,8 +98,135 @@ print(json.dumps({
 """
 
 
+_CHILD_TRUNKING = """
+import os, sys, time, json, tempfile
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=%(n)d"
+)
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from wavecap_tpu.capture import CaptureManager
+from wavecap_tpu.devices import FakeDriver
+from wavecap_tpu.trunking.config import TrunkingSystemConfig
+from wavecap_tpu.trunking.manager import TrunkingManager
+
+# BASELINE config #5 shape: full TrunkingSystem on the mesh backend,
+# sustained through the ENGINE (transport + dispatch + fetch + monitor),
+# not just the jitted step — the honest product figure.
+n_time = %(n)d
+m = 32 if 32 %% n_time == 0 else 4 * n_time
+fs = int(m * 25_000)
+with tempfile.TemporaryDirectory() as td:
+    tm = TrunkingManager(CaptureManager(FakeDriver(stations=[])), state_dir=td)
+    sys_ = tm.create_system(TrunkingSystemConfig(
+        id="bench", control_channels=[float(155e6 + 100e3)], center_hz=155e6,
+        sample_rate=fs, max_voice_channels=4,
+        mesh=f"stream=1,time={n_time}", record_audio=False, recording_dir=td,
+    ))
+    sys_.start()
+    assert sys_.state == "running", sys_.error
+    cap = sys_.capture
+    deadline = time.time() + 600
+    warm_n, end_n = 4, 4 + %(steps)d
+    t_warm = n_warm = None
+    while time.time() < deadline:
+        nblk = cap.blocks_processed
+        if t_warm is None and nblk >= warm_n:
+            t_warm, n_warm = time.time(), nblk
+        if nblk >= end_n:
+            break
+        time.sleep(0.05)
+    nblk = cap.blocks_processed
+    dt = time.time() - t_warm if t_warm else 1e9
+    block = cap.block_size
+    tm.stop_all()
+print(json.dumps({
+    "devices": n_time, "block_size": block, "steps": nblk - (n_warm or 0),
+    "samples_per_s": (nblk - (n_warm or 0)) * block / dt,
+}))
+"""
+
+_CHILD_ABLATE = """
+import os, sys, time, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=%(n)d"
+)
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+
+from wavecap_tpu import models, parallel
+from wavecap_tpu.ops.channelizer import ChannelizerConfig
+from wavecap_tpu.capture.pipeline import p25_cfg_for, CapturePipelineConfig
+
+# collective-cost attribution (VERDICT round-3 weak #5): the same grid
+# program with one collective ablated (wrong results, same shapes) —
+# the per-step delta is that collective's wall share.
+n_time = %(n)d
+mode = "%(mode)s"
+if mode == "p25":
+    m = 64 if 64 %% n_time == 0 else 8 * n_time
+    fs = m * 12_500.0
+else:
+    m = 32 if 32 %% n_time == 0 else 4 * n_time
+    fs = m * 25_000.0
+ch = ChannelizerConfig(sample_rate=fs, channel_bandwidth=fs / m)
+if mode == "p25":
+    pc = CapturePipelineConfig(sample_rate=int(fs), block_size=0, p25_capacity=1)
+    demod_cfg = p25_cfg_for(pc)
+    gmode = "p25-soft"
+else:
+    demod_cfg = models.NbfmConfig(sample_rate=int(ch.channel_rate), audio_rate=48_000)
+    gmode = "nbfm"
+mesh = parallel.make_mesh(n_streams=1, n_time=n_time)
+n_block = int(%(block_s)f * n_time * fs)
+unit = m * n_time
+if mode == "p25":
+    from math import gcd
+    unit = int(np.lcm(unit, int(fs) // gcd(int(fs), 4800)))
+n_block = max(unit, n_block // unit * unit)
+rng = np.random.default_rng(0)
+x = jnp.asarray((rng.standard_normal((1, n_block)) * 0.1).astype(np.complex64))
+rows = {}
+for label, kw in (
+    ("full", {}),
+    ("no_halo", dict(debug_skip_halo=True)),
+    ("no_reshard", dict(debug_skip_reshard=True)),
+):
+    cfg = parallel.ShardedGridConfig(
+        channelizer=ch, mode=gmode, demod_cfg=demod_cfg, **kw
+    )
+    state = parallel.grid_init(cfg, 1)
+    ctl = parallel.control_init(cfg, 1)
+    ctl = ctl._replace(active=jnp.ones((1, m), bool))
+    step = parallel.sharded_grid_step(mesh, cfg)
+    with jax.set_mesh(mesh):
+        out, state = step(x, state, ctl)
+        jax.block_until_ready((out, state))
+        t0 = time.perf_counter()
+        for _ in range(%(steps)d):
+            out, state = step(x, state, ctl)
+        jax.block_until_ready((out, state))
+    rows[label] = (time.perf_counter() - t0) / %(steps)d * 1e3
+print(json.dumps({
+    "devices": n_time, "block_size": n_block, "step_ms": rows,
+    "halo_ms": round(rows["full"] - rows["no_halo"], 2),
+    "reshard_ms": round(rows["full"] - rows["no_reshard"], 2),
+}))
+"""
+
+
 def run_size(n: int, steps: int, block_s: float, mode: str) -> dict:
-    code = _CHILD % {"n": n, "steps": steps, "block_s": block_s, "mode": mode}
+    if mode == "trunking":
+        code = _CHILD_TRUNKING % {"n": n, "steps": steps}
+    else:
+        code = _CHILD % {"n": n, "steps": steps, "block_s": block_s, "mode": mode}
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     out = subprocess.run(
@@ -124,11 +251,42 @@ def main() -> None:
         help="per-device seconds of IQ per step (weak-scaling unit)",
     )
     ap.add_argument(
-        "--mode", default="nbfm", choices=("nbfm", "p25"),
-        help="grid demod: narrow analog bank or the P25 soft-symbol path",
+        "--mode", default="nbfm", choices=("nbfm", "p25", "trunking"),
+        help="grid demod: narrow analog bank, the P25 soft-symbol path, or "
+        "a full TrunkingSystem driving the mesh capture through the engine",
+    )
+    ap.add_argument(
+        "--ablate", action="store_true",
+        help="collective-cost attribution: per-step wall of the same grid "
+        "program with the halo (ppermute+all_gather) or the all_to_all "
+        "re-shard ablated — the delta is that collective's share",
     )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
+    if args.ablate:
+        rows = []
+        for n in sizes:
+            code = _CHILD_ABLATE % {
+                "n": n, "steps": args.steps, "block_s": args.block_s,
+                "mode": args.mode if args.mode != "trunking" else "p25",
+            }
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                env=env,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                timeout=900,
+            )
+            if out.returncode != 0:
+                raise RuntimeError(f"size {n} failed:\n{out.stderr[-2000:]}")
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            rows.append(r)
+            print(f"devices={n} {r['step_ms']}", file=sys.stderr)
+        print(json.dumps(
+            {"host_cores": os.cpu_count(), "mode": args.mode, "ablate": rows}
+        ))
+        return
     rows = []
     for n in sizes:
         r = run_size(n, args.steps, args.block_s, args.mode)

@@ -149,6 +149,10 @@ def run_baseline_point(args) -> None:
             transport="i8",
             pipeline_depth=2,
             blocks_per_dispatch=args.blocks_per_dispatch,
+            # listener-gated audio fetch: demod runs for every slot, but
+            # only subscribed channels' audio rides the shared relay link
+            # (reference semantics: audio streams are per-subscriber)
+            audio_fetch_slots=4,
         )
     )
     half = rate / 2

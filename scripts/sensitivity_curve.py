@@ -27,7 +27,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import numpy as np
 
 
-def run_chain(iq, mode, baud=4800):
+def run_chain(iq, mode, baud=4800, eq_taps=0):
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +49,7 @@ def run_chain(iq, mode, baud=4800):
             sample_rate=48_000,
             symbol_rate=float(baud),
             rrc_alpha=1.0 if baud == 6000 else 0.2,
+            equalizer_taps=eq_taps,
         )
         st = cqpsk_init(cfg)
         step = jax.jit(cqpsk_demodulate, static_argnums=2)
@@ -96,6 +97,11 @@ def main() -> None:
         "--baud", type=int, default=4800, choices=(4800, 6000),
         help="6000 = Phase 2 H-DQPSK symbol rate (cqpsk mode only)",
     )
+    ap.add_argument(
+        "--eq", type=int, default=0, metavar="TAPS",
+        help="enable the CMA simulcast equalizer with this many (odd) "
+        "taps ahead of the CQPSK slicer (cqpsk mode only)",
+    )
     args = ap.parse_args()
     if args.baud != 4800 and args.mode != "cqpsk":
         ap.error("--baud 6000 requires --mode cqpsk")
@@ -122,14 +128,14 @@ def main() -> None:
 
     if args.impair == "awgn":
         for snr_db in (-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 6.0):
-            r = run_chain(with_awgn(iq0, snr_db), args.mode, args.baud)
+            r = run_chain(with_awgn(iq0, snr_db), args.mode, args.baud, args.eq)
             print(json.dumps({"mode": args.mode, "snr_db": snr_db, **r}),
                   flush=True)
     elif args.impair == "cfo":
         t = np.arange(len(iq0)) / 48_000
         for cfo_hz in (0.0, 50.0, 150.0, 300.0, 500.0, 1000.0, -1000.0):
             iq = iq0 * np.exp(2j * np.pi * cfo_hz * t)
-            r = run_chain(with_awgn(iq, 6.0), args.mode, args.baud)
+            r = run_chain(with_awgn(iq, 6.0), args.mode, args.baud, args.eq)
             print(json.dumps({"mode": args.mode, "cfo_hz": cfo_hz, **r}),
                   flush=True)
     else:  # simulcast: main path + one delayed, phase-rotated echo
@@ -141,7 +147,7 @@ def main() -> None:
                 [np.zeros(d, np.complex64), iq0[: len(iq0) - d]]
             ) * (rel_amp * np.exp(1j * rng.uniform(0, 2 * np.pi)))
             iq = iq0 + echo
-            r = run_chain(with_awgn(iq, 10.0), args.mode, args.baud)
+            r = run_chain(with_awgn(iq, 10.0), args.mode, args.baud, args.eq)
             print(
                 json.dumps(
                     {

@@ -614,3 +614,48 @@ class TestWarmup:
             assert any("cache_hit" in h for h in hits), hits
         finally:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+class TestAudioFetchSlots:
+    def test_listener_gated_audio_fetch(self):
+        """Round-4: with audio_fetch_slots set, only channels with live
+        audio subscribers get audio rows fetched/published; every slot
+        still demodulates (RSSI flows for all).  Subscribing later picks
+        the channel up without a recompile (traced selection)."""
+        drv = FakeDriver(stations=[])
+        mgr = CaptureManager(drv)
+        cap = mgr.create_capture(
+            config=CaptureConfig(
+                center_hz=100e6, sample_rate=240_000, block_seconds=0.1,
+                narrow_capacity=4, wide_capacity=0, audio_fetch_slots=2,
+            )
+        )
+        chans = [
+            cap.create_channel(
+                ChannelSpec(id=f"c{i}", mode="nbfm",
+                            frequency_hz=100e6 + 25e3 * (i + 1))
+            )
+            for i in range(3)
+        ]
+        sub0 = chans[0].audio.subscribe()
+        cap.start()
+        try:
+            deadline = time.time() + 120
+            while cap.blocks_processed < 4 and time.time() < deadline:
+                time.sleep(0.05)
+            gen = cap._pipe_gen
+            assert sub0.queue.qsize() > 0, "subscribed channel got no audio"
+            assert all(c.rssi_db > -200.0 for c in chans), [
+                c.rssi_db for c in chans
+            ]
+            # unsubscribed channel later subscribes: picked up, no recompile
+            sub2 = chans[2].audio.subscribe()
+            n0 = cap.blocks_processed
+            while (
+                cap.blocks_processed < n0 + 4 and time.time() < deadline
+            ):
+                time.sleep(0.05)
+            assert sub2.queue.qsize() > 0, "late subscriber got no audio"
+            assert cap._pipe_gen == gen, "listener change recompiled"
+        finally:
+            cap.stop()

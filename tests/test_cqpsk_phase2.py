@@ -451,3 +451,80 @@ class TestImpairmentFloors:
         ).astype(np.complex64)
         ok, tot = self._crc_rate(np.concatenate([np.zeros(1000, np.complex64), iq]))
         assert tot >= 15 and ok / tot >= 0.9, (ok, tot)
+
+
+class TestSimulcastEqualizer:
+    """Round-4 (VERDICT item 6): the analytic echo-fit MMSE equalizer.
+
+    LSM exists FOR simulcast, yet a 70 us near-equal-power echo zeroed
+    CRC for both demods in round 3 (and does for the reference's
+    Costas+MM chain, which has no equalizer).  The fit matches the block
+    autocorrelation against single-echo candidates and synthesizes the
+    regularized MMSE inverse feedforward."""
+
+    def test_70us_equal_power_echo_decodes(self):
+        from tests.test_trunking import make_p25_cc_iq
+
+        iq0 = make_p25_cc_iq(48_000, 0.0, n_frames=8, modulation="cqpsk")
+        sig_p = float(np.mean(np.abs(iq0) ** 2))
+        rng = np.random.default_rng(23)
+        d = int(round(70e-6 * 48_000))
+        # adversarial phase: notch at band center (the realization that
+        # defeated a CMA prototype)
+        echo = np.concatenate(
+            [np.zeros(d, np.complex64), iq0[: len(iq0) - d]]
+        ) * (0.8 * np.exp(1j * 2.98))
+        sig = iq0 + echo
+        noise_std = np.sqrt(sig_p / 10 / 2)
+        x = np.concatenate(
+            [
+                np.zeros(1000, np.complex64),
+                (
+                    sig
+                    + noise_std
+                    * (
+                        rng.standard_normal(len(sig))
+                        + 1j * rng.standard_normal(len(sig))
+                    )
+                ).astype(np.complex64),
+            ]
+        )
+        cfg = CqpskConfig(sample_rate=48_000, equalizer_taps=127)
+        state = cqpsk_init(cfg)
+        framer = P25Framer()
+        ok = tot = 0
+        for i in range(len(x) // 4800):
+            soft, _, state = cqpsk_demodulate(
+                jnp.asarray(x[i * 4800 : (i + 1) * 4800]), state, cfg
+            )
+            for f in framer.process(np.asarray(soft)):
+                if f.duid != pf.DUID.TSDU:
+                    continue
+                pl = pf.remove_status_dibits(f.dibits[57:], 57)
+                for b in pf.decode_tsbk_payload(pl):
+                    tot += 1
+                    ok += b.crc_valid
+        assert tot >= 15 and ok / tot >= 0.9, (ok, tot)
+
+    def test_equalizer_inert_on_clean_signal(self):
+        """Gating: no echo -> identity taps; clean decode unaffected."""
+        from tests.test_trunking import make_p25_cc_iq
+
+        iq0 = make_p25_cc_iq(48_000, 0.0, n_frames=6, modulation="cqpsk")
+        cfg = CqpskConfig(sample_rate=48_000, equalizer_taps=127)
+        state = cqpsk_init(cfg)
+        framer = P25Framer()
+        ok = tot = 0
+        x = np.concatenate([np.zeros(1000, np.complex64), iq0])
+        for i in range(len(x) // 4800):
+            soft, _, state = cqpsk_demodulate(
+                jnp.asarray(x[i * 4800 : (i + 1) * 4800]), state, cfg
+            )
+            for f in framer.process(np.asarray(soft)):
+                if f.duid != pf.DUID.TSDU:
+                    continue
+                pl = pf.remove_status_dibits(f.dibits[57:], 57)
+                for b in pf.decode_tsbk_payload(pl):
+                    tot += 1
+                    ok += b.crc_valid
+        assert tot >= 10 and ok / tot >= 0.95, (ok, tot)

@@ -291,3 +291,31 @@ class TestFastAtan2:
         from tests.conftest import snr_db
 
         assert snr_db(np.asarray(a_ex), np.asarray(a_fa)) > 70
+
+
+class TestComplexTapsConv:
+    def test_conv_valid_complex_taps_matches_numpy(self):
+        """Round-4 regression: the direct conv path silently cast COMPLEX
+        taps to f32 (dropping the imaginary part) — invisible with real
+        RRC/decimation taps, fatal for the CQPSK echo equalizer."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from wavecap_tpu.ops.fir import conv_valid
+
+        rng = np.random.default_rng(5)
+        x = (rng.standard_normal(300) + 1j * rng.standard_normal(300)).astype(
+            np.complex64
+        )
+        for t in (7, 31):  # both sizes ride the direct path
+            w = (
+                rng.standard_normal(t) + 1j * rng.standard_normal(t)
+            ).astype(np.complex64)
+            got = np.asarray(conv_valid(jnp.asarray(x), jnp.asarray(w)))
+            ref = np.convolve(x, w, mode="valid")
+            assert np.allclose(got, ref, atol=2e-4), np.abs(got - ref).max()
+        # real-taps path unchanged
+        wr = rng.standard_normal(9).astype(np.float32)
+        got = np.asarray(conv_valid(jnp.asarray(x), jnp.asarray(wr)))
+        ref = np.convolve(x, wr, mode="valid")
+        assert np.allclose(got, ref, atol=2e-4)

@@ -88,8 +88,17 @@ class CaptureConfig:
     # second vmapped bank — Phase 2 systems run a 4800-baud FDMA control
     # channel and 6000-baud TDMA voice channels in the SAME capture
     p25p2_capacity: int = 0
+    # CQPSK/LSM simulcast equalizer taps (0 = off; odd, e.g. 127):
+    # analytic echo-fit MMSE ahead of the slicer for simulcast networks
+    p25_equalizer_taps: int = 0
     audio_rate: int = 48_000
     channel_bandwidth: float = 25_000.0
+    # > 0: fetch only this many narrow-bank audio rows per bank, selected
+    # by which channels have live audio listeners (traced — listener
+    # changes never recompile).  Demod/RSSI still run for every slot; this
+    # gates device->host audio bytes, the dominant fetch cost at high
+    # channel counts.  0 = fetch all slots' audio (small captures).
+    audio_fetch_slots: int = 0
     # Host->device IQ transport format.  Remote TPU relays are upload-
     # bandwidth bound (~27 MB/s), so int16 halves the dominant cost of a
     # real-time capture vs interleaved f32; SDR front ends are <=16 bit so
@@ -183,6 +192,8 @@ class Capture:
         self._fetching = 0  # batches popped by the fetch thread, not yet done
         self._fetch_thread: threading.Thread | None = None
         self._wide_baseband = False
+        self._audio_fp: frozenset = frozenset()
+        self._audio_pos: dict = {}
         # driver-service recovery escalation (set by the CaptureManager)
         self.recovery = None
 
@@ -540,6 +551,10 @@ class Capture:
     def _is_wide(group) -> bool:
         return isinstance(group, tuple) and group[0] == "wide"
 
+    @property
+    def _audio_gated(self) -> bool:
+        return 0 < self.config.audio_fetch_slots < self.config.narrow_capacity
+
     def _narrow_modes(self) -> tuple:
         return tuple(
             sorted(
@@ -591,10 +606,12 @@ class Capture:
             wide_capacity=cfg.wide_capacity if wide_groups else 0,
             p25_capacity=cfg.p25_capacity if "p25" in groups else 0,
             p25_modulation=cfg.p25_modulation,
+            p25_equalizer_taps=cfg.p25_equalizer_taps,
             p25p2_capacity=cfg.p25p2_capacity if "p25p2" in groups else 0,
             audio_rate=cfg.audio_rate,
             export_wide_baseband=self._wide_baseband and bool(wide_groups),
             wide_groups=wide_groups,
+            audio_fetch_slots=cfg.audio_fetch_slots,
         )
 
     def _rebuild_pipeline_if_needed(self) -> None:
@@ -740,8 +757,25 @@ class Capture:
             if cfg.wide_capacity > 0
             else None
         )
+        k = cfg.audio_fetch_slots
+        audio_sel = None
+        self._audio_pos: dict = {}
+        if k > 0:
+            audio_sel = {}
+            for m in cfg.narrow_modes:
+                listeners = sorted(
+                    c.slot
+                    for c in self.channels.values()
+                    if c.mode_group == m and c.audio.active
+                )[:k]
+                for pos, slot in enumerate(listeners):
+                    self._audio_pos[(m, slot)] = pos
+                sel = np.zeros(k, np.int32)
+                sel[: len(listeners)] = listeners
+                audio_sel[m] = jnp.asarray(sel)
         return pl.CaptureControl(
-            banks=new_banks, wide=new_wide, p25=new_p25, p25p2=new_p25p2
+            banks=new_banks, wide=new_wide, p25=new_p25, p25p2=new_p25p2,
+            audio_sel=audio_sel,
         )
 
     # -- lifecycle ---------------------------------------------------------
@@ -1034,6 +1068,20 @@ class Capture:
         device round trip whenever the stream can run ahead."""
         t0 = time.perf_counter()
         with self._lock:
+            if self._audio_gated:
+                # listener set drives which audio rows are fetched; a
+                # subscribe/unsubscribe flips the traced selection (no
+                # recompile)
+                fp = frozenset(
+                    (c.mode_group, c.slot)
+                    for c in self.channels.values()
+                    if c.mode_group not in ("p25", "p25p2")
+                    and not self._is_wide(c.mode_group)
+                    and c.audio.active
+                )
+                if fp != self._audio_fp:
+                    self._audio_fp = fp
+                    self._ctl_dirty = True
             if self._ctl_dirty or self._ctl is None:
                 self._ctl = self._build_control()
                 self._ctl_dirty = False
@@ -1042,6 +1090,7 @@ class Capture:
             state = self._dev_state
             pipe_gen = self._pipe_gen
             channels = list(self.channels.values())
+            audio_pos = dict(getattr(self, "_audio_pos", {}))
         assert jit_step is not None
         t_conv0 = time.perf_counter()
         # Integer transports ship ONE word per complex sample (i8 pairs in
@@ -1113,7 +1162,7 @@ class Capture:
         limit = max(0, self.config.pipeline_depth)
         t_wait0 = time.perf_counter()
         with self._pend_cv:
-            self._pending.append((out, blocks, channels, t0))
+            self._pending.append((out, blocks, channels, audio_pos, t0))
             self._pend_cv.notify_all()
             while (
                 len(self._pending) + self._fetching > limit
@@ -1172,7 +1221,7 @@ class Capture:
 
     def _finish_batch(self, item) -> None:
         """Fetch one in-flight batch (single packed transfer) and fan out."""
-        out, blocks, channels, t0 = item
+        out, blocks, channels, audio_pos, t0 = item
         import jax as _jax
 
         n = len(blocks)
@@ -1216,7 +1265,13 @@ class Capture:
                 if grp is None:
                     continue
                 ch.record_rssi(float(grp["rssi"][b][ch.slot]), now)
-                ch.audio.publish(grp["audio"][b][ch.slot])
+                if self._audio_gated and not self._is_wide(ch.mode_group):
+                    # gated audio: only listener-selected rows were fetched
+                    pos = audio_pos.get((ch.mode_group, ch.slot))
+                    if pos is not None:
+                        ch.audio.publish(grp["audio"][b][pos])
+                else:
+                    ch.audio.publish(grp["audio"][b][ch.slot])
                 if "baseband" in grp and ch.baseband.active:
                     ch.baseband.publish(grp["baseband"][b][ch.slot])
         self.blocks_processed += n

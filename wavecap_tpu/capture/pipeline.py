@@ -183,6 +183,11 @@ class CapturePipelineConfig:
     # ONE traced demod config — Phase 2 systems run their FDMA control
     # channel at 4800 and voice at 6000 simultaneously
     p25p2_capacity: int = 0
+    # CQPSK/LSM simulcast equalizer taps (0 = off): analytic echo-fit
+    # MMSE ahead of the slicer (models/p25/cqpsk.py).  Opt-in for LSM
+    # systems on simulcast networks; known interaction: under a large
+    # uncorrected CFO the echo fit can engage spuriously (docs/perf.md)
+    p25_equalizer_taps: int = 0
     audio_rate: int = 48_000
     # export the per-slot pre-MPX FM discriminator at the wide IF rate
     # (RDS consumers need the 57 kHz subcarrier, which cannot survive the
@@ -194,6 +199,15 @@ class CapturePipelineConfig:
     # ChannelSettings semantics (round 4; narrow banks already worked this
     # way).  Each group has ``wide_capacity`` slots.
     wide_groups: tuple = ()
+    # Audio fetch slots (round 4): when > 0, only this many narrow-bank
+    # audio rows are gathered into the fetched buffer per bank, selected
+    # by traced indices (listener-driven, no recompile).  Demodulation
+    # still runs for EVERY active slot (RSSI/squelch/classifier are
+    # full-capacity); this gates only the device->host audio bytes, which
+    # at 100 channels dominate the shared relay link (48 kHz i16 = 96
+    # KB/s/ch).  Reference semantics: audio streams are per-subscriber
+    # on demand (reference Channel.subscribe_audio); 0 = fetch all.
+    audio_fetch_slots: int = 0
     # spectrum frames fetched per block: raw FFT frames are averaged down
     # (in the power domain, on-device) to this many.  Raw frames at
     # block_size/fft_size per block dominated the device->host fetch
@@ -264,6 +278,9 @@ class CaptureControl(NamedTuple):
     wide: dict | None  # dsp-key -> WideAssignment
     p25: ChannelAssignment | None  # channel_index/fine/active reused
     p25p2: ChannelAssignment | None = None
+    # mode -> (audio_fetch_slots,) int32 slot indices whose audio rides
+    # the fetched buffer (present only when cfg.audio_fetch_slots > 0)
+    audio_sel: dict | None = None
 
 
 def wide_assignment_init(capacity: int) -> WideAssignment:
@@ -295,7 +312,11 @@ def p25_cfg_for(cfg: CapturePipelineConfig):
     rate = int(cfg.channelizer().channel_rate)
     timing = os.environ.get("WAVECAP_P25_TIMING", "block")
     if cfg.p25_modulation == "cqpsk":
-        return CqpskConfig(sample_rate=rate, timing_impl=timing)
+        return CqpskConfig(
+            sample_rate=rate,
+            timing_impl=timing,
+            equalizer_taps=cfg.p25_equalizer_taps,
+        )
     return C4fmConfig(sample_rate=rate, timing_impl=timing)
 
 
@@ -366,7 +387,14 @@ def control_init(cfg: CapturePipelineConfig) -> CaptureControl:
     )
     p25 = assignment_init(cfg.p25_capacity) if cfg.p25_capacity > 0 else None
     p25p2 = assignment_init(cfg.p25p2_capacity) if cfg.p25p2_capacity > 0 else None
-    return CaptureControl(banks=banks, wide=wide, p25=p25, p25p2=p25p2)
+    audio_sel = (
+        {m: jnp.zeros(cfg.audio_fetch_slots, jnp.int32) for m in cfg.narrow_modes}
+        if cfg.audio_fetch_slots > 0
+        else None
+    )
+    return CaptureControl(
+        banks=banks, wide=wide, p25=p25, p25p2=p25p2, audio_sel=audio_sel
+    )
 
 
 def _wide_step(
@@ -426,6 +454,15 @@ def capture_step(
         o, s = bank_demod_step(
             chans, state.banks[key], ctl.banks[key], cfg.bank_cfg(key)
         )
+        if (
+            cfg.audio_fetch_slots > 0
+            and cfg.audio_fetch_slots < cfg.narrow_capacity
+            and ctl.audio_sel is not None
+        ):
+            # gate fetched audio bytes to the listener-selected slots;
+            # rssi (and demod state) stay full-capacity
+            o = dict(o)
+            o["audio"] = o["audio"][ctl.audio_sel[key]]
         bank_out[key] = o
         new_banks[key] = s
     out["banks"] = bank_out

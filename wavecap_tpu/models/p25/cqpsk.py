@@ -73,6 +73,21 @@ class CqpskConfig:
     # (reference dsp/p25/cqpsk.py:84); this is the block-feedforward
     # equivalent.  0.0 disables acquisition.
     cfo_max_hz: float = -1.0  # -1 = auto (0.23 * symbol_rate)
+    # Simulcast equalizer (round 4): LSM's channel IS a two-transmitter
+    # single-echo channel, so instead of a blind adaptive FIR (a CMA
+    # variant was built, measured, and failed to converge on the
+    # worst-case notch-at-DC phase realization), the echo parameters
+    # (a, d, theta) are fitted ANALYTICALLY from the block
+    # autocorrelation against the known clean pulse acf (see
+    # _echo_mmse_taps) and a regularized MMSE inverse is synthesized
+    # feedforward.  The reference has no equalizer at all (its
+    # Costas+MM chain collapses on the same echo), so this is a
+    # capability beyond it.  0 disables; 41 taps spans +-420 us at the
+    # 48-50 kHz channel rate.
+    equalizer_taps: int = 0
+    eq_lambda: float = 0.01  # MMSE regularization (1/SNR-ish, caps boost)
+    eq_max_delay: int = 16  # echo-delay search range (samples)
+    eq_ema: float = 1.0  # per-block tap smoothing (1 = none)
 
     @property
     def sps(self) -> float:
@@ -95,13 +110,26 @@ class CqpskState(NamedTuple):
     bias: jnp.ndarray  # carrier-offset phase bias (radians/symbol)
     cfo_hz: jnp.ndarray  # acquired carrier offset (NCO pre-correction)
     cfo_phase: jnp.ndarray  # uint32 NCO phase carry for the correction
+    eq_taps: jnp.ndarray  # (T,) complex equalizer taps (T=0 when off)
+    eq_tail: jnp.ndarray  # (T-1,) streaming-conv carry
+    eq_acf: jnp.ndarray  # EMA'd autocorrelation lags for the echo fit
 
 
 INTERP_TAIL = 64
+EQ_NFFT = 512
+
+
+def _eq_init_taps(n_taps: int) -> jnp.ndarray:
+    w0 = np.zeros(max(n_taps, 0), np.complex64)
+    if n_taps > 0:
+        w0[n_taps // 2] = 1.0
+    return jnp.asarray(w0)
 
 
 def cqpsk_init(cfg: CqpskConfig) -> CqpskState:
     rrc = design_rrc_cqpsk(float(cfg.sample_rate), cfg.symbol_rate, cfg.rrc_alpha)
+    t = max(cfg.equalizer_taps, 0)
+    assert t == 0 or t % 2 == 1, "equalizer_taps must be odd (or 0 = off)"
     return CqpskState(
         rrc_tail=ops.fir_init(len(rrc), jnp.complex64),
         interp_tail=jnp.zeros(INTERP_TAIL, jnp.complex64),
@@ -112,7 +140,20 @@ def cqpsk_init(cfg: CqpskConfig) -> CqpskState:
         bias=jnp.zeros((), jnp.float32),
         cfo_hz=jnp.zeros((), jnp.float32),
         cfo_phase=jnp.zeros((), jnp.uint32),
+        eq_taps=_eq_init_taps(t),
+        eq_tail=jnp.zeros(max(t - 1, 0), jnp.complex64),
+        eq_acf=jnp.zeros(
+            (_eq_candidates(float(cfg.sample_rate), cfg.symbol_rate,
+                            cfg.rrc_alpha, int(cfg.eq_max_delay))[2] + 1)
+            if t > 0
+            else 0,
+            jnp.complex64,
+        ),
     )
+
+
+def n_symbols_per_block(cfg: CqpskConfig, block_len: int) -> int:
+    return int(round(block_len / cfg.sps))
 
 
 def _estimate_cfo_residual(filt: jnp.ndarray, cfg: CqpskConfig) -> jnp.ndarray:
@@ -140,13 +181,131 @@ def _estimate_cfo_residual(filt: jnp.ndarray, cfg: CqpskConfig) -> jnp.ndarray:
     j = jnp.argmax(M)
     df = (j - K4).astype(jnp.float32) * np.float32(fs / size / 4.0)
     # line significance: the two matched bins of a locked signal hold a
-    # large multiple of the average bin magnitude
-    significant = M[j] > 8.0 * jnp.mean(X)
+    # large multiple of the average bin magnitude.  Hysteresis vs the
+    # zero-residual candidate: multipath (simulcast echoes) smears x^4
+    # structure that can out-peak the true line slightly — only move off
+    # the current estimate when the candidate wins DECISIVELY (a real CFO
+    # moves the whole line, making M(df) >> M(0)).
+    significant = (M[j] > 8.0 * jnp.mean(X)) & (M[j] > 1.5 * M[K4])
     return jnp.where(significant, df, jnp.float32(0.0))
 
 
-def n_symbols_per_block(cfg: CqpskConfig, block_len: int) -> int:
-    return int(round(block_len / cfg.sps))
+@lru_cache(maxsize=8)
+def _eq_candidates(
+    sample_rate: float, symbol_rate: float, alpha: float, max_delay: int
+) -> tuple:
+    """Candidate grid for the echo fit: predicted normalized
+    autocorrelations for every (d, theta, a, noise-fraction) candidate.
+
+    The measured acf of the post-RRC signal is the clean pulse acf
+    ``r_s`` convolved with the channel acf plus a noise term — for the
+    single-echo channel ``h = [1, .., a e^{j theta}]``:
+
+        r(tau) ~ (1+a^2) r_s(tau) + a e^{j th} r_s(tau-d)
+                 + a e^{-j th} r_s(tau+d) + nu rho_rrc(tau)
+
+    A dense grid search (argmin of the residual against the measured
+    acf) needs no matrix inversion — the lag design matrix is hopelessly
+    collinear at ~10 samples/symbol, which sank both an LS-pinv fit and
+    a frequency-ripple fit prototype.  Returns (r_pred, params, n_tau):
+    ``r_pred`` (n_cand, n_tau+1) complex64 normalized to r_pred[:,0]=1,
+    ``params`` (n_cand, 2) = (d, theta) per candidate with a=0 first
+    (the no-echo candidate used for gating)."""
+    nfft = EQ_NFFT
+    rrc = design_rrc_cqpsk(sample_rate, symbol_rate, alpha)
+    R2 = np.abs(np.fft.fft(rrc, nfft)) ** 2
+    r_s = np.fft.ifft(R2 * R2).real
+    r_s = r_s / r_s[0]
+    rho = np.fft.ifft(R2).real
+    rho = rho / rho[0]
+    n_tau = max_delay + 12
+    taus = np.arange(n_tau + 1)
+
+    def rs_at(k):  # symmetric, periodic lookup
+        return r_s[np.abs(k) % nfft]
+
+    # the a-grid caps at 0.85: q = a/(1+a^2) saturates near a=1, so deep
+    # echoes over-estimate a, and OVER-inversion is catastrophic (an
+    # a=0.95 inverse both rings past any FIR window and overshoots the
+    # notch) while under-inversion degrades gracefully — measured: the
+    # a=0.8 truth decodes 18/18 with an a=0.85 inverse and 7/18 with 0.95
+    cands = [(0.0, 0.0, 0.0, 0.0)]  # the no-echo candidate (gating)
+    for d in range(1, max_delay + 1):
+        for th in np.linspace(0, 2 * np.pi, 32, endpoint=False):
+            for a in (0.15, 0.25, 0.35, 0.45, 0.55, 0.65, 0.75, 0.85):
+                for nu in (0.0, 0.1, 0.25):
+                    cands.append((float(d), float(th), float(a), float(nu)))
+    preds = np.zeros((len(cands), n_tau + 1), np.complex64)
+    for i, (d, th, a, nu) in enumerate(cands):
+        r = (
+            (1 + a * a) * rs_at(taus)
+            + a * np.exp(1j * th) * rs_at(taus - int(d))
+            + a * np.exp(-1j * th) * rs_at(taus + int(d))
+            + nu * rho[taus]
+        )
+        preds[i] = (r / r[0].real).astype(np.complex64)
+    params = np.asarray([(c[0], c[1], c[2]) for c in cands], np.float32)
+    return preds, params, n_tau
+
+
+def _echo_mmse_taps(
+    x: jnp.ndarray, acf_acc: jnp.ndarray, cfg: CqpskConfig
+) -> tuple:
+    """Fit the LSM two-transmitter channel and build its MMSE inverse.
+
+    Measures the block autocorrelation (EMA'd across blocks as carried
+    state, so the fit sees seconds of signal), matches it against the
+    precomputed single-echo candidate grid (see _eq_candidates), and
+    synthesizes the regularized MMSE inverse
+    ``W = conj(H)/(|H|^2 + lambda)`` of the winning channel on the FFT
+    grid, windowed to ``equalizer_taps`` taps.  Fully feedforward —
+    no adaptive convergence to fail on deep-notch realizations.
+    Caveat: |acf| cannot distinguish a causal from an anticausal echo;
+    the causal (minimum-phase, a<1) interpretation is used.
+
+    Returns ``(taps, new_acf_state)``."""
+    t = cfg.equalizer_taps
+    c = t // 2
+    nfft = EQ_NFFT
+    preds_np, params_np, n_tau = _eq_candidates(
+        float(cfg.sample_rate), cfg.symbol_rate, cfg.rrc_alpha,
+        int(cfg.eq_max_delay),
+    )
+    n = x.shape[-1]
+    if n < 4 * (n_tau + 1):  # static: block too small to estimate
+        return _eq_init_taps(t), acf_acc
+
+    xc = jnp.conj(x)
+    r = jnp.stack(
+        [jnp.mean(x[tau:] * xc[: n - tau]) for tau in range(n_tau + 1)]
+    )
+    r = r / jnp.maximum(r[0].real, 1e-9)
+    # a non-finite block estimate (pathological input) must not poison
+    # the EMA forever
+    r = jnp.where(jnp.all(jnp.isfinite(r)), r, jnp.zeros_like(r))
+    acf = jnp.where(
+        jnp.sum(jnp.abs(acf_acc)) > 0, 0.5 * acf_acc + 0.5 * r, r
+    )
+
+    preds = jnp.asarray(preds_np)
+    resid = jnp.sum(jnp.abs(preds - acf[None, :]) ** 2, axis=-1)
+    j = jnp.argmin(resid)
+    d, theta, a = jnp.asarray(params_np)[j]
+    # gate: the echo model must beat the no-echo candidate decisively AND
+    # the echo must be material — weak echoes (a < 0.35) decode cleanly
+    # unequalized (round-3 impairment table), while a residual-CFO
+    # rotation of the acf can masquerade as a small echo and a
+    # miscorrection costs real CRC
+    significant = (resid[j] < 0.6 * resid[0]) & (a >= 0.35)
+    a = jnp.where(significant, a, 0.0)
+
+    w_grid = 2.0 * np.pi * np.arange(nfft) / nfft
+    H = 1.0 + a * jnp.exp(1j * theta) * jnp.exp(-1j * jnp.asarray(w_grid) * d)
+    W = jnp.conj(H) / (jnp.abs(H) ** 2 + cfg.eq_lambda)
+    h_t = jnp.fft.ifft(W)  # circular impulse response, two-sided
+    # window T taps centered on zero lag: [-c..c] -> linear FIR
+    idx = (jnp.arange(t) - c) % nfft
+    return h_t[idx].astype(jnp.complex64), acf
 
 
 def cqpsk_demodulate(iq: jnp.ndarray, state: CqpskState, cfg: CqpskConfig):
@@ -188,6 +347,26 @@ def cqpsk_demodulate(iq: jnp.ndarray, state: CqpskState, cfg: CqpskConfig):
         )
     else:
         cfo_hz = state.cfo_hz
+
+    if cfg.equalizer_taps > 0:
+        # simulcast equalizer: fit the echo channel on this block, build
+        # its MMSE inverse, EMA with the carried taps, and filter with
+        # streaming continuity (constant group delay — the timing
+        # recovery's absolute O&M line absorbs it).  A CFO step this
+        # block means the acf measurement mixed two rotations — restart
+        # it and hold identity taps until the carrier settles.
+        cfo_settled = (
+            jnp.abs(resid_hz) < 20.0 if cfg.cfo_span_hz > 0 else jnp.bool_(True)
+        )
+        acf_in = jnp.where(
+            cfo_settled, state.eq_acf, jnp.zeros_like(state.eq_acf)
+        )
+        est, eq_acf = _echo_mmse_taps(filt, acf_in, cfg)
+        est = jnp.where(cfo_settled, est, _eq_init_taps(cfg.equalizer_taps))
+        eq_taps = cfg.eq_ema * est + (1.0 - cfg.eq_ema) * state.eq_taps
+        filt, eq_tail = ops.fir_filter(filt, eq_taps, state.eq_tail)
+    else:
+        eq_taps, eq_tail, eq_acf = state.eq_taps, state.eq_tail, state.eq_acf
 
     buf = jnp.concatenate([state.interp_tail, filt])
     n_sym = n_symbols_per_block(cfg, iq.shape[-1])
@@ -328,6 +507,9 @@ def cqpsk_demodulate(iq: jnp.ndarray, state: CqpskState, cfg: CqpskConfig):
         bias=bias,
         cfo_hz=cfo_hz,
         cfo_phase=cfo_phase,
+        eq_taps=eq_taps,
+        eq_tail=eq_tail,
+        eq_acf=eq_acf,
     )
     return soft, dibits, new_state
 

@@ -59,9 +59,8 @@ def _conv_valid_direct(
     on the overlap-save-extended input.
     """
     t = taps.shape[-1]
-    kern = taps[::-1].astype(jnp.float32)
 
-    def conv1d(xr):  # real (N,) -> (M,)
+    def conv1d(xr, kern):  # real (N,) -> (M,)
         lhs = xr[None, None, :]
         rhs = kern[None, None, :]
         out = jax.lax.conv_general_dilated(
@@ -77,11 +76,29 @@ def _conv_valid_direct(
         )
         return out[0, 0, :]
 
-    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+    complex_taps = jnp.issubdtype(taps.dtype, jnp.complexfloating)
+    complex_x = jnp.issubdtype(x.dtype, jnp.complexfloating)
+    if complex_taps:
+        # complex kernel (e.g. the CQPSK echo equalizer): 4 real convs —
+        # a plain f32 cast here silently dropped the imaginary part
+        kr = taps[::-1].real.astype(jnp.float32)
+        ki = taps[::-1].imag.astype(jnp.float32)
+        xr = (x.real if complex_x else x).astype(jnp.float32)
+        xi = (
+            x.imag.astype(jnp.float32)
+            if complex_x
+            else jnp.zeros_like(xr)
+        )
+        return jax.lax.complex(
+            conv1d(xr, kr) - conv1d(xi, ki),
+            conv1d(xr, ki) + conv1d(xi, kr),
+        )
+    kern = taps[::-1].astype(jnp.float32)
+    if complex_x:
         xr = x.real.astype(jnp.float32)
         xi = x.imag.astype(jnp.float32)
-        return jax.lax.complex(conv1d(xr), conv1d(xi))
-    return conv1d(x.astype(jnp.float32))
+        return jax.lax.complex(conv1d(xr, kern), conv1d(xi, kern))
+    return conv1d(x.astype(jnp.float32), kern)
 
 
 def conv_valid(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray:

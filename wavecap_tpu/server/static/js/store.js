@@ -3,6 +3,7 @@
 import { api, openWs } from "./api.js";
 
 const state = {
+  loaded: false,         // first captures fetch landed (skeleton gate)
   captures: [],          // capture status dicts
   devices: [],
   trunking: [],          // trunking system status dicts
@@ -27,6 +28,7 @@ function notify(what) {
 
 export async function refreshCaptures() {
   state.captures = await api.get("/captures");
+  state.loaded = true;
   notify("captures");
 }
 

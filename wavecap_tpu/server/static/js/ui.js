@@ -116,14 +116,32 @@ export function modal({ title, fields, submitLabel = "Create" }) {
         el("div", { class: "actions" },
           el("button", { onClick: () => done(null) }, "Cancel"),
           el("button", { class: "primary", onClick: () => {
+            // per-field validation (reference wizard validation):
+            // `required` and `validate(value) -> error|null` block submit
+            // with an inline hint instead of a failing API round trip
             const out = {};
+            let bad = false;
             for (const f of fields) {
               const inp = inputs[f.name];
               let v = f.type === "checkbox" ? inp.checked : inp.value;
               if (f.type === "number" && v !== "") v = Number(v);
+              const holder = inp.closest("label");
+              holder?.querySelector(".err-hint")?.remove();
+              let err = null;
+              if (f.required && (v === "" || v === undefined)) {
+                err = "required";
+              } else if (f.validate && v !== "" && v !== undefined) {
+                err = f.validate(v) || null;
+              }
+              if (err) {
+                bad = true;
+                holder?.append(el("span", { class: "err-hint" }, err));
+                continue;
+              }
               if (v === "" && f.optional) continue;
               out[f.name] = v;
             }
+            if (bad) return;
             done(out);
           } }, submitLabel))));
     document.body.append(back);
@@ -248,4 +266,77 @@ export function audioWaveform(player, { width = 120, height = 24 } = {}) {
   };
   raf = requestAnimationFrame(draw);
   return canvas;
+}
+
+// Loading placeholder rows (reference primitives/Skeleton.react.tsx)
+export function skeleton(lines = 3, { width = "100%" } = {}) {
+  return el("div", { class: "skeleton", style: `width:${width}` },
+    Array.from({ length: lines }, (_, i) =>
+      el("div", { class: "skel-line", style: `width:${85 - (i % 3) * 15}%` })));
+}
+
+// Status pill with semantic dot (reference primitives/StatusPill.react.tsx):
+// states map to colors + the text stays visible (never color-alone)
+export function statusPill(state, label) {
+  const cls = {
+    running: "ok", active: "ok", locked: "ok", recording: "ok",
+    starting: "warn", hunting: "warn", scanning: "warn", created: "warn",
+    failed: "err", error: "err", stopped: "idle", idle: "idle",
+  }[String(state || "").toLowerCase()] || "idle";
+  return el("span", { class: `status-pill ${cls}` },
+    el("span", { class: "dot" }), label ?? state ?? "?");
+}
+
+// -/+ numeric stepper with editable value
+// (reference primitives/NumericSelector.react.tsx)
+export function numericSelector(value, onChange, {
+  min = -Infinity, max = Infinity, step = 1, unit = "", fmt = (v) => String(v),
+} = {}) {
+  const input = el("input", { type: "text", class: "num-sel-value mono",
+    value: fmt(value) });
+  const set = (v) => {
+    v = Math.max(min, Math.min(max, v));
+    if (v !== value) { value = v; onChange(v); }
+    input.value = fmt(value);
+  };
+  const commit = () => {
+    const v = Number(input.value);
+    if (Number.isFinite(v)) set(v); else input.value = fmt(value);
+  };
+  input.addEventListener("keydown", (e) => {
+    if (e.key === "Enter") { commit(); input.blur(); }
+    else if (e.key === "ArrowUp") { e.preventDefault(); set(value + step); }
+    else if (e.key === "ArrowDown") { e.preventDefault(); set(value - step); }
+  });
+  input.addEventListener("blur", commit);
+  return el("span", { class: "num-sel" },
+    el("button", { class: "small", onClick: () => set(value - step) }, "−"),
+    input,
+    el("button", { class: "small", onClick: () => set(value + step) }, "+"),
+    unit ? el("span", { class: "unit" }, unit) : null);
+}
+
+// Primary action + dropdown of alternatives
+// (reference primitives/SplitButtonDropdown.react.tsx)
+export function splitButton(label, onClick, items = []) {
+  let menu = null;
+  const closeMenu = () => { if (menu) { menu.remove(); menu = null; } };
+  const toggle = (anchor) => {
+    if (menu) { closeMenu(); return; }
+    menu = el("div", { class: "split-menu" },
+      items.map((it) => el("button", { class: "split-item", onClick: () => {
+        closeMenu();
+        it.onClick();
+      } }, it.label)));
+    anchor.append(menu);
+    setTimeout(() => document.addEventListener("click", function onDoc(e) {
+      if (menu && !menu.contains(e.target)) { closeMenu(); }
+      document.removeEventListener("click", onDoc);
+    }), 0);
+  };
+  const wrap = el("span", { class: "split-btn" },
+    el("button", { class: "primary", onClick }, label),
+    el("button", { class: "primary caret", title: "More options",
+      onClick: (e) => { e.stopPropagation(); toggle(wrap); } }, "▾"));
+  return wrap;
 }

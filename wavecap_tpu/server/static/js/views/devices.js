@@ -1,7 +1,7 @@
 // Devices view: SDR inventory, nicknames, driver health + recovery actions.
 
 import { api } from "../api.js";
-import { el, clear, toast, modal, confirmDlg, badge } from "../ui.js";
+import { el, clear, toast, modal, confirmDlg, badge , statusPill } from "../ui.js";
 import { getState, subscribe, refreshDevices } from "../store.js";
 
 let rootEl = null;
@@ -62,7 +62,7 @@ function render() {
                 el("th", { class: "num" }, "Last block (s)"))),
               el("tbody", {}, health.captures.map((c) => el("tr", {},
                 el("td", { class: "mono" }, c.id),
-                el("td", {}, badge(c.state), c.error
+                el("td", {}, statusPill(c.state), c.error
                   ? el("span", { class: "muted", style: "margin-left:6px" }, c.error)
                   : null),
                 el("td", { class: "num" }, c.restartCount ?? 0),

@@ -8,6 +8,7 @@ let rootEl = null;
 let timer = null;
 let rows = [];
 let filter = "all";
+let lastTop = 0;  // newest message time at last render (fresh-row flash)
 
 async function fetchAll() {
   const caps = getState().captures;
@@ -22,6 +23,40 @@ async function fetchAll() {
   out.sort((a, b) => (b.time || 0) - (a.time || 0));
   rows = out.slice(0, 300);
   render();
+  lastTop = rows.length ? rows[0].time || 0 : lastTop;
+}
+
+// Compact one-line live feed of the newest decoded message (reference
+// POCSAGFeed ticker); polls independently so any view can embed it.
+export function messageTicker() {
+  const node = el("div", { class: "ticker" }, "");
+  let t = null;
+  const tick = async () => {
+    if (!node.isConnected) { clearInterval(t); return; }
+    const caps = getState().captures;
+    const chans = caps.flatMap((c) => c.channels || []);
+    let newest = null;
+    await Promise.allSettled(chans.map(async (ch) => {
+      try {
+        const msgs = await api.get(`/channels/${ch.id}/messages?limit=1`);
+        for (const m of msgs)
+          if (!newest || (m.time || 0) > (newest.time || 0))
+            newest = { channel: ch.name || ch.id, ...m };
+      } catch { /* channel may be gone */ }
+    }));
+    clear(node);
+    if (newest) {
+      node.append(
+        el("span", { class: "muted" }, `${fmtTime(newest.time)} `),
+        el("span", {}, `${newest.decoder} `),
+        el("span", { class: "mono" },
+          `${newest.alias || newest.address || newest.capcode || ""} ${
+            newest.text || newest.message || newest.radiotext || ""}`.trim()));
+    }
+  };
+  t = setInterval(tick, 5000);
+  tick();
+  return node;
 }
 
 function render() {
@@ -43,7 +78,9 @@ function render() {
               el("th", {}, "Time"), el("th", {}, "Channel"),
               el("th", {}, "Decoder"), el("th", {}, "Address"),
               el("th", {}, "Message"))),
-            el("tbody", {}, shown.map((m) => el("tr", {},
+            el("tbody", {}, shown.map((m) => el("tr", {
+              class: `msg-row ${(m.time || 0) > lastTop ? "fresh" : ""}`,
+            },
               el("td", {}, fmtTime(m.time)),
               el("td", {}, m.channel),
               el("td", {}, m.decoder),

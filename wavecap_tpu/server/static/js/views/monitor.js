@@ -8,8 +8,7 @@
 import { api } from "../api.js";
 import {
   el, clear, fmtHz, fmtTime, badge, smeter, toast, modal, confirmDlg,
-  freqInput, audioWaveform,
-} from "../ui.js";
+  freqInput, audioWaveform, statusPill, splitButton, skeleton } from "../ui.js";
 import { getState, subscribe, refreshCaptures } from "../store.js";
 import { SpectrumView } from "../spectrum.js";
 import { ChannelPlayer } from "../audio.js";
@@ -17,6 +16,14 @@ import {
   listBookmarks, addBookmark, removeBookmark, pushHistory,
 } from "../bookmarks.js";
 import { openBookmarkManager } from "../bookmark_manager.js";
+import { messageTicker } from "./messages.js";
+
+// one shared ticker instance so re-renders don't stack poll timers
+let _ticker = null;
+function messageTickerLazy() {
+  if (!_ticker || !_ticker.isConnected) _ticker = messageTicker();
+  return _ticker;
+}
 
 const MODES = ["nbfm", "wbfm", "am", "ssb", "sam", "p25", "dmr"];
 
@@ -454,7 +461,9 @@ async function createTrunkingFromCC(freqHz) {
   const vals = await modal({
     title: `Trunking system on ${(freqHz / 1e6).toFixed(4)} MHz`,
     fields: [
-      { name: "id", label: "System id", value: "sys1" },
+      { name: "id", label: "System id", value: "sys1", required: true,
+        validate: (v) => /^[a-zA-Z0-9_-]{1,32}$/.test(v)
+          ? null : "letters/digits/dash only" },
       { name: "name", label: "Name", value: "" },
       { name: "sampleRate", label: "Sample rate (Hz)", type: "select",
         value: "2400000",
@@ -532,7 +541,7 @@ function capturePanel(cap) {
       selectedCid = isSel ? null : cap.id;
       render();
     } }, `${isSel ? "▾" : "▸"} Capture ${cap.id}`),
-    badge(cap.state),
+    statusPill(cap.state),
     freqInput(cap.centerHz, (hz) => {
       // live front-end retune without stream teardown (engine slot banks)
       api.patch(`/captures/${cap.id}`, { centerHz: hz })
@@ -652,8 +661,12 @@ function capturePanel(cap) {
             el("tbody", {}, chans.flatMap((ch) => channelRow(cap, ch))))
         : el("div", { class: "empty" }, "No channels — click the spectrum or Add channel"),
       el("div", { style: "margin-top:8px" },
-        el("button", { class: "small", onClick: () => addChannelDlg(cap) },
-          "+ Add channel"))));
+        splitButton("+ channel", () => addChannelDlg(cap), [
+          { label: "NBFM voice", onClick: () => addChannelDlg(cap, undefined, "nbfm") },
+          { label: "WBFM broadcast", onClick: () => addChannelDlg(cap, undefined, "wbfm") },
+          { label: "AM", onClick: () => addChannelDlg(cap, undefined, "am") },
+          { label: "P25 digital", onClick: () => addChannelDlg(cap, undefined, "p25") },
+        ]))));
   }
 
   return el("div", { class: "panel" }, kids);
@@ -683,8 +696,11 @@ function render() {
       el("button", { class: "primary", onClick: createCaptureDlg }, "+ New capture")),
     caps.length
       ? el("div", {}, caps.map(capturePanel))
-      : el("div", { class: "empty" },
-          "No captures. Create one, or apply a recipe from the Recipes tab."));
+      : getState().loaded === false
+        ? skeleton(4)  // first fetch still in flight
+        : el("div", { class: "empty" },
+          "No captures. Create one, or apply a recipe from the Recipes tab."),
+    el("div", { class: "ticker-bar" }, messageTickerLazy()));
 }
 
 function pollVu() {

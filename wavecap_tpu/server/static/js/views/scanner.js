@@ -1,7 +1,7 @@
 // Scanner view: frequency-list scanning on an existing channel.
 
 import { api } from "../api.js";
-import { el, clear, fmtHz, badge, toast, modal, confirmDlg } from "../ui.js";
+import { el, clear, fmtHz, badge, toast, modal, confirmDlg , statusPill } from "../ui.js";
 import { getState, subscribe, refreshScanners } from "../store.js";
 
 let rootEl = null;
@@ -53,7 +53,7 @@ async function createScannerDlg() {
 function scannerPanel(s) {
   return el("div", { class: "panel" },
     el("h2", {},
-      `Scanner ${s.id}`, badge(s.state),
+      `Scanner ${s.id}`, statusPill(s.state),
       el("span", { class: "muted mono" },
         s.currentFrequencyHz ? `now ${fmtHz(s.currentFrequencyHz)}` : ""),
       el("span", { class: "spacer" }),

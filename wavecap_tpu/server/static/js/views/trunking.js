@@ -8,8 +8,7 @@
 
 import { api, openWs } from "../api.js";
 import {
-  el, clear, fmtHz, fmtTime, fmtDur, badge, toast, modal, confirmDlg,
-} from "../ui.js";
+  el, clear, fmtHz, fmtTime, fmtDur, badge, toast, modal, confirmDlg, statusPill } from "../ui.js";
 import { getState, subscribe, refreshTrunking } from "../store.js";
 import { ChannelPlayer } from "../audio.js";
 
@@ -448,7 +447,7 @@ function voiceStreamsTable(sys) {
         const on = recorderSid === key;
         return el("tr", {},
           el("td", { class: "mono" }, `#${v.recorderId} (${v.channelId})`),
-          el("td", {}, badge(v.state)),
+          el("td", {}, statusPill(v.state)),
           el("td", {}, v.tgid ? `${v.talkgroup || ""} (${v.tgid})` : "—"),
           el("td", { class: "mono" }, v.frequencyHz ? fmtHz(v.frequencyHz) : "—"),
           el("td", {}, v.startTime ? fmtTime(v.startTime) : "—"),
@@ -592,10 +591,10 @@ function render() {
               onClick: () => { selectedSid = s.id; detail.fetched = 0; render(); },
             },
               el("td", {}, s.name || s.id),
-              el("td", {}, badge(s.state)),
+              el("td", {}, statusPill(s.state)),
               el("td", {}, s.protocol),
               el("td", { class: "mono" }, fmtHz(s.controlChannelHz)),
-              el("td", {}, s.synced ? badge("locked") : badge("hunting")),
+              el("td", {}, s.synced ? statusPill("locked") : statusPill("hunting")),
               el("td", {},
                 s.state === "running"
                   ? el("button", { class: "small", onClick: (e) => {

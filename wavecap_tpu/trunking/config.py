@@ -66,6 +66,9 @@ class TrunkingSystemConfig:
     dmr_base_hz: float | None = None
     dmr_spacing_hz: float = 12_500.0
     dmr_slots_per_carrier: int = 2
+    # CQPSK/LSM simulcast equalizer taps for this system's capture
+    # (0 = off; odd, e.g. 127) — worth enabling on simulcast networks
+    equalizer_taps: int = 0
     # Phase 1 air-interface override: "cqpsk" selects the LSM simulcast
     # demod for control + voice (reference P25Modulation C4FM/LSM,
     # reference decoders/p25.py:1755); None = protocol default (Phase 1
@@ -125,6 +128,7 @@ class TrunkingSystemConfig:
                 d.get("dmr_slots_per_carrier", d.get("dmrSlotsPerCarrier", 2))
             ),
             modulation=d.get("modulation"),
+            equalizer_taps=int(d.get("equalizer_taps", d.get("equalizerTaps", 0))),
             mesh=d.get("mesh"),
         )
 

@@ -205,6 +205,7 @@ class TrunkingSystem:
                 ),
                 # Phase 2 FDMA CC is CQPSK (LSM); Phase 1 defaults to C4FM
                 # (reference system.py:437 vocoder select)
+                p25_equalizer_taps=cfg.equalizer_taps,
                 p25_modulation=(
                     cfg.modulation
                     or (

@@ -117,6 +117,11 @@ class CaptureConfig:
     # >1 amortizes the fixed relay round trip for throughput-bound offline
     # runs at the cost of latency; real-time captures should keep 1.
     blocks_per_dispatch: int = 1
+    # OpenWebRX-style scheduled restart (reference capture.py:1989,
+    # disabled by default): > 0 restarts the capture every N seconds to
+    # clear slow driver leaks on always-on deployments.  Does not count
+    # against the health monitor's restart caps.
+    restart_interval_s: float = 0.0
     # Multi-chip backend: a mesh spec like "stream=1,time=8" runs this
     # capture's block step through the sharded grid
     # (parallel/sharded.py: ppermute halo channelizer + all_to_all
@@ -883,6 +888,23 @@ class Capture:
             if self.state not in ("running", "starting", "failed"):
                 continue
             now = time.time()
+            if (
+                self.config.restart_interval_s > 0
+                and self.state == "running"
+                and self.blocks_processed > 0
+                and now - self._started_at > self.config.restart_interval_s
+            ):
+                # scheduled restart (reference capture.py:1989): routine
+                # hygiene, not a failure — no restart-cap accounting
+                logger.info("capture %s scheduled restart", self.id)
+                try:
+                    self._do_stop()
+                    self._start_internal()
+                except Exception:  # pragma: no cover
+                    logger.exception("scheduled restart failed")
+                if not self._desired_running:
+                    return
+                continue
             failed = self.state == "failed"
             thread_dead = self._thread is not None and not self._thread.is_alive()
             stalled = False

@@ -15,6 +15,9 @@ class Band:
     mode_hint: str = ""
 
 
+# Built-in defaults; config/frequency_bands.yaml (reference parity:
+# reference config/frequency_bands.yaml -> frequency_namer.py:219)
+# overrides/extends these at import — see load_band_plan().
 BANDS = [
     Band(87.5e6, 108.0e6, "FM Broadcast", "wbfm"),
     Band(108.0e6, 118.0e6, "Air Nav", "am"),
@@ -36,8 +39,54 @@ BANDS = [
 ]
 
 
+_loaded_bands: list[Band] | None = None
+
+
+def load_band_plan(path: str | None = None) -> list[Band]:
+    """Bands from ``config/frequency_bands.yaml`` (+ built-in defaults).
+
+    File entries come first (first match wins), then any built-in band
+    not covered by the file.  Missing/invalid file -> built-ins only.
+    Reference parity: ``config/frequency_bands.yaml`` consumed by
+    reference ``frequency_namer.py:219``."""
+    global _loaded_bands
+    if path is None and _loaded_bands is not None:
+        return _loaded_bands
+    from pathlib import Path
+
+    cand = (
+        Path(path)
+        if path
+        else Path(__file__).resolve().parents[2] / "config" / "frequency_bands.yaml"
+    )
+    bands: list[Band] = []
+    try:
+        import yaml
+
+        doc = yaml.safe_load(cand.read_text()) or {}
+        for e in doc.get("bands", []) or []:
+            try:
+                bands.append(
+                    Band(
+                        low_hz=float(e["low_mhz"]) * 1e6,
+                        high_hz=float(e["high_mhz"]) * 1e6,
+                        name=str(e["name"]),
+                        mode_hint=str(e.get("mode_hint", "") or ""),
+                    )
+                )
+            except (KeyError, TypeError, ValueError):
+                continue
+    except Exception:  # missing file / no yaml: built-ins only
+        pass
+    names = {b.name for b in bands}
+    bands += [b for b in BANDS if b.name not in names]
+    if path is None:
+        _loaded_bands = bands
+    return bands
+
+
 def band_for(freq_hz: float) -> Band | None:
-    for b in BANDS:
+    for b in load_band_plan():
         if b.low_hz <= freq_hz < b.high_hz:
             return b
     return None

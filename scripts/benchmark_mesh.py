@@ -117,8 +117,10 @@ from wavecap_tpu.trunking.manager import TrunkingManager
 # BASELINE config #5 shape: full TrunkingSystem on the mesh backend,
 # sustained through the ENGINE (transport + dispatch + fetch + monitor),
 # not just the jitted step — the honest product figure.
+# weak scaling: per-device bandwidth constant -> the capture grows with
+# the time axis (32 bins / 800 kHz per device)
 n_time = %(n)d
-m = 32 if 32 %% n_time == 0 else 4 * n_time
+m = 32 * n_time
 fs = int(m * 25_000)
 with tempfile.TemporaryDirectory() as td:
     tm = TrunkingManager(CaptureManager(FakeDriver(stations=[])), state_dir=td)

@@ -205,10 +205,34 @@ def run_baseline_point(args) -> None:
     wall_ms = elapsed * 1e3 / max(n_blocks - n_warm, 1) if t_warm else 0.0
     block_ms = args.block_seconds * 1e3
     rt = block_ms / wall_ms if wall_ms else 0.0
+    # in-run link calibration: the remote-relay bandwidth varies by the
+    # hour (measured 25-200 MB/s up, 15-41 down across round 4) and the
+    # pipeline is link-bound, so the realtime figure is only meaningful
+    # next to the link speed it was measured under
+    import numpy as _np
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    up_buf = _np.zeros(8 * 1024 * 1024, _np.int8)
+    _jnp.asarray(up_buf).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(2):
+        _jnp.asarray(up_buf).block_until_ready()
+    up_mbps = 2 * 8 / (time.perf_counter() - t0)
+    f = _jax.jit(lambda x: x + 1)
+    outs = [f(_np.full(2 * 1024 * 1024, i, _np.int8)) for i in range(3)]
+    _jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    for o in outs:
+        _np.asarray(o)
+    down_mbps = 3 * 2 / (time.perf_counter() - t0)
     print(
         json.dumps(
             {
                 "config": f"baseline_{n_total}ch_{rate/1e6:g}msps",
+                "link_up_mbps": round(up_mbps, 1),
+                "link_down_mbps": round(down_mbps, 1),
                 "channels": n_total,
                 "rate_msps": rate / 1e6,
                 "blocks": n_blocks,

@@ -8,7 +8,7 @@
 
 import { api, openWs } from "../api.js";
 import {
-  el, clear, fmtHz, fmtTime, fmtDur, badge, toast, modal, confirmDlg, statusPill } from "../ui.js";
+  el, clear, fmtHz, fmtTime, fmtDur, badge, toast, modal, confirmDlg, statusPill , infoTip } from "../ui.js";
 import { getState, subscribe, refreshTrunking } from "../store.js";
 import { ChannelPlayer } from "../audio.js";
 
@@ -68,6 +68,18 @@ async function createSystemDlg() {
           { value: "hunt", label: "hunt — cycle the list on sync loss" },
           { value: "scan", label: "scan — measure all, pick the best" },
         ] },
+      { name: "modulation", label: "Phase 1 air interface", type: "select",
+        value: "",
+        options: [
+          { value: "", label: "auto (C4FM)" },
+          { value: "cqpsk", label: "CQPSK / LSM (simulcast networks)" },
+        ] },
+      { name: "eqTaps", label: "Simulcast equalizer taps (0 = off; odd, e.g. 127)",
+        type: "number", optional: true, value: "",
+        validate: (v) => v === 0 || (v > 0 && v % 2 === 1)
+          ? null : "must be odd (or 0)" },
+      { name: "mesh", label: "Mesh (multi-chip, e.g. stream=1,time=8; blank = single chip)",
+        optional: true, value: "" },
       { name: "start", label: "Start immediately", type: "checkbox", value: true },
     ],
   });
@@ -82,6 +94,9 @@ async function createSystemDlg() {
       protocol: vals.protocol,
       ...(vals.dmrBase !== undefined && vals.dmrBase !== ""
         ? { dmr_base_hz: vals.dmrBase * 1e6 } : {}),
+      ...(vals.modulation ? { modulation: vals.modulation } : {}),
+      ...(vals.eqTaps ? { equalizer_taps: vals.eqTaps } : {}),
+      ...(vals.mesh ? { mesh: vals.mesh } : {}),
     });
     if (vals.start) await api.post(`/trunking/systems/${vals.id}/start`);
     toast("System created");
@@ -473,7 +488,11 @@ function voiceStreamsTable(sys) {
 function systemDetail(sys) {
   const tiles = el("div", { class: "tiles" },
     el("div", { class: "tile" },
-      el("div", { class: "v" }, fmtHz(sys.controlChannelHz)),
+      el("div", { class: "v" }, fmtHz(sys.controlChannelHz),
+        " ", infoTip("Hunt modes - fixed: stay on the configured control "
+          + "channel; hunt: cycle the candidate list on sync loss "
+          + "(includes learned adjacent sites); scan: measure all and "
+          + "pick the best by SNR + sync verification.")),
       el("div", { class: "k" }, "Control channel")),
     el("div", { class: "tile" },
       el("div", { class: "v" }, sys.synced ? "Locked" : "Hunting"),

@@ -763,3 +763,25 @@ class TestPhase2Trunking:
                 assert rec._pcm, "no PCM synthesized"
         finally:
             tm.stop_all()
+
+
+class TestRound4ConfigSurface:
+    def test_from_dict_round4_fields(self):
+        cfg = TrunkingSystemConfig.from_dict({
+            "id": "s1", "control_channels": [851.2e6],
+            "modulation": "cqpsk", "equalizerTaps": 127,
+            "mesh": "stream=1,time=8",
+        })
+        assert cfg.modulation == "cqpsk"
+        assert cfg.equalizer_taps == 127
+        assert cfg.mesh == "stream=1,time=8"
+
+    def test_status_reports_round4_fields(self, tmp_path):
+        sys_ = make_system(
+            tmp_path, modulation="cqpsk", equalizer_taps=127,
+            mesh=None,
+        )
+        st = sys_.status()
+        assert st["modulation"] == "cqpsk"
+        assert st["equalizerTaps"] == 127
+        assert st["mesh"] is None

@@ -819,6 +819,9 @@ class TrunkingSystem:
             "state": self.state,
             "error": self.error,
             "protocol": self.config.protocol.value,
+            "modulation": self.config.modulation,
+            "equalizerTaps": self.config.equalizer_taps,
+            "mesh": self.config.mesh,
             "controlChannelHz": self.cc_locked
             or self._cc_current_freq
             or (

@@ -1038,7 +1038,11 @@ class Capture:
             return
         self.state = "running"
         chunk = max(8192, self.config.sample_rate // 20)
-        buf = np.empty(0, np.complex64)
+        # chunk accumulator: a LIST of read buffers concatenated once per
+        # block boundary — concatenating into one growing buffer per read
+        # was O(block^2) memcpy (~240 MB/s of copies at 10 Msps)
+        chunks: list[np.ndarray] = []
+        pending_n = 0
         n_batch = max(1, self.config.blocks_per_dispatch)
         blocks: list[np.ndarray] = []
         try:
@@ -1050,27 +1054,32 @@ class Capture:
                     # retune is a phase discontinuity: same reset contract
                     # as an overflow.
                     self._flush_pending()
-                    buf = np.empty(0, np.complex64)
-                    blocks = []
+                    chunks, pending_n, blocks = [], 0, []
                     if self._pipe_cfg is not None:
                         self._dev_state = self._init_state()
                 samples, overflow = stream.read(chunk)
                 if overflow:
                     self.overflow_count += 1
                     self._flush_pending()
-                    buf = np.empty(0, np.complex64)
-                    blocks = []
+                    chunks, pending_n, blocks = [], 0, []
                     if self._pipe_cfg is not None:
                         self._dev_state = self._init_state()
                     continue
-                buf = np.concatenate([buf, samples]) if buf.size else samples
-                while buf.size >= self.block_size:
-                    block, buf = buf[: self.block_size], buf[self.block_size :]
+                chunks.append(samples)
+                pending_n += samples.size
+                while pending_n >= self.block_size:
+                    cat = (
+                        np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+                    )
+                    block = cat[: self.block_size]
+                    rest = cat[self.block_size :]
+                    chunks = [rest] if rest.size else []
+                    pending_n = rest.size
                     blocks.append(block)
                     if len(blocks) == n_batch:
                         self._dispatch_blocks(blocks)
                         blocks = []
-                if buf.size < self.block_size and not blocks:
+                if pending_n < self.block_size and not blocks:
                     # stream is real-time-bound: deliver in-flight results
                     # now instead of waiting a whole block for the overlap
                     self._flush_pending()
@@ -1133,15 +1142,19 @@ class Capture:
             batch: Any = np.stack(rows)
         elif self.config.transport == "i8":
             f_rows = [np.ascontiguousarray(b).view(np.float32) for b in blocks]
+            # peak from a stride-8 subsample: within ~0.1 dB for real IQ
+            # and the clip below bounds any stragglers; the full |x| scan
+            # was ~1/3 of the host conversion budget at 10 Msps
             peaks = np.array(
-                [max(float(np.max(np.abs(r))), 1e-12) for r in f_rows], np.float32
+                [max(float(np.max(np.abs(r[::8]))), 1e-12) for r in f_rows],
+                np.float32,
             )
-            rows = [
-                np.clip(np.round(r * (127.0 / p)), -127, 127)
-                .astype(np.int8)
-                .view(np.int16)
-                for r, p in zip(f_rows, peaks)
-            ]
+            rows = []
+            for r, p in zip(f_rows, peaks):
+                q = r * np.float32(127.0 / p)
+                np.rint(q, out=q)
+                np.clip(q, -127, 127, out=q)
+                rows.append(q.astype(np.int8).view(np.int16))
             # per-block scale folded back on-device: x_f32 = x_i8 * scale
             batch = (np.stack(rows), peaks * np.float32(1.0 / 127.0))
         else:

@@ -1079,10 +1079,22 @@ class Capture:
                     if len(blocks) == n_batch:
                         self._dispatch_blocks(blocks)
                         blocks = []
-                if pending_n < self.block_size and not blocks:
-                    # stream is real-time-bound: deliver in-flight results
-                    # now instead of waiting a whole block for the overlap
-                    self._flush_pending()
+                if (
+                    pending_n < self.block_size
+                    and not blocks
+                    and (
+                        self._fetch_thread is None
+                        or not self._fetch_thread.is_alive()
+                    )
+                ):
+                    # no fetch thread (tests poking the loop directly):
+                    # drain in-flight results inline.  With the fetch
+                    # thread running this was a BLOCKING wait for every
+                    # in-flight batch after each dispatch — it serialized
+                    # the whole pipeline (the fetch thread already drains
+                    # continuously, so waiting here adds latency, not
+                    # delivery)
+                    self._drain_inline()
         except Exception as e:  # pragma: no cover
             self.state = "failed"
             self.error = str(e)

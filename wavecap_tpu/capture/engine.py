@@ -1276,6 +1276,18 @@ class Capture:
         unpacked = dict(out)
         packed_dev = unpacked.pop("_packed", None)
         if packed_dev is not None:
+            # wait for upload+compute with a sleep poll BEFORE the blocking
+            # fetch: np.asarray on a not-yet-ready jax Array holds the GIL
+            # for the whole device wait, starving the reader/conv thread
+            # (measured: the capture thread lost ~700 ms/s to this at
+            # 10 Msps).  is_ready() + sleep releases the GIL; the final
+            # asarray then only pays the actual transfer.
+            is_ready = getattr(packed_dev, "is_ready", None)
+            if is_ready is not None:
+                while not packed_dev.is_ready():
+                    if self._stop.is_set():
+                        break
+                    time.sleep(0.002)
             flat = np.asarray(packed_dev).reshape(n, -1)
             out = pl.unpack_wire(unpacked, flat)
         else:  # pragma: no cover - packing always on in capture_step

@@ -386,3 +386,133 @@ class TestMeshTrunking:
             )
         finally:
             tm.stop_all()
+
+
+@pytest.mark.slow
+class TestMeshPhase2Trunking:
+    """Round-4 capstone: P25 Phase 2 dual-rate trunking ON THE MESH.
+
+    The dual-rate grid shifts every bin once and demodulates it at BOTH
+    symbol rates (4800-baud CQPSK/LSM CC + 6000-baud H-DQPSK voice), so
+    Phase 2 systems scale across chips like Phase 1 — the round-3
+    one-mode-per-grid restriction is gone."""
+
+    def test_phase2_lock_grant_tdma_voice_on_mesh(self, tmp_path):
+        from math import gcd
+
+        from scipy import signal as sps
+
+        from wavecap_tpu.decoders import p25_frames as pf
+        from wavecap_tpu.decoders import p25_tsbk as tsbk
+        from wavecap_tpu.decoders.ambe_vocoder import AmbeEncoder
+        from wavecap_tpu.decoders.p25_phase2 import (
+            FRAGMENT_DIBITS,
+            build_test_fragment,
+            build_voice_burst,
+        )
+        from wavecap_tpu.models.p25.cqpsk import modulate_cqpsk
+        from wavecap_tpu.trunking.config import (
+            TrunkingProtocol,
+            TrunkingSystemConfig,
+        )
+        from wavecap_tpu.trunking.manager import TrunkingManager
+
+        rate = 800_000  # M=32 bins: divisible by the 8-device time axis
+        center = 851_150_000.0
+        cc_freq = 851_200_000.0  # +50 kHz (bin-centered)
+        voice_freq = 851_125_000.0  # -25 kHz (bin-centered); TDMA ch 21
+
+        iden = pf.encode_tsbk_block(
+            tsbk.TSBKOpcode.IDEN_UP_TDMA,
+            tsbk.make_iden_up_tdma_data(
+                identifier=2, base_freq_mhz=851.0, channel_type=3
+            ),
+            last=False,
+        )
+        grant = pf.encode_tsbk_block(
+            tsbk.TSBKOpcode.GRP_V_CH_GRANT,
+            tsbk.make_group_grant_data(
+                tgid=901, source_id=77, band=2, channel_number=21
+            ),
+        )
+        rfss = pf.encode_tsbk_block(
+            tsbk.TSBKOpcode.RFSS_STS_BCAST,
+            tsbk.make_rfss_status_data(
+                system_id=0x2B7, rfss_id=1, site_id=4, band=2, channel_number=0
+            ),
+            last=True,
+        )
+        cc_dibits = np.concatenate(
+            [pf.build_tsdu_frame(0x293, [iden, grant, rfss])] * 24
+        )
+        cc48 = modulate_cqpsk(cc_dibits, 48_000.0, 4800.0)
+        g = gcd(rate, 48_000)
+        cc_iq = sps.resample_poly(cc48, rate // g, 48_000 // g).astype(
+            np.complex64
+        )
+        t = np.arange(len(cc_iq)) / rate
+        cc_iq = (cc_iq * np.exp(2j * np.pi * (cc_freq - center) * t)).astype(
+            np.complex64
+        )
+
+        tt = np.arange(int(0.5 * 8000)) / 8000.0
+        x = np.zeros_like(tt)
+        for k, a in ((1, 1.0), (2, 0.6), (3, 0.45), (4, 0.3)):
+            x += a * np.sin(2 * np.pi * 155.0 * k * tt)
+        tone = (0.3 * x / np.max(np.abs(x))).astype(np.float32)
+        frames = AmbeEncoder().encode(tone)
+        frag = np.zeros(FRAGMENT_DIBITS, np.uint8)
+        frag[180:360] = build_voice_burst(frames[0:4])
+        frag[540:720] = build_voice_burst(frames[4:8], with_sync=True)
+        frag = build_test_fragment(frag)
+        v_dibits = np.concatenate([frag] * 12)
+        v48 = modulate_cqpsk(v_dibits, 48_000.0, 6000.0, alpha=1.0)
+        v_iq = sps.resample_poly(v48, rate // g, 48_000 // g).astype(
+            np.complex64
+        )
+        tv = np.arange(len(v_iq)) / rate
+        v_iq = (v_iq * np.exp(2j * np.pi * (voice_freq - center) * tv)).astype(
+            np.complex64
+        )
+
+        cc_st = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        cc_st.iq_loop = cc_iq
+        v_st = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        v_st.iq_loop = v_iq
+        mgr = CaptureManager(FakeDriver(stations=[cc_st, v_st]))
+        tm = TrunkingManager(mgr, state_dir=tmp_path)
+        sys_ = tm.create_system(
+            TrunkingSystemConfig(
+                id="p2mesh",
+                protocol=TrunkingProtocol.P25_PHASE2,
+                control_channels=[cc_freq],
+                center_hz=center,
+                sample_rate=rate,
+                max_voice_channels=2,
+                mesh="stream=1,time=8",
+                recording_dir=str(tmp_path / "rec"),
+            )
+        )
+        sys_.start()
+        try:
+            assert sys_.state == "running", sys_.error
+            assert sys_.capture.config.mesh == "stream=1,time=8"
+            t0 = time.time()
+            call = None
+            while time.time() - t0 < 360:
+                seen = list(sys_.active_calls.values()) + list(
+                    sys_.call_history
+                )
+                hit = [c for c in seen if c.tgid == 901]
+                st = sys_.status()
+                if st["synced"] and hit and hit[0].imbe_frames >= 8:
+                    call = hit[0]
+                    break
+                time.sleep(0.25)
+            st = sys_.status()
+            assert st["synced"], st
+            assert call is not None, (st, sys_.call_history)
+            assert abs(call.frequency_hz - voice_freq) < 1
+            assert call.tdma_slot == 1
+        finally:
+            tm.stop_all()

@@ -386,22 +386,33 @@ class Capture:
         return bin_idx
 
     def _check_mesh_group(self, group, exclude_id: str | None = None) -> None:
-        if group == "p25p2" or (isinstance(group, tuple) and group[0] == "wide"):
+        if isinstance(group, tuple) and group[0] == "wide":
             raise ValueError(
-                "mesh-backend captures support narrow analog and p25 modes "
-                "(wide and Phase 2 TDMA captures run the single-chip program)"
+                "mesh-backend captures support narrow analog and p25/p25p2 "
+                "modes (wide captures run the single-chip program)"
+            )
+        if group == "p25p2" and self.config.p25p2_capacity <= 0:
+            raise ValueError(
+                "mesh p25p2 channels need p25p2_capacity > 0 at creation "
+                "(enables the dual-rate grid)"
             )
         others = {
             c.mode_group
             for c in self.channels.values()
             if c.spec.id != exclude_id
         }
-        if others and group not in others:
+        # allowed mixes: one narrow (mode, dsp) everywhere, or the p25
+        # family — {p25} / {p25, p25p2} ride the (dual-rate) grid together
+        p25_family = {"p25", "p25p2"}
+        if others and group not in others and not (
+            group in p25_family and others <= p25_family
+        ):
             raise ValueError(
                 "mesh-backend captures share ONE (mode, dsp) across all "
-                "channels (the grid demodulates every bin with one program)"
+                "channels (p25 + p25p2 may mix: the dual-rate grid "
+                "demodulates every bin at both symbol rates)"
             )
-        if group == "p25" and self.config.p25_capacity <= 0:
+        if group in p25_family and self.config.p25_capacity <= 0:
             # block geometry must be symbol-commensurate, and that is
             # decided at capture creation from p25_capacity (single-chip
             # has the same capacity-at-creation contract)
@@ -661,8 +672,9 @@ class Capture:
             from wavecap_tpu.capture import mesh as mesh_mod
 
             entry = cfg.narrow_modes[0] if cfg.narrow_modes else "p25"
+            groups = {entry, "p25p2"} if entry == "p25" else {entry}
             chans = [
-                c for c in self.channels.values() if c.mode_group == entry
+                c for c in self.channels.values() if c.mode_group in groups
             ]
             return mesh_mod.mesh_control(cfg, chans, self.config.center_hz)
         ctl = pl.control_init(cfg)

@@ -83,17 +83,22 @@ def mesh_grid_cfg(pipe_cfg, entry) -> ShardedGridConfig:
     host framer / trunking stack consumes, exactly like the single-chip
     p25 bank."""
     if entry == "p25":
-        from wavecap_tpu.capture.pipeline import p25_cfg_for
+        from wavecap_tpu.capture.pipeline import p25_cfg_for, p25p2_cfg_for
 
         mode = (
             "p25-cqpsk-soft"
             if pipe_cfg.p25_modulation == "cqpsk"
             else "p25-soft"
         )
+        # Phase 2 dual-rate: a second 6000-baud H-DQPSK bank over the same
+        # bins (each bin shifted once, demodulated at both symbol rates)
+        dual = pipe_cfg.p25p2_capacity > 0
         return ShardedGridConfig(
             channelizer=pipe_cfg.channelizer(),
             mode=mode,
             demod_cfg=p25_cfg_for(pipe_cfg),
+            mode2="p25-cqpsk-soft" if dual else None,
+            demod_cfg2=p25p2_cfg_for(pipe_cfg) if dual else None,
         )
     bank = pipe_cfg.bank_cfg(entry)
     return ShardedGridConfig(
@@ -154,6 +159,12 @@ def jit_mesh_capture_multi(pipe_cfg, n_blocks: int, mesh: Mesh, entry):
                 "spectrum": spectrum,
                 "p25": {"soft": g_out["audio"][0], "rssi": g_out["rssi"][0]},
             }
+            if "audio2" in g_out:
+                # dual-rate grid: the 6000-baud bank for p25p2 channels
+                out["p25p2"] = {
+                    "soft": g_out["audio2"][0],
+                    "rssi": g_out["rssi"][0],
+                }
         else:
             out = {
                 "spectrum": spectrum,

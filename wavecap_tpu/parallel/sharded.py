@@ -40,6 +40,14 @@ class ShardedGridConfig:
     channelizer: ChannelizerConfig
     mode: str
     demod_cfg: Any
+    # Optional SECOND demod bank over the same bins (round 4): each bin is
+    # frequency-shifted once and demodulated by BOTH configs — how Phase 2
+    # trunking (4800-baud FDMA control + 6000-baud H-DQPSK voice in one
+    # capture) runs on the mesh.  The host consumes whichever output a
+    # bin's channel mode calls for.  Compute doubles on the grid's demod
+    # stage; the channelizer/collectives are shared.
+    mode2: str | None = None
+    demod_cfg2: Any = None
     # Benchmark-only ablations (scripts/benchmark_mesh.py --ablate):
     # produce WRONG results but identical shapes/compute minus one
     # collective, so the per-step delta attributes wall time to the halo
@@ -53,6 +61,7 @@ class GridState(NamedTuple):
     hist: jnp.ndarray  # (n_streams, M*T) channelizer history carry
     demod_states: Any  # stacked pytree, leading dims (n_streams, M)
     nco_phase: jnp.ndarray  # (n_streams, M) uint32
+    demod_states2: Any = None  # second bank (dual-rate grids) or None
 
 
 class GridControl(NamedTuple):
@@ -68,12 +77,19 @@ def grid_init(cfg: ShardedGridConfig, n_streams: int) -> GridState:
     t = cfg.channelizer.taps_per_channel
     spec = get_demod(cfg.mode)
     base = spec.init(cfg.demod_cfg)
+    states2 = None
+    if cfg.mode2 is not None:
+        base2 = get_demod(cfg.mode2).init(cfg.demod_cfg2)
+        states2 = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_streams, m) + x.shape), base2
+        )
     return GridState(
         hist=jnp.zeros((n_streams, m * t), jnp.complex64),
         demod_states=jax.tree.map(
             lambda x: jnp.broadcast_to(x, (n_streams, m) + x.shape), base
         ),
         nco_phase=jnp.zeros((n_streams, m), jnp.uint32),
+        demod_states2=states2,
     )
 
 
@@ -99,9 +115,14 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
     if m % n_time != 0:
         raise ValueError(f"channel count {m} must divide by time shards {n_time}")
     spec = get_demod(cfg.mode)
+    spec2 = get_demod(cfg.mode2) if cfg.mode2 is not None else None
+    dual = spec2 is not None
     rate = cfg.channelizer.channel_rate
 
-    def one_stream(x_local, hist, demod_states, nco_phase, fine, active, squelch):
+    def one_stream(
+        x_local, hist, demod_states, nco_phase, fine, active, squelch,
+        demod_states2=None,
+    ):
         if x_local.shape[-1] < hist_len:
             raise ValueError(
                 f"per-shard block ({x_local.shape[-1]}) must be >= channelizer "
@@ -137,14 +158,29 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
             shifted, ph1 = ops.freq_shift(iq_c, -off, rate, ph0)
             rssi = ops.rssi_dbfs(shifted)
             audio, dstate = spec.demod(shifted, dstate, cfg.demod_cfg)
-            return audio, rssi, ph1, dstate
+            return audio, rssi, ph1, dstate, shifted
 
-        audio, rssi, nco_phase, demod_states = jax.vmap(per_chan)(
+        audio, rssi, nco_phase, demod_states, shifted_all = jax.vmap(per_chan)(
             chans_mine, fine, nco_phase, demod_states
         )
         audio = ops.squelch_gate(audio, rssi, squelch)
         audio = jnp.where(active[:, None], audio, jnp.zeros_like(audio))
         rssi = jnp.where(active, rssi, jnp.full_like(rssi, -200.0))
+
+        if dual:
+            # second bank over the SAME shifted bins (dual-rate trunking)
+            def per_chan2(shifted, dstate2):
+                out2, dstate2 = spec2.demod(shifted, dstate2, cfg.demod_cfg2)
+                return out2, dstate2
+
+            audio2, demod_states2 = jax.vmap(per_chan2)(
+                shifted_all, demod_states2
+            )
+            audio2 = jnp.where(
+                active[:, None], audio2, jnp.zeros_like(audio2)
+            )
+        else:
+            audio2 = audio  # unused placeholder (never returned)
 
         # --- next-block history: the global stream tail (last shard's) ---
         if cfg.debug_skip_halo:
@@ -153,7 +189,63 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
             all_tails = jax.lax.all_gather(tail, "time")  # (n_time, hist_len)
             new_hist = all_tails[-1]
 
+        if dual:
+            return (
+                audio, rssi, new_hist, demod_states, nco_phase,
+                audio2, demod_states2,
+            )
         return audio, rssi, new_hist, demod_states, nco_phase
+
+    base_in = (
+        P("stream", "time"),  # x
+        P("stream", None),  # hist (replicated over time)
+        P("stream", "time"),  # demod states (prefix)
+        P("stream", "time"),  # nco
+        P("stream", "time"),  # fine
+        P("stream", "time"),  # active
+        P("stream", "time"),  # squelch
+    )
+    base_out = (
+        P("stream", "time", None),  # audio (M sharded)
+        P("stream", "time"),  # rssi
+        P("stream", None),  # new hist (replicated)
+        P("stream", "time"),  # demod states
+        P("stream", "time"),  # nco
+    )
+
+    if dual:
+
+        def body(x, hist, ds, nco, fine, active, squelch, ds2):
+            f = jax.vmap(one_stream)
+            return f(x, hist, ds, nco, fine, active, squelch, ds2)
+
+        shard = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=base_in + (P("stream", "time"),),
+            out_specs=base_out
+            + (P("stream", "time", None), P("stream", "time")),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step(x, state: GridState, ctl: GridControl):
+            audio, rssi, hist, dstates, nco, audio2, dstates2 = shard(
+                x,
+                state.hist,
+                state.demod_states,
+                state.nco_phase,
+                ctl.fine_offset_hz,
+                ctl.active,
+                ctl.squelch_db,
+                state.demod_states2,
+            )
+            return (
+                {"audio": audio, "rssi": rssi, "audio2": audio2},
+                GridState(hist, dstates, nco, dstates2),
+            )
+
+        return step
 
     def body(x, hist, demod_states, nco_phase, fine, active, squelch):
         f = jax.vmap(one_stream)  # over local stream axis
@@ -162,22 +254,8 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
     shard = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            P("stream", "time"),  # x
-            P("stream", None),  # hist (replicated over time)
-            P("stream", "time"),  # demod states (prefix)
-            P("stream", "time"),  # nco
-            P("stream", "time"),  # fine
-            P("stream", "time"),  # active
-            P("stream", "time"),  # squelch
-        ),
-        out_specs=(
-            P("stream", "time", None),  # audio (M sharded)
-            P("stream", "time"),  # rssi
-            P("stream", None),  # new hist (replicated)
-            P("stream", "time"),  # demod states
-            P("stream", "time"),  # nco
-        ),
+        in_specs=base_in,
+        out_specs=base_out,
         check_vma=False,
     )
 

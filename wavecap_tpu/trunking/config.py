@@ -76,10 +76,10 @@ class TrunkingSystemConfig:
     modulation: str | None = None
     # Multi-chip backend: a mesh spec like "stream=1,time=8" runs this
     # system's capture through the sharded grid (capture/mesh.py) — every
-    # channelizer bin demodulated as 4800-baud soft symbols, CC + voice
-    # slots mapped to bins.  Phase 1 (C4FM/CQPSK) and DMR only: Phase 2
-    # runs dual symbol rates (4800 CC + 6000 voice) which the one-mode
-    # grid cannot host.  None = single-chip slot-bank program.
+    # channelizer bin demodulated as soft symbols, CC + voice slots mapped
+    # to bins.  Phase 2 rides the dual-rate grid (each bin shifted once,
+    # demodulated at both 4800 and 6000 baud — round 4).
+    # None = single-chip slot-bank program.
     mesh: str | None = None
 
     @classmethod

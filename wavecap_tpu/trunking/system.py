@@ -161,15 +161,6 @@ class TrunkingSystem:
                 return
             from .config import TrunkingProtocol
 
-            if cfg.mesh and cfg.protocol == TrunkingProtocol.P25_PHASE2:
-                # the sharded grid demodulates every bin with ONE mode;
-                # Phase 2 needs 4800-baud CC + 6000-baud voice at once
-                self.state = "failed"
-                self.error = (
-                    "mesh backend supports Phase 1 / DMR trunking only "
-                    "(Phase 2 runs dual symbol rates in one capture)"
-                )
-                return
 
             cap_cfg = CaptureConfig(
                 center_hz=cfg.effective_center_hz(),

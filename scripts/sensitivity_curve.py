@@ -54,7 +54,7 @@ def run_chain(iq, mode, baud=4800, eq_taps=0):
         st = cqpsk_init(cfg)
         step = jax.jit(cqpsk_demodulate, static_argnums=2)
     else:
-        cfg = C4fmConfig(sample_rate=48_000)
+        cfg = C4fmConfig(sample_rate=48_000, equalizer_taps=eq_taps)
         st = c4fm_init(cfg)
         step = jax.jit(c4fm_demodulate, static_argnums=2)
     fr = P25Framer()

@@ -370,3 +370,61 @@ class TestSteadyStateCounters:
         assert st.tsbk_total > st.tsbk_total_steady > 0
         assert st.crc_rate_steady == 1.0
         assert st.crc_rate < 1.0
+
+
+class TestC4fmSimulcastEqualizer:
+    def test_70us_equal_power_echo_decodes(self):
+        """Round-4: the shared echo-fit MMSE equalizer
+        (models/p25/equalizer.py) with the EMPIRICAL C4FM template lifts
+        the 70 us @ -1.9 dB simulcast row from 0.00 to >=0.9 CRC (the
+        reference's C4FM chain has no equalizer and collapses)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from tests.test_trunking import make_p25_cc_iq
+        from wavecap_tpu.decoders import p25_frames as pf
+        from wavecap_tpu.decoders.framer import P25Framer
+        from wavecap_tpu.models.p25.c4fm import (
+            C4fmConfig,
+            c4fm_demodulate,
+            c4fm_init,
+        )
+
+        iq0 = make_p25_cc_iq(48_000, 0.0, n_frames=12, modulation="c4fm")
+        sig_p = float(np.mean(np.abs(iq0) ** 2))
+        rng = np.random.default_rng(31)
+        d = int(round(70e-6 * 48_000))
+        echo = np.concatenate(
+            [np.zeros(d, np.complex64), iq0[: len(iq0) - d]]
+        ) * (0.8 * np.exp(1j * 2.98))
+        sig = iq0 + echo
+        noise_std = np.sqrt(sig_p / 10 / 2)
+        x = np.concatenate(
+            [
+                np.zeros(1000, np.complex64),
+                (
+                    sig
+                    + noise_std
+                    * (
+                        rng.standard_normal(len(sig))
+                        + 1j * rng.standard_normal(len(sig))
+                    )
+                ).astype(np.complex64),
+            ]
+        )
+        cfg = C4fmConfig(sample_rate=48_000, equalizer_taps=127)
+        state = c4fm_init(cfg)
+        framer = P25Framer()
+        ok = tot = 0
+        for i in range(len(x) // 4800):
+            soft, _, state = c4fm_demodulate(
+                jnp.asarray(x[i * 4800 : (i + 1) * 4800]), state, cfg
+            )
+            for f in framer.process(np.asarray(soft)):
+                if f.duid != pf.DUID.TSDU:
+                    continue
+                pl = pf.remove_status_dibits(f.dibits[57:], 57)
+                for b in pf.decode_tsbk_payload(pl):
+                    tot += 1
+                    ok += b.crc_valid
+        assert tot >= 25 and ok / tot >= 0.88, (ok, tot)

@@ -317,7 +317,11 @@ def p25_cfg_for(cfg: CapturePipelineConfig):
             timing_impl=timing,
             equalizer_taps=cfg.p25_equalizer_taps,
         )
-    return C4fmConfig(sample_rate=rate, timing_impl=timing)
+    return C4fmConfig(
+        sample_rate=rate,
+        timing_impl=timing,
+        equalizer_taps=cfg.p25_equalizer_taps,
+    )
 
 
 def _p25_fns(cfg: CapturePipelineConfig):

@@ -97,6 +97,16 @@ class C4fmConfig:
     # one 100-200 ms block is < 0.5 sample at max_clock_ppm)
     timing_impl: str = "block"
 
+    # Simulcast echo-fit MMSE equalizer on the raw IQ ahead of the
+    # demodulator (round 4; see models/p25/equalizer.py).  C4FM simulcast
+    # systems collapse on near-equal-power ~70 us echoes exactly like LSM
+    # (round-3 impairment table) and the reference has no equalizer for
+    # either.  The template is EMPIRICAL (acf of a modulated reference
+    # waveform — FM has no linear pulse spectrum).  0 disables.
+    equalizer_taps: int = 0
+    eq_lambda: float = 0.01
+    eq_max_delay: int = 16
+
     @property
     def sps(self) -> float:
         return self.sample_rate / SYMBOL_RATE
@@ -113,9 +123,43 @@ class C4fmState(NamedTuple):
     gain: jnp.ndarray  # EMA of |soft| at symbol instants (~2.0 when locked)
     dc: jnp.ndarray  # EMA of DC offset (carrier error)
     prev_soft: jnp.ndarray
+    eq_taps: jnp.ndarray  # (T,) complex equalizer taps (T=0 when off)
+    eq_tail: jnp.ndarray  # (T-1,) streaming-conv carry
+    eq_acf: jnp.ndarray  # EMA'd autocorrelation lags for the echo fit
 
 
 INTERP_TAIL = 64  # samples of filtered signal carried across blocks
+
+
+@lru_cache(maxsize=8)
+def _c4fm_eq_candidates(sample_rate: int, max_delay: int) -> tuple:
+    """C4FM candidate grid: empirical clean-waveform acf template.
+
+    The template waveform is C4FM-modulated random dibits at 48 kHz,
+    resampled to ``sample_rate`` (capture channel rates are integers with
+    small rational ratios to 48 k).  Noise at this point (raw channelized
+    IQ, ahead of the baseband LPF) is modeled as white: a lag-0 delta."""
+    from math import gcd
+
+    from scipy import signal as _sps
+
+    from . import equalizer as eqz
+
+    rng = np.random.default_rng(12345)
+    ref = modulate_c4fm(rng.integers(0, 4, 40_000).astype(np.uint8), 48_000.0)
+    if int(sample_rate) != 48_000:
+        g = gcd(int(sample_rate), 48_000)
+        ref = _sps.resample_poly(ref, int(sample_rate) // g, 48_000 // g)
+    ref = ref / np.sqrt(np.mean(np.abs(ref) ** 2))
+    n_tau = max_delay + 12
+    n_ext = n_tau + max_delay
+    r_ref = np.array(
+        [np.mean(ref[t:] * np.conj(ref[: len(ref) - t])) for t in range(n_ext + 1)]
+    )
+    r_ref = (r_ref / r_ref[0].real).astype(np.complex64)
+    noise = np.zeros(n_tau + 1, np.float64)
+    noise[0] = 1.0
+    return eqz.build_candidates(r_ref, noise, max_delay)
 
 
 def c4fm_init(cfg: C4fmConfig) -> C4fmState:
@@ -132,7 +176,21 @@ def c4fm_init(cfg: C4fmConfig) -> C4fmState:
         gain=jnp.asarray(0.0, jnp.float32),  # 0 = "estimate from first block"
         dc=jnp.zeros((), jnp.float32),
         prev_soft=jnp.zeros((), jnp.float32),
+        eq_taps=_eq_init(cfg),
+        eq_tail=jnp.zeros(max(cfg.equalizer_taps - 1, 0), jnp.complex64),
+        eq_acf=jnp.zeros(
+            (int(cfg.eq_max_delay) + 13) if cfg.equalizer_taps > 0 else 0,
+            jnp.complex64,
+        ),
     )
+
+
+def _eq_init(cfg: C4fmConfig):
+    from . import equalizer as eqz
+
+    t = max(cfg.equalizer_taps, 0)
+    assert t == 0 or t % 2 == 1, "equalizer_taps must be odd (or 0 = off)"
+    return eqz.init_taps(t)
 
 
 def n_symbols_per_block(cfg: C4fmConfig, block_len: int) -> int:
@@ -152,6 +210,22 @@ def c4fm_demodulate(iq: jnp.ndarray, state: C4fmState, cfg: C4fmConfig):
     lpf = jnp.asarray(design_baseband_lpf(fs))
     rrc = jnp.asarray(design_rrc(fs, cfg.rrc_alpha))
 
+    if cfg.equalizer_taps > 0:
+        # simulcast equalizer on the raw IQ (the discriminator is the
+        # nonlinearity — the linear channel must be inverted before it)
+        from . import equalizer as eqz
+
+        preds, params, n_tau = _c4fm_eq_candidates(
+            int(cfg.sample_rate), int(cfg.eq_max_delay)
+        )
+        eq_taps, eq_acf = eqz.fit_and_invert(
+            iq, state.eq_acf, preds, params, n_tau,
+            cfg.equalizer_taps, cfg.eq_lambda,
+        )
+        iq, eq_tail = ops.fir_filter(iq, eq_taps, state.eq_tail)
+    else:
+        eq_taps, eq_tail, eq_acf = state.eq_taps, state.eq_tail, state.eq_acf
+
     x, lpf_tail = ops.fir_filter(iq, lpf, state.lpf_tail)
     # discriminator scaled so +/-1800 Hz -> +/-3.0
     fm, disc_prev = ops.quadrature_demod(
@@ -166,6 +240,7 @@ def c4fm_demodulate(iq: jnp.ndarray, state: C4fmState, cfg: C4fmConfig):
         return _demod_block_timing(
             buf, filt, n_sym, state, cfg,
             lpf_tail=lpf_tail, disc_prev=disc_prev, rrc_tail=rrc_tail,
+            eq_taps=eq_taps, eq_tail=eq_tail, eq_acf=eq_acf,
         )
 
     alpha, beta = _loop_gains(cfg)
@@ -232,11 +307,15 @@ def c4fm_demodulate(iq: jnp.ndarray, state: C4fmState, cfg: C4fmConfig):
         gain=gain,
         dc=dc,
         prev_soft=prev,
+        eq_taps=eq_taps,
+        eq_tail=eq_tail,
+        eq_acf=eq_acf,
     )
     return soft, dibits, new_state
 
 
-def _demod_block_timing(buf, filt, n_sym, state, cfg, *, lpf_tail, disc_prev, rrc_tail):
+def _demod_block_timing(buf, filt, n_sym, state, cfg, *, lpf_tail, disc_prev,
+                        rrc_tail, eq_taps=None, eq_tail=None, eq_acf=None):
     """Vectorized timing recovery: Oerder-Meyr line for clock error + lock
     detection, block-averaged Gardner discriminant for phase.
 
@@ -352,6 +431,9 @@ def _demod_block_timing(buf, filt, n_sym, state, cfg, *, lpf_tail, disc_prev, rr
         gain=gain,
         dc=dc0,
         prev_soft=raw[-1],
+        eq_taps=eq_taps if eq_taps is not None else state.eq_taps,
+        eq_tail=eq_tail if eq_tail is not None else state.eq_tail,
+        eq_acf=eq_acf if eq_acf is not None else state.eq_acf,
     )
     return soft, dibits, new_state
 

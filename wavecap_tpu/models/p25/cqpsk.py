@@ -194,24 +194,14 @@ def _estimate_cfo_residual(filt: jnp.ndarray, cfg: CqpskConfig) -> jnp.ndarray:
 def _eq_candidates(
     sample_rate: float, symbol_rate: float, alpha: float, max_delay: int
 ) -> tuple:
-    """Candidate grid for the echo fit: predicted normalized
-    autocorrelations for every (d, theta, a, noise-fraction) candidate.
+    """CQPSK candidate grid (shared machinery: models/p25/equalizer.py).
 
-    The measured acf of the post-RRC signal is the clean pulse acf
-    ``r_s`` convolved with the channel acf plus a noise term — for the
-    single-echo channel ``h = [1, .., a e^{j theta}]``:
+    Template: the clean post-RX-RRC signal acf = ifft(|R(w)|^4) (TX RRC x
+    RX RRC); noise ahead of this point is white but passes the RX RRC, so
+    its acf is the RRC autocorrelation."""
+    from . import equalizer as eqz
 
-        r(tau) ~ (1+a^2) r_s(tau) + a e^{j th} r_s(tau-d)
-                 + a e^{-j th} r_s(tau+d) + nu rho_rrc(tau)
-
-    A dense grid search (argmin of the residual against the measured
-    acf) needs no matrix inversion — the lag design matrix is hopelessly
-    collinear at ~10 samples/symbol, which sank both an LS-pinv fit and
-    a frequency-ripple fit prototype.  Returns (r_pred, params, n_tau):
-    ``r_pred`` (n_cand, n_tau+1) complex64 normalized to r_pred[:,0]=1,
-    ``params`` (n_cand, 2) = (d, theta) per candidate with a=0 first
-    (the no-echo candidate used for gating)."""
-    nfft = EQ_NFFT
+    nfft = eqz.EQ_NFFT
     rrc = design_rrc_cqpsk(sample_rate, symbol_rate, alpha)
     R2 = np.abs(np.fft.fft(rrc, nfft)) ** 2
     r_s = np.fft.ifft(R2 * R2).real
@@ -219,93 +209,27 @@ def _eq_candidates(
     rho = np.fft.ifft(R2).real
     rho = rho / rho[0]
     n_tau = max_delay + 12
-    taus = np.arange(n_tau + 1)
-
-    def rs_at(k):  # symmetric, periodic lookup
-        return r_s[np.abs(k) % nfft]
-
-    # the a-grid caps at 0.85: q = a/(1+a^2) saturates near a=1, so deep
-    # echoes over-estimate a, and OVER-inversion is catastrophic (an
-    # a=0.95 inverse both rings past any FIR window and overshoots the
-    # notch) while under-inversion degrades gracefully — measured: the
-    # a=0.8 truth decodes 18/18 with an a=0.85 inverse and 7/18 with 0.95
-    cands = [(0.0, 0.0, 0.0, 0.0)]  # the no-echo candidate (gating)
-    for d in range(1, max_delay + 1):
-        for th in np.linspace(0, 2 * np.pi, 32, endpoint=False):
-            for a in (0.15, 0.25, 0.35, 0.45, 0.55, 0.65, 0.75, 0.85):
-                for nu in (0.0, 0.1, 0.25):
-                    cands.append((float(d), float(th), float(a), float(nu)))
-    preds = np.zeros((len(cands), n_tau + 1), np.complex64)
-    for i, (d, th, a, nu) in enumerate(cands):
-        r = (
-            (1 + a * a) * rs_at(taus)
-            + a * np.exp(1j * th) * rs_at(taus - int(d))
-            + a * np.exp(-1j * th) * rs_at(taus + int(d))
-            + nu * rho[taus]
-        )
-        preds[i] = (r / r[0].real).astype(np.complex64)
-    params = np.asarray([(c[0], c[1], c[2]) for c in cands], np.float32)
-    return preds, params, n_tau
+    return eqz.build_candidates(
+        r_s[: n_tau + max_delay + 1].astype(np.complex64),
+        rho[: n_tau + 1].astype(np.float64),
+        max_delay,
+    )
 
 
 def _echo_mmse_taps(
     x: jnp.ndarray, acf_acc: jnp.ndarray, cfg: CqpskConfig
 ) -> tuple:
-    """Fit the LSM two-transmitter channel and build its MMSE inverse.
+    """Fit the LSM echo channel and build its MMSE inverse (see
+    models/p25/equalizer.py for the method and its caveats)."""
+    from . import equalizer as eqz
 
-    Measures the block autocorrelation (EMA'd across blocks as carried
-    state, so the fit sees seconds of signal), matches it against the
-    precomputed single-echo candidate grid (see _eq_candidates), and
-    synthesizes the regularized MMSE inverse
-    ``W = conj(H)/(|H|^2 + lambda)`` of the winning channel on the FFT
-    grid, windowed to ``equalizer_taps`` taps.  Fully feedforward —
-    no adaptive convergence to fail on deep-notch realizations.
-    Caveat: |acf| cannot distinguish a causal from an anticausal echo;
-    the causal (minimum-phase, a<1) interpretation is used.
-
-    Returns ``(taps, new_acf_state)``."""
-    t = cfg.equalizer_taps
-    c = t // 2
-    nfft = EQ_NFFT
-    preds_np, params_np, n_tau = _eq_candidates(
+    preds, params, n_tau = _eq_candidates(
         float(cfg.sample_rate), cfg.symbol_rate, cfg.rrc_alpha,
         int(cfg.eq_max_delay),
     )
-    n = x.shape[-1]
-    if n < 4 * (n_tau + 1):  # static: block too small to estimate
-        return _eq_init_taps(t), acf_acc
-
-    xc = jnp.conj(x)
-    r = jnp.stack(
-        [jnp.mean(x[tau:] * xc[: n - tau]) for tau in range(n_tau + 1)]
+    return eqz.fit_and_invert(
+        x, acf_acc, preds, params, n_tau, cfg.equalizer_taps, cfg.eq_lambda
     )
-    r = r / jnp.maximum(r[0].real, 1e-9)
-    # a non-finite block estimate (pathological input) must not poison
-    # the EMA forever
-    r = jnp.where(jnp.all(jnp.isfinite(r)), r, jnp.zeros_like(r))
-    acf = jnp.where(
-        jnp.sum(jnp.abs(acf_acc)) > 0, 0.5 * acf_acc + 0.5 * r, r
-    )
-
-    preds = jnp.asarray(preds_np)
-    resid = jnp.sum(jnp.abs(preds - acf[None, :]) ** 2, axis=-1)
-    j = jnp.argmin(resid)
-    d, theta, a = jnp.asarray(params_np)[j]
-    # gate: the echo model must beat the no-echo candidate decisively AND
-    # the echo must be material — weak echoes (a < 0.35) decode cleanly
-    # unequalized (round-3 impairment table), while a residual-CFO
-    # rotation of the acf can masquerade as a small echo and a
-    # miscorrection costs real CRC
-    significant = (resid[j] < 0.6 * resid[0]) & (a >= 0.35)
-    a = jnp.where(significant, a, 0.0)
-
-    w_grid = 2.0 * np.pi * np.arange(nfft) / nfft
-    H = 1.0 + a * jnp.exp(1j * theta) * jnp.exp(-1j * jnp.asarray(w_grid) * d)
-    W = jnp.conj(H) / (jnp.abs(H) ** 2 + cfg.eq_lambda)
-    h_t = jnp.fft.ifft(W)  # circular impulse response, two-sided
-    # window T taps centered on zero lag: [-c..c] -> linear FIR
-    idx = (jnp.arange(t) - c) % nfft
-    return h_t[idx].astype(jnp.complex64), acf
 
 
 def cqpsk_demodulate(iq: jnp.ndarray, state: CqpskState, cfg: CqpskConfig):

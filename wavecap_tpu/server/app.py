@@ -232,6 +232,7 @@ class AppState:
                     p25_capacity=self.config.limits.max_p25_channels,
                     p25p2_capacity=self.config.limits.max_p25p2_channels,
                     audio_rate=self.config.stream.audio_rate,
+                    audio_fetch_slots=self.config.stream.audio_fetch_slots,
                     fft_size=self.config.stream.fft_size,
                 ),
             )
@@ -525,6 +526,12 @@ def build_router(state: AppState) -> Router:
                     antenna=body.get("antenna"),
                     agc=bool(body.get("agc", False)),
                     mesh=body.get("mesh", state.config.stream.mesh),
+                    audio_fetch_slots=int(
+                        body.get(
+                            "audioFetchSlots",
+                            state.config.stream.audio_fetch_slots,
+                        )
+                    ),
                     narrow_capacity=state.config.limits.max_channels_per_capture,
                     wide_capacity=state.config.limits.max_wide_channels,
                     p25_capacity=state.config.limits.max_p25_channels,
@@ -850,6 +857,7 @@ def build_router(state: AppState) -> Router:
                     p25_capacity=state.config.limits.max_p25_channels,
                     p25p2_capacity=state.config.limits.max_p25p2_channels,
                     audio_rate=state.config.stream.audio_rate,
+                    audio_fetch_slots=state.config.stream.audio_fetch_slots,
                 ),
             )
         except RuntimeError as e:

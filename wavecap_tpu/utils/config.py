@@ -40,6 +40,11 @@ class StreamConfig:
     # "stream=1,time=8" shards each capture's block step over
     # jax.devices() (capture/mesh.py); None = single-chip
     mesh: str | None = None
+    # listener-gated audio fetch (CaptureConfig.audio_fetch_slots): > 0
+    # fetches only this many narrow-bank audio rows per bank, selected by
+    # which channels have live subscribers — the device->host audio bytes
+    # dominate at high channel counts.  0 = fetch every slot's audio.
+    audio_fetch_slots: int = 0
 
 
 @dataclass

@@ -530,3 +530,61 @@ class TestSimulcastEqualizer:
                     tot += 1
                     ok += b.crc_valid
         assert tot >= 10 and ok / tot >= 0.95, (ok, tot)
+
+
+@pytest.mark.slow
+class TestEqualizerThroughCapture:
+    def test_simulcast_echo_cc_through_engine(self):
+        """p25_equalizer_taps plumbs through the capture pipeline: a CC
+        with a near-equal-power 70 us echo decodes through the vmapped
+        C4FM bank with the equalizer enabled (it is 0.00 CRC without)."""
+        import time
+
+        from tests.test_trunking import make_p25_cc_iq
+        from wavecap_tpu.capture import (
+            CaptureConfig,
+            CaptureManager,
+            ChannelSpec,
+        )
+        from wavecap_tpu.devices import FakeDriver, FakeStation
+        from wavecap_tpu.trunking.control import ControlChannelMonitor
+
+        rate = 800_000  # M=32 -> true 25 kHz bins, 50 kHz channel rate
+        center = 851.5e6
+        cc = 851.3e6  # -200 kHz: bin-centered (the equalizer's template
+        # assumes an on-bin channel; large fine offsets distort it)
+        iq0 = make_p25_cc_iq(rate, cc - center, n_frames=40)
+        d = 64  # 80 us: integer delay at BOTH rates (64 @ 800k = 4 @ 50k)
+        echo = np.concatenate(
+            [np.zeros(d, np.complex64), iq0[: len(iq0) - d]]
+        ) * (0.8 * np.exp(1j * 2.98))  # notch-at-DC phase (fails w/o eq)
+        loop = (iq0 + echo).astype(np.complex64)
+        st = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        st.iq_loop = loop
+        mgr = CaptureManager(FakeDriver(stations=[st]))
+        cap = mgr.create_capture(
+            config=CaptureConfig(
+                center_hz=center, sample_rate=rate, block_seconds=0.15,
+                narrow_capacity=0, wide_capacity=0, p25_capacity=1,
+                p25_equalizer_taps=127,
+            )
+        )
+        ch = cap.create_channel(
+            ChannelSpec(id="cc", mode="p25", frequency_hz=cc)
+        )
+        mon = ControlChannelMonitor(on_tsbk=lambda *a: None)
+        sub = ch.symbols.subscribe(maxsize=64)
+        cap.start()
+        try:
+            t0 = time.time()
+            while time.time() - t0 < 240 and mon.stats.tsbk_total < 30:
+                got = sub.get_nowait()
+                if got is None:
+                    time.sleep(0.05)
+                    continue
+                mon.process_symbols(np.asarray(got["soft"]))
+        finally:
+            sub.close()
+            cap.stop()
+        assert mon.stats.tsbk_total >= 15, mon.stats
+        assert mon.stats.crc_rate >= 0.7, mon.stats

@@ -29,7 +29,13 @@ causal / minimum-phase, a<1 interpretation is used — exact for the
 common simulcast case); the a-grid caps at 0.85 because over-inversion
 is catastrophic while under-inversion degrades gracefully (measured:
 an a=0.8 truth decodes 18/18 through an a=0.85 inverse and 7/18 through
-a 0.95 one).
+a 0.95 one); and the template assumes the channel is (near) bin-centered
+— a large fine offset through the channelizer truncates the band
+asymmetrically, which the single-echo model can mis-fit as a strong
+echo (measured on a +14 kHz-offset bin: bogus d=8/a=0.85 engagement).
+Enable the equalizer for bin-centered assignments; off-center channels
+decode fine unequalized (100 % steady CRC at 10 dB SNR even with a
+12.5 kHz fine offset — docs/perf.md).
 """
 
 from __future__ import annotations

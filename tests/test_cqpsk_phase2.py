@@ -508,6 +508,54 @@ class TestSimulcastEqualizer:
         # acquires; the steady state is ~1.0 (docs/perf.md round-4 table)
         assert tot >= 25 and ok / tot >= 0.88, (ok, tot)
 
+    @pytest.mark.parametrize("cfo_hz", (1000.0, -1000.0))
+    def test_echo_plus_cfo_corner(self, cfo_hz):
+        """Echo + CFO jointly: a simulcast echo can notch one of the two
+        4th-power lines, aliasing the line-pair CFO metric by Rs/4
+        (measured: true +1000 Hz -> decisive false lock at -200 Hz, zero
+        frames).  equalizer.resolve_cfo_alias re-scores the three alias
+        candidates through the de-rotate -> re-filter -> echo-grid fit
+        and recovers both the carrier and the echo."""
+        from tests.test_trunking import make_p25_cc_iq
+
+        iq0 = make_p25_cc_iq(48_000, 0.0, n_frames=14, modulation="cqpsk")
+        sig_p = float(np.mean(np.abs(iq0) ** 2))
+        rng = np.random.default_rng(23)
+        d = int(round(70e-6 * 48_000))
+        echo = np.concatenate(
+            [np.zeros(d, np.complex64), iq0[: len(iq0) - d]]
+        ) * (0.8 * np.exp(1j * 2.98))
+        sig = iq0 + echo
+        noise_std = np.sqrt(sig_p / 10 / 2)
+        x = (
+            sig
+            + noise_std
+            * (
+                rng.standard_normal(len(sig))
+                + 1j * rng.standard_normal(len(sig))
+            )
+        ).astype(np.complex64)
+        t = np.arange(len(x)) / 48_000
+        x = (x * np.exp(2j * np.pi * cfo_hz * t)).astype(np.complex64)
+        x = np.concatenate([np.zeros(1000, np.complex64), x])
+        cfg = CqpskConfig(sample_rate=48_000, equalizer_taps=127)
+        state = cqpsk_init(cfg)
+        framer = P25Framer()
+        ok = tot = 0
+        for i in range(len(x) // 4800):
+            soft, _, state = cqpsk_demodulate(
+                jnp.asarray(x[i * 4800 : (i + 1) * 4800]), state, cfg
+            )
+            for f in framer.process(np.asarray(soft)):
+                if f.duid != pf.DUID.TSDU:
+                    continue
+                pl = pf.remove_status_dibits(f.dibits[57:], 57)
+                for b in pf.decode_tsbk_payload(pl):
+                    tot += 1
+                    ok += b.crc_valid
+        assert abs(float(state.cfo_hz) - cfo_hz) < 60.0, float(state.cfo_hz)
+        assert tot >= 20 and ok / tot >= 0.8, (ok, tot)
+
     def test_equalizer_inert_on_clean_signal(self):
         """Gating: no echo -> identity taps; clean decode unaffected."""
         from tests.test_trunking import make_p25_cc_iq

@@ -258,6 +258,20 @@ def cqpsk_demodulate(iq: jnp.ndarray, state: CqpskState, cfg: CqpskConfig):
         from wavecap_tpu.ops.nco import tuning_word
 
         resid_hz = _estimate_cfo_residual(filt, cfg)
+        if cfg.equalizer_taps > 0:
+            # simulcast: an echo can notch one of the two 4th-power
+            # lines, aliasing the line-pair metric by Rs/4 — resolve via
+            # the acf phase tilt (see equalizer.resolve_cfo_alias)
+            from . import equalizer as eqz
+
+            preds_np, _, n_tau_eq = _eq_candidates(
+                float(cfg.sample_rate), cfg.symbol_rate, cfg.rrc_alpha,
+                int(cfg.eq_max_delay),
+            )
+            resid_hz = eqz.resolve_cfo_alias(
+                iq, rrc, resid_hz, cfg.symbol_rate / 4.0,
+                float(cfg.sample_rate), preds_np, n_tau_eq,
+            )
         nf = filt.shape[-1]
         ramp = jnp.arange(nf, dtype=jnp.float32) * (
             -2.0 * np.pi / float(cfg.sample_rate)

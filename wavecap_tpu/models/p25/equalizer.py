@@ -99,6 +99,62 @@ def build_candidates(
     return preds, params, n_tau
 
 
+def block_acf(x: jnp.ndarray, n_tau: int) -> jnp.ndarray:
+    """Normalized complex acf of one block for lags 0..n_tau."""
+    n = x.shape[-1]
+    xc = jnp.conj(x)
+    r = jnp.stack(
+        [jnp.mean(x[tau:] * xc[: n - tau]) for tau in range(n_tau + 1)]
+    )
+    return r / jnp.maximum(r[0].real, 1e-9)
+
+
+def resolve_cfo_alias(
+    iq: jnp.ndarray,
+    rx_filt: jnp.ndarray,
+    df: jnp.ndarray,
+    alias_hz: float,
+    sample_rate: float,
+    preds_np: np.ndarray,
+    n_tau: int,
+    margin: float = 0.8,
+) -> jnp.ndarray:
+    """Disambiguate a 4th-power CFO estimate under multipath.
+
+    pi/4-family 4th-power lines sit at ``4*df +- Rs/2``: candidates
+    spaced ``Rs/4`` apart SHARE one line, so when an echo channel notches
+    the other line the line-pair metric aliases (measured: a 70 us
+    a=0.8 echo sent a true +1000 Hz offset to a decisive false lock at
+    -200 Hz = +1000 - Rs/4).  The autocorrelation has no such ambiguity,
+    so score each alias ``df + k*alias_hz`` by its best echo-grid fit.
+    The offset must be removed BEFORE the receive filter — the channel
+    acf template assumes a centered passband, and a 1 kHz mis-centering
+    reshapes the acf enough to invert the comparison (measured) — so
+    each candidate de-rotates the raw block and re-filters.  Moves off
+    ``df`` only on a decisive (``margin``) win."""
+    preds = jnp.asarray(preds_np)
+    n = iq.shape[-1]
+    t = jnp.arange(n, dtype=jnp.float32) / sample_rate
+
+    def score(f):
+        ph = -2.0 * np.pi * f * t
+        x = iq * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+        filt = jnp.convolve(x, rx_filt, mode="same")
+        r = block_acf(filt, n_tau)
+        r = jnp.where(jnp.all(jnp.isfinite(r)), r, jnp.zeros_like(r))
+        return jnp.min(jnp.sum(jnp.abs(preds - r[None, :]) ** 2, axis=-1))
+
+    s0 = score(df)
+    s_lo = score(df - alias_hz)
+    s_hi = score(df + alias_hz)
+    best = jnp.where(
+        s_lo < jnp.minimum(s0 * margin, s_hi),
+        df - alias_hz,
+        jnp.where(s_hi < s0 * margin, df + alias_hz, df),
+    )
+    return best
+
+
 def fit_and_invert(
     x: jnp.ndarray,
     acf_acc: jnp.ndarray,

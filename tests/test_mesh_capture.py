@@ -85,14 +85,14 @@ class TestMeshConstraints:
         )
         assert ch.mode_group == "p25"
 
-    def test_rejects_second_mode_group(self):
+    def test_mixes_analog_rejects_p25_mix(self):
+        """Round 4: narrow analog modes mix freely on the mesh (one grid
+        bank per (mode, dsp) group, per-bin bank_idx selects); analog and
+        p25 still cannot share a mesh capture (block geometry differs)."""
         _, cap = make_mesh_capture()
         cap.create_channel(ChannelSpec(id="a", mode="nbfm", frequency_hz=155.1e6))
-        with pytest.raises(ValueError, match="ONE"):
-            cap.create_channel(
-                ChannelSpec(id="b", mode="am", frequency_hz=155.2e6)
-            )
-        with pytest.raises(ValueError, match="ONE"):
+        cap.create_channel(ChannelSpec(id="b", mode="am", frequency_hz=155.2e6))
+        with pytest.raises(ValueError, match="cannot share"):
             cap.create_channel(
                 ChannelSpec(id="p", mode="p25", frequency_hz=155.3e6)
             )
@@ -152,6 +152,44 @@ class TestMeshEndToEnd:
         assert abs(freqs[int(np.argmax(spec))] - 1000.0) < 25.0
         assert float(np.sqrt(np.mean(seg**2))) > 0.05
         assert cap.status()["mesh"] == "stream=1,time=8"
+
+    def test_mixed_nbfm_am_through_mesh_engine(self):
+        """Round 4 mixed-mode grid: an NBFM station and an AM station in
+        ONE mesh capture, each demodulated by its own bank (per-bin
+        bank_idx select on device).  Both tones must come out on their
+        channels."""
+        stations = [
+            FakeStation(
+                offset_hz=100_000.0, kind="nbfm", tone_hz=1000.0,
+                deviation_hz=4000.0,
+            ),
+            FakeStation(
+                offset_hz=-150_000.0, kind="am", tone_hz=700.0,
+                amplitude=0.8,
+            ),
+        ]
+        mgr, cap = make_mesh_capture(stations=stations)
+        ch_fm = cap.create_channel(
+            ChannelSpec(id="fm", mode="nbfm", frequency_hz=155.1e6)
+        )
+        ch_am = cap.create_channel(
+            ChannelSpec(id="am", mode="am", frequency_hz=154.85e6)
+        )
+        cap.start()
+        try:
+            a_fm = self._collect_audio(cap, ch_fm)
+            a_am = self._collect_audio(cap, ch_am)
+        finally:
+            cap.stop()
+
+        def peak(seg):
+            seg = seg - np.mean(seg)
+            spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+            return np.fft.rfftfreq(len(seg), 1 / 48_000)[int(np.argmax(spec))]
+
+        assert len(a_fm) >= 48_000 and len(a_am) >= 48_000
+        assert abs(peak(a_fm[4800:]) - 1000.0) < 25.0
+        assert abs(peak(a_am[4800:]) - 700.0) < 25.0
 
     def test_overflow_resets_mesh_state_and_recovers(self):
         """The engine's overflow contract on the mesh: device overflow

@@ -401,16 +401,17 @@ class Capture:
             for c in self.channels.values()
             if c.spec.id != exclude_id
         }
-        # allowed mixes: one narrow (mode, dsp) everywhere, or the p25
-        # family — {p25} / {p25, p25p2} ride the (dual-rate) grid together
+        # allowed mixes: any set of narrow analog (mode, dsp) groups (the
+        # grid runs one bank per group, per-bin bank_idx selects — round
+        # 4), or the p25 family — {p25} / {p25, p25p2} ride the
+        # (dual-rate) grid together.  Narrow and p25 do not mix: their
+        # block geometries differ (symbol-commensurate vs audio-rate).
         p25_family = {"p25", "p25p2"}
-        if others and group not in others and not (
-            group in p25_family and others <= p25_family
-        ):
+        if len({group in p25_family} | {g in p25_family for g in others}) > 1:
             raise ValueError(
-                "mesh-backend captures share ONE (mode, dsp) across all "
-                "channels (p25 + p25p2 may mix: the dual-rate grid "
-                "demodulates every bin at both symbol rates)"
+                "mesh-backend captures mix narrow analog modes freely, "
+                "and p25 + p25p2 ride the dual-rate grid together, but "
+                "analog and p25 channels cannot share one mesh capture"
             )
         if group in p25_family and self.config.p25_capacity <= 0:
             # block geometry must be symbol-commensurate, and that is
@@ -569,6 +570,10 @@ class Capture:
 
     @property
     def _audio_gated(self) -> bool:
+        # the mesh grid has no row-gated audio fetch (bins are fetched
+        # wholesale); gating is a slot-bank-program feature
+        if self.config.mesh:
+            return False
         return 0 < self.config.audio_fetch_slots < self.config.narrow_capacity
 
     def _narrow_modes(self) -> tuple:
@@ -672,7 +677,9 @@ class Capture:
             from wavecap_tpu.capture import mesh as mesh_mod
 
             entry = cfg.narrow_modes[0] if cfg.narrow_modes else "p25"
-            groups = {entry, "p25p2"} if entry == "p25" else {entry}
+            groups = (
+                {"p25", "p25p2"} if entry == "p25" else set(cfg.narrow_modes)
+            )
             chans = [
                 c for c in self.channels.values() if c.mode_group in groups
             ]
@@ -1331,6 +1338,10 @@ class Capture:
                     continue
                 if self._is_wide(ch.mode_group):
                     grp = (out.get("wide") or {}).get(ch.mode_group[1])
+                elif self.config.mesh:
+                    # the mesh grid emits ONE bank (per-bin bank_idx
+                    # already selected each bin's mode on device)
+                    grp = next(iter(out["banks"].values()), None)
                 else:
                     grp = out["banks"].get(ch.mode_group)
                 if grp is None:

@@ -10,11 +10,14 @@ overflow reset, watchdogs, WS streaming — is identical in both modes.
 
 Enable with ``CaptureConfig.mesh = "stream=1,time=8"`` (axis sizes over
 ``jax.devices()``; a 1-device mesh is the trivial degenerate case).  The
-mesh backend demodulates every channelizer bin with ONE shared demod
-mode per capture (channel specs map to bins; activation/fine-offset/
-squelch are traced per-bin control), which is the wideband-monitoring
-shape multi-chip exists for.  Mixed-mode / wide / P25 captures stay on
-the slot-bank program.
+mesh backend demodulates every channelizer bin (channel specs map to
+bins; activation/fine-offset/squelch are traced per-bin control).
+Narrow analog modes mix freely in one capture — the grid runs one bank
+per (mode, dsp) group and a per-bin ``bank_idx`` selects each bin's
+output on device, so changing a mesh channel's mode costs NO recompile
+(round 4) — and the p25 family rides the (dual-rate) grid.  Only wide
+(WBFM) captures stay on the slot-bank program (a wide channel needs
+adjacent-bin bandwidth the 25 kHz grid does not synthesize).
 
 SURVEY §7.2 step 8; the reference's analog is its process-per-device
 scale-out (``trunking/manager.py:49``) — here one capture scales across
@@ -101,10 +104,18 @@ def mesh_grid_cfg(pipe_cfg, entry) -> ShardedGridConfig:
             demod_cfg2=p25p2_cfg_for(pipe_cfg) if dual else None,
         )
     bank = pipe_cfg.bank_cfg(entry)
+    # Mixed analog modes (round 4): every OTHER narrow (mode, dsp) group
+    # present becomes an extra grid bank; per-bin bank_idx selects which
+    # bank's audio each bin emits (a traced control — changing a mesh
+    # channel's mode never recompiles, unlike the single-chip slot bank)
+    extras = tuple(g for g in pipe_cfg.narrow_modes if g != entry)
+    extra_banks = tuple(pipe_cfg.bank_cfg(g) for g in extras)
     return ShardedGridConfig(
         channelizer=pipe_cfg.channelizer(),
         mode=bank.mode,
         demod_cfg=bank.demod_cfg,
+        extra_modes=tuple(b.mode for b in extra_banks),
+        extra_demod_cfgs=tuple(b.demod_cfg for b in extra_banks),
     )
 
 
@@ -123,6 +134,10 @@ def mesh_control(pipe_cfg, channels, center_hz: float) -> GridControl:
     fine = np.zeros((1, m), np.float32)
     active = np.zeros((1, m), bool)
     squelch = np.full((1, m), -1e9, np.float32)
+    bank = np.zeros((1, m), np.int32)
+    # mixed analog modes: bank 0 is narrow_modes[0] (the grid entry),
+    # banks 1.. follow the remaining narrow group order of mesh_grid_cfg
+    narrow = tuple(pipe_cfg.narrow_modes)
     for ch in channels:
         bin_idx = ch.slot
         off = ch.spec.frequency_hz - center_hz
@@ -130,10 +145,13 @@ def mesh_control(pipe_cfg, channels, center_hz: float) -> GridControl:
         active[0, bin_idx] = True
         if ch.spec.squelch_db is not None:
             squelch[0, bin_idx] = ch.spec.squelch_db
+        if narrow and ch.mode_group in narrow:
+            bank[0, bin_idx] = narrow.index(ch.mode_group)
     return GridControl(
         fine_offset_hz=jnp.asarray(fine),
         active=jnp.asarray(active),
         squelch_db=jnp.asarray(squelch),
+        bank_idx=jnp.asarray(bank),
     )
 
 

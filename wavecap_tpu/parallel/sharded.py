@@ -48,6 +48,18 @@ class ShardedGridConfig:
     # stage; the channelizer/collectives are shared.
     mode2: str | None = None
     demod_cfg2: Any = None
+    # Mixed analog modes (round 4): additional demod banks whose outputs
+    # share the base bank's audio shape (the narrow analog family —
+    # nbfm/am/sam/usb/lsb — all resample to the same audio rate).  Every
+    # bin is shifted once and demodulated by EVERY bank; the per-bin
+    # ``GridControl.bank_idx`` (0 = the base ``mode``) selects which
+    # bank's audio the bin emits.  Because selection is traced control,
+    # changing a channel's mode on a mesh capture costs NO recompile —
+    # the single-chip slot bank pays one.  Unlike ``mode2`` (a second
+    # OUTPUT for dual-rate trunking), extra banks fold into the one
+    # ``audio`` output.
+    extra_modes: tuple = ()
+    extra_demod_cfgs: tuple = ()
     # Benchmark-only ablations (scripts/benchmark_mesh.py --ablate):
     # produce WRONG results but identical shapes/compute minus one
     # collective, so the per-step delta attributes wall time to the halo
@@ -62,6 +74,7 @@ class GridState(NamedTuple):
     demod_states: Any  # stacked pytree, leading dims (n_streams, M)
     nco_phase: jnp.ndarray  # (n_streams, M) uint32
     demod_states2: Any = None  # second bank (dual-rate grids) or None
+    demod_states_extra: Any = ()  # tuple of stacked pytrees (mixed modes)
 
 
 class GridControl(NamedTuple):
@@ -70,6 +83,7 @@ class GridControl(NamedTuple):
     fine_offset_hz: jnp.ndarray
     active: jnp.ndarray
     squelch_db: jnp.ndarray
+    bank_idx: Any = None  # (n_streams, M) int32 mixed-mode bank select
 
 
 def grid_init(cfg: ShardedGridConfig, n_streams: int) -> GridState:
@@ -83,6 +97,13 @@ def grid_init(cfg: ShardedGridConfig, n_streams: int) -> GridState:
         states2 = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (n_streams, m) + x.shape), base2
         )
+    extras = tuple(
+        jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_streams, m) + x.shape),
+            get_demod(mk).init(ck),
+        )
+        for mk, ck in zip(cfg.extra_modes, cfg.extra_demod_cfgs)
+    )
     return GridState(
         hist=jnp.zeros((n_streams, m * t), jnp.complex64),
         demod_states=jax.tree.map(
@@ -90,6 +111,7 @@ def grid_init(cfg: ShardedGridConfig, n_streams: int) -> GridState:
         ),
         nco_phase=jnp.zeros((n_streams, m), jnp.uint32),
         demod_states2=states2,
+        demod_states_extra=extras,
     )
 
 
@@ -99,6 +121,7 @@ def control_init(cfg: ShardedGridConfig, n_streams: int) -> GridControl:
         fine_offset_hz=jnp.zeros((n_streams, m), jnp.float32),
         active=jnp.zeros((n_streams, m), bool),
         squelch_db=jnp.full((n_streams, m), -1e9, jnp.float32),
+        bank_idx=jnp.zeros((n_streams, m), jnp.int32),
     )
 
 
@@ -117,11 +140,12 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
     spec = get_demod(cfg.mode)
     spec2 = get_demod(cfg.mode2) if cfg.mode2 is not None else None
     dual = spec2 is not None
+    specs_extra = tuple(get_demod(mk) for mk in cfg.extra_modes)
     rate = cfg.channelizer.channel_rate
 
     def one_stream(
         x_local, hist, demod_states, nco_phase, fine, active, squelch,
-        demod_states2=None,
+        bank_idx, ds_extra, demod_states2=None,
     ):
         if x_local.shape[-1] < hist_len:
             raise ValueError(
@@ -163,6 +187,22 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
         audio, rssi, nco_phase, demod_states, shifted_all = jax.vmap(per_chan)(
             chans_mine, fine, nco_phase, demod_states
         )
+
+        # mixed analog modes: every extra bank demodulates every bin;
+        # the per-bin bank_idx selects which bank's audio the bin emits
+        new_extra = []
+        for k, sp_k in enumerate(specs_extra):
+            cfg_k = cfg.extra_demod_cfgs[k]
+
+            def per_chan_k(shifted, dstate, _sp=sp_k, _cfg=cfg_k):
+                out_k, dstate = _sp.demod(shifted, dstate, _cfg)
+                return out_k, dstate
+
+            audio_k, ds_k = jax.vmap(per_chan_k)(shifted_all, ds_extra[k])
+            new_extra.append(ds_k)
+            audio = jnp.where((bank_idx == k + 1)[:, None], audio_k, audio)
+        ds_extra = tuple(new_extra)
+
         audio = ops.squelch_gate(audio, rssi, squelch)
         audio = jnp.where(active[:, None], audio, jnp.zeros_like(audio))
         rssi = jnp.where(active, rssi, jnp.full_like(rssi, -200.0))
@@ -191,10 +231,10 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
 
         if dual:
             return (
-                audio, rssi, new_hist, demod_states, nco_phase,
+                audio, rssi, new_hist, demod_states, nco_phase, ds_extra,
                 audio2, demod_states2,
             )
-        return audio, rssi, new_hist, demod_states, nco_phase
+        return audio, rssi, new_hist, demod_states, nco_phase, ds_extra
 
     base_in = (
         P("stream", "time"),  # x
@@ -204,6 +244,8 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
         P("stream", "time"),  # fine
         P("stream", "time"),  # active
         P("stream", "time"),  # squelch
+        P("stream", "time"),  # bank_idx
+        P("stream", "time"),  # extra demod states (tuple prefix)
     )
     base_out = (
         P("stream", "time", None),  # audio (M sharded)
@@ -211,13 +253,14 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
         P("stream", None),  # new hist (replicated)
         P("stream", "time"),  # demod states
         P("stream", "time"),  # nco
+        P("stream", "time"),  # extra demod states
     )
 
     if dual:
 
-        def body(x, hist, ds, nco, fine, active, squelch, ds2):
+        def body(x, hist, ds, nco, fine, active, squelch, bidx, dse, ds2):
             f = jax.vmap(one_stream)
-            return f(x, hist, ds, nco, fine, active, squelch, ds2)
+            return f(x, hist, ds, nco, fine, active, squelch, bidx, dse, ds2)
 
         shard = jax.shard_map(
             body,
@@ -230,7 +273,10 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
 
         @jax.jit
         def step(x, state: GridState, ctl: GridControl):
-            audio, rssi, hist, dstates, nco, audio2, dstates2 = shard(
+            bidx = ctl.bank_idx
+            if bidx is None:
+                bidx = jnp.zeros(ctl.active.shape, jnp.int32)
+            audio, rssi, hist, dstates, nco, dse, audio2, dstates2 = shard(
                 x,
                 state.hist,
                 state.demod_states,
@@ -238,18 +284,20 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
                 ctl.fine_offset_hz,
                 ctl.active,
                 ctl.squelch_db,
+                bidx,
+                state.demod_states_extra,
                 state.demod_states2,
             )
             return (
                 {"audio": audio, "rssi": rssi, "audio2": audio2},
-                GridState(hist, dstates, nco, dstates2),
+                GridState(hist, dstates, nco, dstates2, dse),
             )
 
         return step
 
-    def body(x, hist, demod_states, nco_phase, fine, active, squelch):
+    def body(x, hist, demod_states, nco_phase, fine, active, squelch, bidx, dse):
         f = jax.vmap(one_stream)  # over local stream axis
-        return f(x, hist, demod_states, nco_phase, fine, active, squelch)
+        return f(x, hist, demod_states, nco_phase, fine, active, squelch, bidx, dse)
 
     shard = jax.shard_map(
         body,
@@ -261,7 +309,10 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
 
     @jax.jit
     def step(x, state: GridState, ctl: GridControl):
-        audio, rssi, hist, dstates, nco = shard(
+        bidx = ctl.bank_idx
+        if bidx is None:
+            bidx = jnp.zeros(ctl.active.shape, jnp.int32)
+        audio, rssi, hist, dstates, nco, dse = shard(
             x,
             state.hist,
             state.demod_states,
@@ -269,7 +320,11 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
             ctl.fine_offset_hz,
             ctl.active,
             ctl.squelch_db,
+            bidx,
+            state.demod_states_extra,
         )
-        return {"audio": audio, "rssi": rssi}, GridState(hist, dstates, nco)
+        return {"audio": audio, "rssi": rssi}, GridState(
+            hist, dstates, nco, None, dse
+        )
 
     return step

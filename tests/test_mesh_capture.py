@@ -57,13 +57,16 @@ class TestMeshSpec:
 
 
 class TestMeshConstraints:
-    def test_rejects_wide_accepts_p25(self):
+    def test_accepts_wide_and_p25(self):
         """Round 3: p25 became a first-class mesh mode (soft symbols from
-        the sharded grid); wide stays single-chip-only, and p25 needs its
+        the sharded grid); round 4: wide (WBFM) joined via the raw-stream
+        stage (needs wide_capacity like single-chip).  p25 needs its
         capacity declared at creation (block geometry must be
         symbol-commensurate)."""
         _, cap = make_mesh_capture()
-        with pytest.raises(ValueError, match="narrow analog and p25"):
+        with pytest.raises(RuntimeError, match="wide"):
+            # make_mesh_capture sets wide_capacity=0 (same contract as
+            # the slot-bank program: capacity at creation)
             cap.create_channel(
                 ChannelSpec(id="w", mode="wbfm", frequency_hz=155.1e6)
             )
@@ -190,6 +193,50 @@ class TestMeshEndToEnd:
         assert len(a_fm) >= 48_000 and len(a_am) >= 48_000
         assert abs(peak(a_fm[4800:]) - 1000.0) < 25.0
         assert abs(peak(a_am[4800:]) - 700.0) < 25.0
+
+    def test_wide_wbfm_through_mesh_engine(self):
+        """Round 4: wide (WBFM) slots on the mesh — time-sharded full-rate
+        decimation off the raw stream (halo'd like the channelizer),
+        gathered ~266 kHz IF, replicated demod.  A WBFM and an NBFM
+        station decode side by side through the 8-device mesh engine."""
+        stations = [
+            FakeStation(
+                offset_hz=200_000.0, kind="wbfm", tone_hz=1000.0,
+            ),
+            FakeStation(
+                offset_hz=-150_000.0, kind="nbfm", tone_hz=700.0,
+                deviation_hz=4000.0,
+            ),
+        ]
+        drv = FakeDriver(stations=stations)
+        mgr = CaptureManager(drv)
+        cap = mgr.create_capture(
+            config=CaptureConfig(
+                center_hz=155e6, sample_rate=800_000,
+                mesh="stream=1,time=8", wide_capacity=2, p25_capacity=0,
+            )
+        )
+        ch_wb = cap.create_channel(
+            ChannelSpec(id="wb", mode="wbfm", frequency_hz=155.2e6)
+        )
+        ch_nb = cap.create_channel(
+            ChannelSpec(id="nb", mode="nbfm", frequency_hz=154.85e6)
+        )
+        cap.start()
+        try:
+            a_wb = self._collect_audio(cap, ch_wb)
+            a_nb = self._collect_audio(cap, ch_nb)
+        finally:
+            cap.stop()
+
+        def peak(seg):
+            seg = seg - np.mean(seg)
+            spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+            return np.fft.rfftfreq(len(seg), 1 / 48_000)[int(np.argmax(spec))]
+
+        assert len(a_wb) >= 48_000 and len(a_nb) >= 48_000
+        assert abs(peak(a_wb[4800:]) - 1000.0) < 25.0
+        assert abs(peak(a_nb[4800:]) - 700.0) < 25.0
 
     def test_overflow_resets_mesh_state_and_recovers(self):
         """The engine's overflow contract on the mesh: device overflow

@@ -375,6 +375,7 @@ class Capture:
         for c in self.channels.values():
             if (
                 c.spec.id != exclude_id
+                and not self._is_wide(c.mode_group)  # wide slots aren't bins
                 and c.slot == bin_idx
                 and c.spec.frequency_hz != spec.frequency_hz
             ):
@@ -386,11 +387,6 @@ class Capture:
         return bin_idx
 
     def _check_mesh_group(self, group, exclude_id: str | None = None) -> None:
-        if isinstance(group, tuple) and group[0] == "wide":
-            raise ValueError(
-                "mesh-backend captures support narrow analog and p25/p25p2 "
-                "modes (wide captures run the single-chip program)"
-            )
         if group == "p25p2" and self.config.p25p2_capacity <= 0:
             raise ValueError(
                 "mesh p25p2 channels need p25p2_capacity > 0 at creation "
@@ -434,7 +430,13 @@ class Capture:
                 )
             if self.config.mesh:
                 self._check_mesh_group(group)
-                slot = self._mesh_bin(spec)
+                # wide mesh channels use slot-bank-style slots (they run
+                # off the raw stream, not the bin grid)
+                slot = (
+                    self._alloc_slot(group)
+                    if self._is_wide(group)
+                    else self._mesh_bin(spec)
+                )
             else:
                 slot = self._alloc_slot(group)
             ch = ChannelHandle(spec, group, slot)
@@ -482,6 +484,14 @@ class Capture:
                 group = self._group_for(cand)  # validates mode + dsp
                 if self.config.mesh:
                     self._check_mesh_group(group, exclude_id=ch.spec.id)
+                    if self._is_wide(group) != self._is_wide(ch.mode_group):
+                        # wide <-> narrow flip changes slot semantics
+                        # (wide slot index vs channelizer bin)
+                        ch.slot = (
+                            self._alloc_slot(group, exclude_id=ch.spec.id)
+                            if self._is_wide(group)
+                            else self._mesh_bin(ch.spec, exclude_id=ch.spec.id)
+                        )
                     ch.mode_group = group
                 elif group != ch.mode_group:
                     ch.slot = self._alloc_slot(group, exclude_id=ch.spec.id)
@@ -493,8 +503,13 @@ class Capture:
                     ch.spec.squelch_db = v  # explicit None = open squelch
                 elif v is not None and hasattr(ch.spec, k):
                     setattr(ch.spec, k, v)
-            if self.config.mesh and freq is not None:
-                # retune re-bins the channel on the grid
+            if (
+                self.config.mesh
+                and freq is not None
+                and not self._is_wide(ch.mode_group)
+            ):
+                # retune re-bins the channel on the grid (wide mesh slots
+                # retune via their traced offset, no re-binning)
                 ch.slot = self._mesh_bin(ch.spec, exclude_id=ch.spec.id)
             self._rebuild_pipeline_if_needed()
             self._ctl_dirty = True
@@ -640,13 +655,19 @@ class Capture:
         if new_cfg != self._pipe_cfg:
             self._flush_pending()
             self._pipe_cfg = new_cfg
-            if self.config.mesh and (new_cfg.narrow_modes or new_cfg.p25_capacity):
+            if self.config.mesh and (
+                new_cfg.narrow_modes
+                or new_cfg.p25_capacity
+                or new_cfg.wide_groups
+            ):
                 from wavecap_tpu.capture import mesh as mesh_mod
 
                 if self._mesh is None:
                     self._mesh = mesh_mod.build_mesh(self.config.mesh)
                 entry = (
-                    new_cfg.narrow_modes[0] if new_cfg.narrow_modes else "p25"
+                    new_cfg.narrow_modes[0]
+                    if new_cfg.narrow_modes
+                    else ("p25" if new_cfg.p25_capacity else None)
                 )
                 self._jit_step = mesh_mod.jit_mesh_capture_multi(
                     new_cfg,
@@ -673,13 +694,17 @@ class Capture:
     def _build_control(self) -> Any:
         assert self._pipe_cfg is not None
         cfg = self._pipe_cfg
-        if self.config.mesh and (cfg.narrow_modes or cfg.p25_capacity):
+        if self.config.mesh and (
+            cfg.narrow_modes or cfg.p25_capacity or cfg.wide_groups
+        ):
             from wavecap_tpu.capture import mesh as mesh_mod
 
-            entry = cfg.narrow_modes[0] if cfg.narrow_modes else "p25"
-            groups = (
-                {"p25", "p25p2"} if entry == "p25" else set(cfg.narrow_modes)
-            )
+            if cfg.narrow_modes or cfg.wide_groups:
+                groups = set(cfg.narrow_modes) | {
+                    ("wide", g) for g in cfg.wide_groups
+                }
+            else:
+                groups = {"p25", "p25p2"}
             chans = [
                 c for c in self.channels.values() if c.mode_group in groups
             ]

@@ -15,9 +15,13 @@ bins; activation/fine-offset/squelch are traced per-bin control).
 Narrow analog modes mix freely in one capture — the grid runs one bank
 per (mode, dsp) group and a per-bin ``bank_idx`` selects each bin's
 output on device, so changing a mesh channel's mode costs NO recompile
-(round 4) — and the p25 family rides the (dual-rate) grid.  Only wide
-(WBFM) captures stay on the slot-bank program (a wide channel needs
-adjacent-bin bandwidth the 25 kHz grid does not synthesize).
+(round 4) — and the p25 family rides the (dual-rate) grid.  Wide (WBFM)
+channels need ~200 kHz the 25 kHz bin grid does not synthesize, so they
+run a separate time-sharded stage off the RAW stream (per-slot
+freq-shift + decimating FIR with the channelizer's halo, ``all_gather``
+of the small IF, replicated demod — ``parallel/sharded.py``).  The one
+remaining constraint: analog (narrow/wide) and p25 channels cannot
+share a mesh capture (their block geometries differ).
 
 SURVEY §7.2 step 8; the reference's analog is its process-per-device
 scale-out (``trunking/manager.py:49``) — here one capture scales across
@@ -103,6 +107,28 @@ def mesh_grid_cfg(pipe_cfg, entry) -> ShardedGridConfig:
             mode2="p25-cqpsk-soft" if dual else None,
             demod_cfg2=p25p2_cfg_for(pipe_cfg) if dual else None,
         )
+    # wide (WBFM) slot groups ride the grid's raw-stream stage (round 4)
+    wide_kw = dict(
+        wide_groups=tuple(pipe_cfg.wide_groups),
+        wide_cfgs=tuple(
+            pipe_cfg.wide_cfg(g) for g in pipe_cfg.wide_groups
+        ),
+        wide_export_baseband=pipe_cfg.export_wide_baseband,
+    )
+    if entry is None:
+        # wide-only mesh capture: the bin grid still needs a base bank
+        # (all bins inactive) — nbfm is the cheapest placeholder
+        from wavecap_tpu.models.registry import make_config
+
+        ch = pipe_cfg.channelizer()
+        return ShardedGridConfig(
+            channelizer=ch,
+            mode="nbfm",
+            demod_cfg=make_config(
+                "nbfm", int(ch.channel_rate), audio_rate=pipe_cfg.audio_rate
+            ),
+            **wide_kw,
+        )
     bank = pipe_cfg.bank_cfg(entry)
     # Mixed analog modes (round 4): every OTHER narrow (mode, dsp) group
     # present becomes an extra grid bank; per-bin bank_idx selects which
@@ -116,6 +142,7 @@ def mesh_grid_cfg(pipe_cfg, entry) -> ShardedGridConfig:
         demod_cfg=bank.demod_cfg,
         extra_modes=tuple(b.mode for b in extra_banks),
         extra_demod_cfgs=tuple(b.demod_cfg for b in extra_banks),
+        **wide_kw,
     )
 
 
@@ -138,7 +165,27 @@ def mesh_control(pipe_cfg, channels, center_hz: float) -> GridControl:
     # mixed analog modes: bank 0 is narrow_modes[0] (the grid entry),
     # banks 1.. follow the remaining narrow group order of mesh_grid_cfg
     narrow = tuple(pipe_cfg.narrow_modes)
+    wide_ctl = None
+    if pipe_cfg.wide_groups:
+        w = pipe_cfg.wide_capacity
+        wide_ctl = {
+            g: {
+                "offset_hz": np.zeros((1, w), np.float32),
+                "active": np.zeros((1, w), bool),
+                "squelch_db": np.full((1, w), -1e9, np.float32),
+            }
+            for g in pipe_cfg.wide_groups
+        }
     for ch in channels:
+        if isinstance(ch.mode_group, tuple) and ch.mode_group[0] == "wide":
+            wct = (wide_ctl or {}).get(ch.mode_group[1])
+            if wct is None:
+                continue
+            wct["offset_hz"][0, ch.slot] = ch.spec.frequency_hz - center_hz
+            wct["active"][0, ch.slot] = True
+            if ch.spec.squelch_db is not None:
+                wct["squelch_db"][0, ch.slot] = ch.spec.squelch_db
+            continue
         bin_idx = ch.slot
         off = ch.spec.frequency_hz - center_hz
         fine[0, bin_idx] = off - ch_cfg.channel_offset_hz(bin_idx)
@@ -152,6 +199,11 @@ def mesh_control(pipe_cfg, channels, center_hz: float) -> GridControl:
         active=jnp.asarray(active),
         squelch_db=jnp.asarray(squelch),
         bank_idx=jnp.asarray(bank),
+        wide=(
+            jax.tree.map(jnp.asarray, wide_ctl)
+            if wide_ctl is not None
+            else None
+        ),
     )
 
 
@@ -186,10 +238,21 @@ def jit_mesh_capture_multi(pipe_cfg, n_blocks: int, mesh: Mesh, entry):
         else:
             out = {
                 "spectrum": spectrum,
-                "banks": {
-                    entry: {"audio": g_out["audio"][0], "rssi": g_out["rssi"][0]}
-                },
+                "banks": (
+                    {
+                        entry: {
+                            "audio": g_out["audio"][0],
+                            "rssi": g_out["rssi"][0],
+                        }
+                    }
+                    if entry is not None
+                    else {}
+                ),
             }
+        if "wide" in g_out:
+            # wide slots off the raw-stream stage; same shape contract as
+            # the slot-bank program's out["wide"][dsp_key]
+            out["wide"] = jax.tree.map(lambda v: v[0], g_out["wide"])
         from wavecap_tpu.capture.pipeline import pack_wire
 
         out["_packed"] = pack_wire(out)

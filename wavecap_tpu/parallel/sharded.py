@@ -60,6 +60,19 @@ class ShardedGridConfig:
     # ``audio`` output.
     extra_modes: tuple = ()
     extra_demod_cfgs: tuple = ()
+    # Wide (WBFM) slots on the mesh (round 4): wide channels need ~200 kHz
+    # of bandwidth the 25 kHz bin grid does not synthesize, so they run a
+    # separate time-sharded stage on the RAW stream: per-slot freq-shift +
+    # full-rate decimating FIR on each time shard (history = the same
+    # ppermute'd raw halo the channelizer uses — the decimator's taps are
+    # always shorter than M*T, checked at build), then an ``all_gather``
+    # of the small ~240 kHz IF stream and a replicated WBFM demod (the
+    # demod is ~40x cheaper than the decimation, so replicating it across
+    # time shards costs nothing and keeps its state unsharded).  One
+    # entry per wide (dsp) group, mirroring the slot-bank's wide groups.
+    wide_groups: tuple = ()  # dsp keys
+    wide_cfgs: tuple = ()  # pipeline.WideSlotConfig per group (duck-typed)
+    wide_export_baseband: bool = False
     # Benchmark-only ablations (scripts/benchmark_mesh.py --ablate):
     # produce WRONG results but identical shapes/compute minus one
     # collective, so the per-step delta attributes wall time to the halo
@@ -75,6 +88,7 @@ class GridState(NamedTuple):
     nco_phase: jnp.ndarray  # (n_streams, M) uint32
     demod_states2: Any = None  # second bank (dual-rate grids) or None
     demod_states_extra: Any = ()  # tuple of stacked pytrees (mixed modes)
+    wide: Any = None  # {dsp_key: {"nco": (S,W) u32, "demod": pytree}} or None
 
 
 class GridControl(NamedTuple):
@@ -84,6 +98,7 @@ class GridControl(NamedTuple):
     active: jnp.ndarray
     squelch_db: jnp.ndarray
     bank_idx: Any = None  # (n_streams, M) int32 mixed-mode bank select
+    wide: Any = None  # {dsp_key: {"offset_hz"/"active"/"squelch_db": (S,W)}}
 
 
 def grid_init(cfg: ShardedGridConfig, n_streams: int) -> GridState:
@@ -104,6 +119,21 @@ def grid_init(cfg: ShardedGridConfig, n_streams: int) -> GridState:
         )
         for mk, ck in zip(cfg.extra_modes, cfg.extra_demod_cfgs)
     )
+    wide = None
+    if cfg.wide_groups:
+        from wavecap_tpu import models
+
+        wide = {}
+        for gk, wcfg in zip(cfg.wide_groups, cfg.wide_cfgs):
+            w = wcfg.capacity
+            dbase = models.wbfm_init(wcfg.wbfm_cfg())
+            wide[gk] = {
+                "nco": jnp.zeros((n_streams, w), jnp.uint32),
+                "demod": jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (n_streams, w) + x.shape),
+                    dbase,
+                ),
+            }
     return GridState(
         hist=jnp.zeros((n_streams, m * t), jnp.complex64),
         demod_states=jax.tree.map(
@@ -112,16 +142,30 @@ def grid_init(cfg: ShardedGridConfig, n_streams: int) -> GridState:
         nco_phase=jnp.zeros((n_streams, m), jnp.uint32),
         demod_states2=states2,
         demod_states_extra=extras,
+        wide=wide,
     )
 
 
 def control_init(cfg: ShardedGridConfig, n_streams: int) -> GridControl:
     m = cfg.channelizer.channel_count
+    wide = None
+    if cfg.wide_groups:
+        wide = {
+            gk: {
+                "offset_hz": jnp.zeros((n_streams, wcfg.capacity), jnp.float32),
+                "active": jnp.zeros((n_streams, wcfg.capacity), bool),
+                "squelch_db": jnp.full(
+                    (n_streams, wcfg.capacity), -1e9, jnp.float32
+                ),
+            }
+            for gk, wcfg in zip(cfg.wide_groups, cfg.wide_cfgs)
+        }
     return GridControl(
         fine_offset_hz=jnp.zeros((n_streams, m), jnp.float32),
         active=jnp.zeros((n_streams, m), bool),
         squelch_db=jnp.full((n_streams, m), -1e9, jnp.float32),
         bank_idx=jnp.zeros((n_streams, m), jnp.int32),
+        wide=wide,
     )
 
 
@@ -142,10 +186,20 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
     dual = spec2 is not None
     specs_extra = tuple(get_demod(mk) for mk in cfg.extra_modes)
     rate = cfg.channelizer.channel_rate
+    rate_full = float(cfg.channelizer.sample_rate)
+    wide_prep = []
+    for gk, wcfg in zip(cfg.wide_groups, cfg.wide_cfgs):
+        taps_np = ops.design_decimation_fir(wcfg.decim, rate_full)
+        if len(taps_np) - 1 > hist_len:
+            raise ValueError(
+                f"wide decimator ({len(taps_np)} taps) exceeds the mesh "
+                f"halo (M*T = {hist_len}); raise taps_per_channel"
+            )
+        wide_prep.append((gk, wcfg, taps_np))
 
     def one_stream(
         x_local, hist, demod_states, nco_phase, fine, active, squelch,
-        bank_idx, ds_extra, demod_states2=None,
+        bank_idx, ds_extra, wide_state, wide_ctl, demod_states2=None,
     ):
         if x_local.shape[-1] < hist_len:
             raise ValueError(
@@ -176,6 +230,69 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
             chans_mine = jax.lax.all_to_all(
                 chans_local, "time", split_axis=0, concat_axis=1, tiled=True
             )
+
+        # --- wide (WBFM) slots: time-sharded decimation off the raw
+        # stream, replicated demod on the gathered ~240 kHz IF ---
+        wide_out = {}
+        new_wide = {}
+        local_n = x_local.shape[-1]
+        total_n = local_n * n_time
+        for gk, wcfg, taps_np in wide_prep:
+            if local_n % wcfg.decim != 0:
+                raise ValueError(
+                    f"per-shard block ({local_n}) must divide by the wide "
+                    f"decimation ({wcfg.decim}); adjust block_seconds"
+                )
+            from wavecap_tpu.ops.nco import tuning_word
+
+            taps_j = jnp.asarray(taps_np)
+            ntail = len(taps_np) - 1
+            wst, wct = wide_state[gk], wide_ctl[gk]
+
+            def per_slot(off, phase0, _taps=taps_j, _nt=ntail, _d=wcfg.decim):
+                tw = tuning_word(off, rate_full)
+                ph_shard = phase0 + jnp.uint32(t_idx * local_n) * tw
+                seg = jnp.concatenate([my_hist[-_nt:], x_local])
+                shifted, _ = ops.freq_shift(
+                    seg, -off, rate_full, ph_shard - jnp.uint32(_nt) * tw
+                )
+                dec, _ = ops.fir_decimate(
+                    shifted[_nt:], _taps, _d, shifted[:_nt]
+                )
+                return dec, phase0 + jnp.uint32(total_n) * tw
+
+            dec_local, nco_new = jax.vmap(per_slot)(
+                wct["offset_hz"], wst["nco"]
+            )
+            gathered = jax.lax.all_gather(dec_local, "time")
+            dec_full = jnp.transpose(gathered, (1, 0, 2)).reshape(
+                dec_local.shape[0], -1
+            )
+            rssi_w = jax.vmap(ops.rssi_dbfs)(dec_full)
+            wb_cfg = wcfg.wbfm_cfg()
+
+            def per_wdemod(dec, dstate):
+                from wavecap_tpu import models
+
+                audio_w, fm_w, dstate = models.wbfm_demod_baseband(
+                    dec, dstate, wb_cfg
+                )
+                return audio_w, fm_w, dstate
+
+            audio_w, fm_w, wd_states = jax.vmap(per_wdemod)(
+                dec_full, wst["demod"]
+            )
+            audio_w = ops.squelch_gate(audio_w, rssi_w, wct["squelch_db"])
+            audio_w = jnp.where(
+                wct["active"][:, None], audio_w, jnp.zeros_like(audio_w)
+            )
+            rssi_w = jnp.where(
+                wct["active"], rssi_w, jnp.full_like(rssi_w, -200.0)
+            )
+            wide_out[gk] = {"audio": audio_w, "rssi": rssi_w}
+            if cfg.wide_export_baseband:
+                wide_out[gk]["baseband"] = fm_w
+            new_wide[gk] = {"nco": nco_new, "demod": wd_states}
 
         # --- stage 2: demod my channel subset ---
         def per_chan(iq_c, off, ph0, dstate):
@@ -232,9 +349,12 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
         if dual:
             return (
                 audio, rssi, new_hist, demod_states, nco_phase, ds_extra,
-                audio2, demod_states2,
+                wide_out, new_wide, audio2, demod_states2,
             )
-        return audio, rssi, new_hist, demod_states, nco_phase, ds_extra
+        return (
+            audio, rssi, new_hist, demod_states, nco_phase, ds_extra,
+            wide_out, new_wide,
+        )
 
     base_in = (
         P("stream", "time"),  # x
@@ -246,6 +366,8 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
         P("stream", "time"),  # squelch
         P("stream", "time"),  # bank_idx
         P("stream", "time"),  # extra demod states (tuple prefix)
+        P("stream"),  # wide state (unsharded over time)
+        P("stream"),  # wide control
     )
     base_out = (
         P("stream", "time", None),  # audio (M sharded)
@@ -254,13 +376,17 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
         P("stream", "time"),  # demod states
         P("stream", "time"),  # nco
         P("stream", "time"),  # extra demod states
+        P("stream"),  # wide outputs (replicated over time)
+        P("stream"),  # wide state
     )
 
     if dual:
 
-        def body(x, hist, ds, nco, fine, active, squelch, bidx, dse, ds2):
+        def body(x, hist, ds, nco, fine, active, squelch, bidx, dse, ws, wc, ds2):
             f = jax.vmap(one_stream)
-            return f(x, hist, ds, nco, fine, active, squelch, bidx, dse, ds2)
+            return f(
+                x, hist, ds, nco, fine, active, squelch, bidx, dse, ws, wc, ds2
+            )
 
         shard = jax.shard_map(
             body,
@@ -276,7 +402,10 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
             bidx = ctl.bank_idx
             if bidx is None:
                 bidx = jnp.zeros(ctl.active.shape, jnp.int32)
-            audio, rssi, hist, dstates, nco, dse, audio2, dstates2 = shard(
+            (
+                audio, rssi, hist, dstates, nco, dse, wide_out, wide_st,
+                audio2, dstates2,
+            ) = shard(
                 x,
                 state.hist,
                 state.demod_states,
@@ -286,18 +415,25 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
                 ctl.squelch_db,
                 bidx,
                 state.demod_states_extra,
+                state.wide,
+                ctl.wide,
                 state.demod_states2,
             )
-            return (
-                {"audio": audio, "rssi": rssi, "audio2": audio2},
-                GridState(hist, dstates, nco, dstates2, dse),
+            out = {"audio": audio, "rssi": rssi, "audio2": audio2}
+            if wide_out:
+                out["wide"] = wide_out
+            return out, GridState(
+                hist, dstates, nco, dstates2, dse, wide_st or None
             )
 
         return step
 
-    def body(x, hist, demod_states, nco_phase, fine, active, squelch, bidx, dse):
+    def body(x, hist, demod_states, nco_phase, fine, active, squelch, bidx, dse, ws, wc):
         f = jax.vmap(one_stream)  # over local stream axis
-        return f(x, hist, demod_states, nco_phase, fine, active, squelch, bidx, dse)
+        return f(
+            x, hist, demod_states, nco_phase, fine, active, squelch, bidx,
+            dse, ws, wc,
+        )
 
     shard = jax.shard_map(
         body,
@@ -312,7 +448,7 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
         bidx = ctl.bank_idx
         if bidx is None:
             bidx = jnp.zeros(ctl.active.shape, jnp.int32)
-        audio, rssi, hist, dstates, nco, dse = shard(
+        audio, rssi, hist, dstates, nco, dse, wide_out, wide_st = shard(
             x,
             state.hist,
             state.demod_states,
@@ -322,9 +458,14 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
             ctl.squelch_db,
             bidx,
             state.demod_states_extra,
+            state.wide,
+            ctl.wide,
         )
-        return {"audio": audio, "rssi": rssi}, GridState(
-            hist, dstates, nco, None, dse
+        out = {"audio": audio, "rssi": rssi}
+        if wide_out:
+            out["wide"] = wide_out
+        return out, GridState(
+            hist, dstates, nco, None, dse, wide_st or None
         )
 
     return step

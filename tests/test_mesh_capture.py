@@ -474,6 +474,96 @@ class TestMeshTrunking:
 
 
 @pytest.mark.slow
+class TestMeshDmrTrunking:
+    """Late round 4: DMR Tier III trunking on the mesh.  DMR's 4FSK rides
+    the same 4800-baud soft-symbol grid as C4FM (the DmrControlMonitor
+    consumes p25-bank symbols), so the trunking program's mesh backend
+    covers DMR too — lock, channel-plan PV_GRANT, AMBE voice.  Beyond
+    the reference twice over: it has neither DMR trunking nor a
+    multi-chip backend."""
+
+    @pytest.mark.slow
+    def test_dmr_tier3_lock_grant_voice_on_mesh(self, tmp_path):
+        from wavecap_tpu.decoders import dmr
+        from wavecap_tpu.decoders.ambe_vocoder import AmbeEncoder
+        from wavecap_tpu.trunking.config import (
+            TrunkingProtocol,
+            TrunkingSystemConfig,
+        )
+        from wavecap_tpu.trunking.manager import TrunkingManager
+        from tests.test_trunking import make_dmr_stream_iq
+
+        capture_rate = 800_000  # M=32: divides the 8-device time axis
+        center = 460_150_000.0
+        cc_freq = 460_100_000.0  # -50 kHz: bin-centered
+        base = 460_000_000.0
+        # LCN 33, 2 slots/carrier -> carrier 16 -> 460.2 MHz (+50 kHz)
+        grant_bits = dmr.make_csbk_bits(0x30, dst_id=800, src_id=900, channel=33)
+        cc_dibits = np.concatenate(
+            [dmr.build_data_burst(grant_bits, dmr.DataType.CSBK)] * 12
+        )
+        cc_iq = make_dmr_stream_iq(capture_rate, cc_freq - center, cc_dibits)
+
+        t = np.arange(int(0.6 * 8000)) / 8000.0
+        x = np.zeros_like(t)
+        for k, a in ((1, 1.0), (2, 0.6), (3, 0.45)):
+            x += a * np.sin(2 * np.pi * 150.0 * k * t)
+        tone = (0.3 * x / np.max(np.abs(x))).astype(np.float32)
+        frames = AmbeEncoder().encode(tone)[:18]
+        voice_dibits = dmr.build_voice_superframe(
+            ambe_bits=frames, stride_bursts=2
+        )
+        voice_iq = make_dmr_stream_iq(
+            capture_rate, 460_200_000.0 - center, voice_dibits
+        )
+        cc_station = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        cc_station.iq_loop = cc_iq
+        v_station = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        v_station.iq_loop = voice_iq
+        mgr = CaptureManager(FakeDriver(stations=[cc_station, v_station]))
+        tm = TrunkingManager(mgr, state_dir=tmp_path)
+        cfg = TrunkingSystemConfig(
+            id="dmr-mesh",
+            protocol=TrunkingProtocol.DMR_TIER3,
+            control_channels=[cc_freq],
+            center_hz=center,
+            sample_rate=capture_rate,
+            max_voice_channels=2,
+            dmr_base_hz=base,
+            recording_dir=str(tmp_path / "rec"),
+            mesh="stream=1,time=8",
+        )
+        sys_ = tm.create_system(cfg)
+        sys_.start()
+        try:
+            t0 = time.time()
+            call = None
+            while time.time() - t0 < 300:
+                st = sys_.status()
+                seen = list(sys_.active_calls.values()) + list(
+                    sys_.call_history
+                )
+                hit = [c for c in seen if c.tgid == 800]
+                if st["synced"] and hit and hit[0].imbe_frames >= 18:
+                    call = hit[0]
+                    break
+                time.sleep(0.25)
+            st = sys_.status()
+            assert st["synced"], st
+            assert st["mesh"] == "stream=1,time=8"
+            assert call is not None, (st, sys_.call_history)
+            assert abs(call.frequency_hz - 460_200_000.0) < 1
+            assert call.tdma_slot == 0
+            assert any(
+                m.get("type") == "PV_GRANT" for m in sys_.message_log
+            )
+            rec = sys_.pool.for_tgid(800)
+            if rec is not None:
+                assert rec._pcm, "no PCM synthesized"
+        finally:
+            tm.stop_all()
+
+
 class TestMeshPhase2Trunking:
     """Round-4 capstone: P25 Phase 2 dual-rate trunking ON THE MESH.
 

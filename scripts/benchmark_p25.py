@@ -40,6 +40,13 @@ def main() -> None:
     ap.add_argument("--rate", type=float, default=10e6)
     ap.add_argument("--block-seconds", type=float, default=0.25)
     ap.add_argument("--blocks-per-dispatch", type=int, default=4)
+    ap.add_argument(
+        "--transport",
+        default="i8",
+        choices=("i4", "i8", "i16", "f32"),
+        help="host->device IQ format for the BASELINE mode (i4 halves the "
+        "upload vs i8; see engine.CaptureConfig.transport)",
+    )
     args = ap.parse_args()
     if args.channels:
         run_baseline_point(args)
@@ -146,7 +153,7 @@ def run_baseline_point(args) -> None:
             wide_capacity=0,
             p25_capacity=n_p25,
             channel_bandwidth=25_000.0,
-            transport="i8",
+            transport=args.transport,
             pipeline_depth=2,
             blocks_per_dispatch=args.blocks_per_dispatch,
             # listener-gated audio fetch: demod runs for every slot, but

@@ -108,7 +108,12 @@ class CaptureConfig:
     # same dynamic-range model as an 8-bit front end (RTL-SDR): ~42 dB
     # below the strongest in-band signal.  Right for digital-voice
     # (P25/DMR) trunking captures where upload is the real-time budget.
-    transport: str = "i16"  # i8 | i16 | f32
+    # "i4" halves upload AGAIN (one byte per complex sample, adaptive
+    # nibble pairs): quantization noise is white across the capture band,
+    # so each narrowband channel sees only its slice (~25 dB per-channel
+    # at 100 equal channels in 10 MHz — docs/perf.md); opt-in for
+    # many-channel captures on upload-bound relays.
+    transport: str = "i16"  # i4 | i8 | i16 | f32
     # Software pipeline depth: 1 overlaps the host fetch of block k-1 with
     # the upload+compute of block k (jax dispatch is async), hiding the
     # device round trip when the stream keeps up.  0 = fully synchronous.
@@ -892,8 +897,13 @@ class Capture:
                     return
                 n = max(1, self.config.blocks_per_dispatch)
                 size = self.block_size
-                if self.config.transport == "i8":
+                if self.config.transport == "i4":
                     batch: Any = (
+                        np.zeros((n, size), np.int8),
+                        np.full(n, 1.0 / 7.0, np.float32),
+                    )
+                elif self.config.transport == "i8":
+                    batch = (
                         np.zeros((n, size), np.int16),
                         np.full(n, 1.0 / 127.0, np.float32),
                     )
@@ -1213,6 +1223,25 @@ class Capture:
                 rows.append(q.astype(np.int8).view(np.int16))
             # per-block scale folded back on-device: x_f32 = x_i8 * scale
             batch = (np.stack(rows), peaks * np.float32(1.0 / 127.0))
+        elif self.config.transport == "i4":
+            # adaptive 4-bit nibbles, ONE BYTE per complex sample: halves
+            # the upload again vs i8.  Quantization noise is white across
+            # the whole capture bandwidth, so narrowband channels see only
+            # their slice of it (~25 dB per-channel at 100 equal channels
+            # in 10 MHz — docs/perf.md); opt-in for upload-bound relays.
+            f_rows = [np.ascontiguousarray(b).view(np.float32) for b in blocks]
+            peaks = np.array(
+                [max(float(np.max(np.abs(r[::8]))), 1e-12) for r in f_rows],
+                np.float32,
+            )
+            rows = []
+            for r, p in zip(f_rows, peaks):
+                q = r * np.float32(7.0 / p)
+                np.rint(q, out=q)
+                np.clip(q, -7, 7, out=q)
+                qi = q.astype(np.int8)
+                rows.append((qi[1::2] << 4) | (qi[0::2] & 0x0F))
+            batch = (np.stack(rows), peaks * np.float32(1.0 / 7.0))
         else:
             rows = [np.ascontiguousarray(b).view(np.float32) for b in blocks]
             batch = np.stack(rows)

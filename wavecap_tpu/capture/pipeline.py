@@ -556,11 +556,24 @@ def _to_complex(x_in: jnp.ndarray, scale: jnp.ndarray | None = None) -> jnp.ndar
     a lane-stride relayout that cost ~160 ms per second of 10 Msps IQ on
     its own (round-4 bisect) — tiny-minor-dim layouts are TPU poison.
 
+      int8 word + ``scale``:  adaptive-i4 NIBBLE pairs (lo nibble I, hi
+                              nibble Q; scale = block_max/7).  Halves the
+                              upload again vs i8: quantization noise is
+                              white across the whole capture bandwidth,
+                              so a 12.5 kHz channel in a 10 MHz capture
+                              sees ~1/800 of it — ~25 dB per-channel SNR
+                              even at 4 bits with 100 equal channels
+                              (docs/perf.md round-4 measurement)
       int16 word + ``scale``: adaptive-i8 pairs (lo byte I, hi byte Q,
                               little-endian; scale = block_max/127)
       int32 word:             i16 pairs, scaled 1/32768
       f32:                    interleaved floats (tests; stride path)
     """
+    if x_in.dtype == jnp.int8:
+        assert scale is not None, "packed-i4 transport carries a scale"
+        i = ((x_in << 4) >> 4).astype(jnp.float32) * scale
+        q = (x_in >> 4).astype(jnp.float32) * scale
+        return jax.lax.complex(i, q)
     if x_in.dtype == jnp.int16:
         assert scale is not None, "packed-i8 transport carries a scale"
         i = ((x_in << 8) >> 8).astype(jnp.float32) * scale

@@ -227,6 +227,7 @@ class AppState:
                     sample_rate=spec.sample_rate,
                     gain_db=spec.gain_db,
                     mesh=spec.mesh or self.config.stream.mesh,
+                    transport=self.config.stream.transport,
                     narrow_capacity=self.config.limits.max_channels_per_capture,
                     wide_capacity=self.config.limits.max_wide_channels,
                     p25_capacity=self.config.limits.max_p25_channels,
@@ -526,6 +527,9 @@ def build_router(state: AppState) -> Router:
                     antenna=body.get("antenna"),
                     agc=bool(body.get("agc", False)),
                     mesh=body.get("mesh", state.config.stream.mesh),
+                    transport=str(
+                        body.get("transport", state.config.stream.transport)
+                    ),
                     audio_fetch_slots=int(
                         body.get(
                             "audioFetchSlots",

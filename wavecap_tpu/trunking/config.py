@@ -69,6 +69,11 @@ class TrunkingSystemConfig:
     # CQPSK/LSM simulcast equalizer taps for this system's capture
     # (0 = off; odd, e.g. 127) — worth enabling on simulcast networks
     equalizer_taps: int = 0
+    # Host->device IQ transport for this system's capture: "i8" (default,
+    # the 8-bit front-end dynamic-range model) or "i4" to halve the
+    # upload again on upload-bound relays (quantization noise is white
+    # across the capture band — see engine.CaptureConfig.transport)
+    transport: str = "i8"
     # Phase 1 air-interface override: "cqpsk" selects the LSM simulcast
     # demod for control + voice (reference P25Modulation C4FM/LSM,
     # reference decoders/p25.py:1755); None = protocol default (Phase 1
@@ -129,6 +134,7 @@ class TrunkingSystemConfig:
             ),
             modulation=d.get("modulation"),
             equalizer_taps=int(d.get("equalizer_taps", d.get("equalizerTaps", 0))),
+            transport=str(d.get("transport", "i8")),
             mesh=d.get("mesh"),
         )
 

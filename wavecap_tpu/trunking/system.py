@@ -208,8 +208,8 @@ class TrunkingSystem:
                 # Adaptive-scale int8 IQ transport: digital voice tolerates
                 # the 8-bit front-end dynamic-range model (RTL-SDRs are
                 # 8-bit), and upload bandwidth is the real-time budget on
-                # relay-attached TPUs.
-                transport="i8",
+                # relay-attached TPUs.  "i4" (config) halves it again.
+                transport=cfg.transport,
                 # two batches in flight: upload k+1 proceeds while k computes
                 # and k-1 fetches.  A real-time-paced SDR keeps the queue at
                 # 0-1 in steady state, so grant latency stays ~one block.

@@ -45,6 +45,9 @@ class StreamConfig:
     # which channels have live subscribers — the device->host audio bytes
     # dominate at high channel counts.  0 = fetch every slot's audio.
     audio_fetch_slots: int = 0
+    # default host->device IQ transport for new captures
+    # (engine.CaptureConfig.transport): i4 | i8 | i16 | f32
+    transport: str = "i16"
 
 
 @dataclass

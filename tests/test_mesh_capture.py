@@ -19,7 +19,9 @@ from wavecap_tpu.devices import FakeDriver, FakeStation
 from wavecap_tpu.devices.base import DeviceConfig
 
 
-def make_mesh_capture(mesh="stream=1,time=8", stations=None, rate=800_000):
+def make_mesh_capture(
+    mesh="stream=1,time=8", stations=None, rate=800_000, **cfg_kw
+):
     drv = FakeDriver(
         stations=stations
         if stations is not None
@@ -34,7 +36,7 @@ def make_mesh_capture(mesh="stream=1,time=8", stations=None, rate=800_000):
     cap = mgr.create_capture(
         config=CaptureConfig(
             center_hz=155e6, sample_rate=rate, mesh=mesh,
-            wide_capacity=0, p25_capacity=0,
+            wide_capacity=0, p25_capacity=0, **cfg_kw,
         )
     )
     return mgr, cap
@@ -155,6 +157,24 @@ class TestMeshEndToEnd:
         assert abs(freqs[int(np.argmax(spec))] - 1000.0) < 25.0
         assert float(np.sqrt(np.mean(seg**2))) > 0.05
         assert cap.status()["mesh"] == "stream=1,time=8"
+
+    def test_i4_transport_through_mesh_engine(self):
+        """The 4-bit nibble transport and the mesh backend compose: the
+        shared _to_complex word decode runs inside the sharded program."""
+        mgr, cap = make_mesh_capture(transport="i4")
+        ch = cap.create_channel(
+            ChannelSpec(id="c1", mode="nbfm", frequency_hz=155.1e6)
+        )
+        cap.start()
+        try:
+            audio = self._collect_audio(cap, ch)
+        finally:
+            cap.stop()
+        assert len(audio) >= 48_000
+        seg = audio[4800:]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        freqs = np.fft.rfftfreq(len(seg), 1 / 48_000)
+        assert abs(freqs[int(np.argmax(spec))] - 1000.0) < 25.0
 
     def test_mixed_nbfm_am_through_mesh_engine(self):
         """Round 4 mixed-mode grid: an NBFM station and an AM station in

@@ -63,6 +63,26 @@ class TestOverlay:
         cfg = config_from_dict({"pocsag_aliases": {"abc": "X", "42": "Y"}})
         assert cfg.pocsag_aliases == {42: "Y"}
 
+    def test_shipped_example_config_loads(self):
+        """The example YAML uses ``2.4e6``-style literals, which YAML 1.1
+        resolves as *strings* (no sign after the exponent marker) — the
+        loader must coerce them; a regression here crashes `serve` at boot."""
+        import pathlib
+
+        import yaml
+
+        example = pathlib.Path(__file__).resolve().parents[1] / "wavecap.yaml.example"
+        d = yaml.safe_load(example.read_text())
+        assert isinstance(d["captures"][0]["sample_rate"], str)  # the YAML trap
+        cfg = config_from_dict(d)
+        assert cfg.captures[0].sample_rate == 2_400_000
+        assert cfg.captures[0].center_hz == pytest.approx(90.3e6)
+        from wavecap_tpu.trunking.config import TrunkingSystemConfig
+
+        ts = TrunkingSystemConfig.from_dict(cfg.trunking_systems[0])
+        assert ts.sample_rate == 2_400_000
+        assert ts.control_channels[0] == pytest.approx(851.2e6)
+
 
 class TestConcurrentOperations:
     """Channel CRUD racing the capture block loop (reference

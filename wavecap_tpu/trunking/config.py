@@ -113,7 +113,8 @@ class TrunkingSystemConfig:
             ),
             control_channels=cc,
             center_hz=d.get("center_hz", d.get("centerHz")),
-            sample_rate=int(d.get("sample_rate", d.get("sampleRate", 2_400_000))),
+            # int(float(...)): YAML 1.1 treats "2.4e6" as a string (see utils/config.py)
+            sample_rate=int(float(d.get("sample_rate", d.get("sampleRate", 2_400_000)))),
             device_id=d.get("device_id", d.get("deviceId")),
             hunt_mode=HuntMode(d.get("hunt_mode", d.get("huntMode", "hunt"))),
             hunt_timeout_s=float(d.get("hunt_timeout_s", d.get("huntTimeoutS", 10.0))),

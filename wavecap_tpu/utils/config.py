@@ -187,7 +187,9 @@ def config_from_dict(d: dict, paths: list[str] | None = None) -> AppConfig:
             CaptureSpecConfig(
                 id=str(c["id"]),
                 center_hz=float(c.get("center_hz", c.get("centerHz", 100e6))),
-                sample_rate=int(c.get("sample_rate", c.get("sampleRate", 2_400_000))),
+                # int(float(...)) because YAML 1.1 parses "2.4e6" (no sign after
+                # the exponent marker) as a *string*, not a float.
+                sample_rate=int(float(c.get("sample_rate", c.get("sampleRate", 2_400_000)))),
                 device_id=c.get("device_id", c.get("deviceId")),
                 gain_db=c.get("gain_db", c.get("gainDb")),
                 auto_start=bool(c.get("auto_start", c.get("autoStart", True))),

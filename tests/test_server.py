@@ -135,6 +135,15 @@ class TestRest:
         assert r.json()["ok"]
         r = client.post(f"/captures/{cid}/stop")
         assert r.json()["state"] == "stopped"
+
+        # snapshot serves the cached last frame instantly even with no new
+        # frames flowing (block loop stopped / bank-change recompile in
+        # flight) — previously it hung 10 s waiting for the NEXT frame.
+        t0 = time.monotonic()
+        spec = client.get(f"/captures/{cid}/spectrum").json()
+        assert len(spec["db"]) == 2048
+        assert time.monotonic() - t0 < 5.0
+
         assert client.delete(f"/captures/{cid}").json()["ok"]
 
     def test_errors(self, client):

@@ -181,6 +181,10 @@ class Capture:
         self.channels: dict[str, ChannelHandle] = {}
         self.iq_subs = FanOut(maxsize=8)
         self.spectrum_subs = FanOut(maxsize=8)
+        # Last published frame, so REST snapshots answer instantly even while
+        # a bank-change recompile stalls the block loop (previously they hung
+        # up to 10 s waiting for the NEXT frame).
+        self.last_spectrum: np.ndarray | None = None
 
         self._lock = threading.RLock()
         self._stop = threading.Event()
@@ -1369,6 +1373,7 @@ class Capture:
         now = time.time()
         for b in range(n):
             spec = np.asarray(out["spectrum"][b])
+            self.last_spectrum = spec
             self.spectrum_subs.publish(spec)
             self.classifier.update(spec)
             if self.iq_subs.active:

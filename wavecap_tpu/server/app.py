@@ -582,13 +582,16 @@ def build_router(state: AppState) -> Router:
     @r.get(v1 + "/captures/{cid}/spectrum")
     async def capture_spectrum(req: Request) -> Response:
         cap = state.get_capture(req.params["cid"])
-        sub = cap.spectrum_subs.subscribe(maxsize=2)
-        try:
-            spec = await asyncio.to_thread(sub.get, 10.0)
-        except Exception:
-            raise HttpError(404, "no spectrum available (capture running?)")
-        finally:
-            sub.close()
+        spec = getattr(cap, "last_spectrum", None)
+        if spec is None:
+            # No frame yet (capture just started): wait for the first one.
+            sub = cap.spectrum_subs.subscribe(maxsize=2)
+            try:
+                spec = await asyncio.to_thread(sub.get, 10.0)
+            except Exception:
+                raise HttpError(404, "no spectrum available (capture running?)")
+            finally:
+                sub.close()
         frame = spec[-1] if spec.ndim == 2 else spec
         return Response.json(
             {

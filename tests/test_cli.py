@@ -31,7 +31,7 @@ class TestListAndCapture:
         out = tmp_path / "iq.wav"
         rc = run_cli(
             monkeypatch, "capture-iq", "--driver", "fake",
-            "--freq", "100e6", "--rate", "800000",
+            "--freq", "100e6", "--rate", "800e3",  # SDR-style literal must parse
             "--duration", "0.25", "--output", str(out),
         )
         assert rc == 0 and out.exists()

@@ -396,6 +396,11 @@ def cmd_serve(args) -> int:
     return server_main()
 
 
+def _hz(v: str) -> int:
+    """Integer rates/frequencies accepting SDR-style literals ("2.4e6")."""
+    return int(float(v))
+
+
 def main() -> int:
     from wavecap_tpu.utils.jaxenv import ensure_platform
 
@@ -412,7 +417,7 @@ def main() -> int:
     s.add_argument("--driver", default=None)
     s.add_argument("--device", default=None)
     s.add_argument("--freq", type=float, required=True)
-    s.add_argument("--rate", type=int, default=2_400_000)
+    s.add_argument("--rate", type=_hz, default=2_400_000)
     s.add_argument("--gain", type=float, default=None)
     s.add_argument("--duration", type=float, default=10.0)
     s.add_argument("--output", required=True)
@@ -420,10 +425,10 @@ def main() -> int:
 
     s = sub.add_parser("demod")
     s.add_argument("--input", required=True)
-    s.add_argument("--rate", type=int, default=None)
+    s.add_argument("--rate", type=_hz, default=None)
     s.add_argument("--offset", type=float, default=0.0)
     s.add_argument("--mode", default="wbfm")
-    s.add_argument("--audio-rate", type=int, default=48_000)
+    s.add_argument("--audio-rate", type=_hz, default=48_000)
     s.add_argument(
         "--dsp", action="append", metavar="FIELD=VALUE",
         help="demod config override (snake_case), e.g. "
@@ -438,14 +443,14 @@ def main() -> int:
 
     s = sub.add_parser("decode-iq")
     s.add_argument("--input", required=True)
-    s.add_argument("--rate", type=int, default=None)
+    s.add_argument("--rate", type=_hz, default=None)
     s.add_argument("--offset", type=float, default=0.0)
     s.add_argument("--messages", default=None)
     s.set_defaults(fn=cmd_decode_iq)
 
     s = sub.add_parser("decode-audio")
     s.add_argument("--input", required=True)
-    s.add_argument("--rate", type=int, default=None)
+    s.add_argument("--rate", type=_hz, default=None)
     s.add_argument("--output", required=True)
     s.set_defaults(fn=cmd_decode_audio)
 

@@ -1422,18 +1422,27 @@ def build_router(state: AppState) -> Router:
     async def ws_spectrum(req: Request, ws: WebSocket) -> None:
         cap = state.get_capture(req.params["cid"])
         sub = cap.spectrum_subs.subscribe(maxsize=4)
+
+        async def send(spec) -> None:
+            frame = spec[-1] if spec.ndim == 2 else spec
+            await ws.send_json(
+                {
+                    "type": "spectrum",
+                    "centerHz": cap.config.center_hz,
+                    "sampleRate": cap.config.sample_rate,
+                    "db": [round(float(x), 1) for x in frame],
+                }
+            )
+
         try:
+            # Instant first paint: replay the cached last frame on connect
+            # instead of making the client wait out an FPS interval (or a
+            # bank-change recompile) for the next published one.
+            cached = getattr(cap, "last_spectrum", None)
+            if cached is not None:
+                await send(cached)
             while not ws.closed:
-                spec = await _sub_get(sub, ws)
-                frame = spec[-1] if spec.ndim == 2 else spec
-                await ws.send_json(
-                    {
-                        "type": "spectrum",
-                        "centerHz": cap.config.center_hz,
-                        "sampleRate": cap.config.sample_rate,
-                        "db": [round(float(x), 1) for x in frame],
-                    }
-                )
+                await send(await _sub_get(sub, ws))
         finally:
             sub.close()
 

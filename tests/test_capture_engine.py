@@ -100,6 +100,26 @@ class TestCaptureEngine:
         finally:
             cap.stop()
 
+    def test_snapshot_cache_invalidated_on_retune_and_stop(self):
+        """Retune/stop must drop the cached snapshot frame: serving a frame
+        from the old frequency labeled with the new centerHz lies to clients,
+        and a stopped capture must not serve stale data forever."""
+        mgr = make_manager([FakeStation(offset_hz=5000.0, kind="tone")])
+        cap = mgr.create_capture(
+            config=CaptureConfig(center_hz=CENTER, sample_rate=RATE, block_seconds=0.2)
+        )
+        cap.start()
+        try:
+            assert wait_for(lambda: cap.last_spectrum is not None, timeout=60)
+            cap.update_config(gain_db=20.0)  # front-end-only: cache survives
+            assert cap.last_spectrum is not None
+            cap.update_config(center_hz=CENTER + 1e6)
+            assert cap.last_spectrum is None
+            assert wait_for(lambda: cap.last_spectrum is not None, timeout=60)
+        finally:
+            cap.stop()
+        assert cap.last_spectrum is None
+
     def test_manager_limits_and_removal(self):
         mgr = CaptureManager(FakeDriver(n_devices=1), max_captures=1)
         cap = mgr.create_capture()

@@ -69,6 +69,9 @@ def test_serve_boots_from_example_config(tmp_path):
 
         # The example config autostarts the `fm` capture on the fake driver;
         # wait for it to actually process blocks (engine compiled + running).
+        # Fresh budget for this phase: a slow JAX CPU pipeline compile during
+        # boot must not eat the block-processing wait.
+        deadline = time.monotonic() + 90.0
         blocks = 0
         while time.monotonic() < deadline:
             caps = _get(f"{base}/captures")

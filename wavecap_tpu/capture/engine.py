@@ -578,6 +578,9 @@ class Capture:
             self.classifier = ChannelClassifier(
                 self.config.center_hz, self.config.sample_rate, self.config.fft_size
             )
+            # The cached snapshot frame is from the OLD frequency/rate; serving
+            # it labeled with the new centerHz would lie to the client.
+            self.last_spectrum = None
         self._ctl_dirty = True
         if was_running and rate_change:
             self.start()
@@ -1060,6 +1063,8 @@ class Capture:
                     pass
             setattr(self, attr, None)
         self.state = "stopped"
+        # A stopped capture must not serve a stale snapshot indefinitely.
+        self.last_spectrum = None
 
     def restart(self) -> None:
         self.stop()

@@ -1442,7 +1442,14 @@ def build_router(state: AppState) -> Router:
             if cached is not None:
                 await send(cached)
             while not ws.closed:
-                await send(await _sub_get(sub, ws))
+                spec = await _sub_get(sub, ws)
+                if spec is cached:
+                    # the replayed cached frame was still queued for this
+                    # subscriber — don't double-paint it
+                    cached = None
+                    continue
+                cached = None
+                await send(spec)
         finally:
             sub.close()
 

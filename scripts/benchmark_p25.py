@@ -47,6 +47,22 @@ def main() -> None:
         help="host->device IQ format for the BASELINE mode (i4 halves the "
         "upload vs i8; see engine.CaptureConfig.transport)",
     )
+    ap.add_argument(
+        "--adaptive",
+        action="store_true",
+        help="enable adaptive transport (auto-degrade --transport down the "
+        "i16->i8->i4 ladder under measured link pressure, recover when it "
+        "clears; engine.CaptureConfig.adaptive_transport)",
+    )
+    ap.add_argument(
+        "--throttle-mbps",
+        type=float,
+        default=0.0,
+        help="simulate a congested upload link: charge host->device bytes "
+        "at this rate (MB/s) on top of the real link — use with --adaptive "
+        "to demonstrate degrade-and-hold vs a static transport falling "
+        "behind",
+    )
     args = ap.parse_args()
     if args.channels:
         run_baseline_point(args)
@@ -154,6 +170,7 @@ def run_baseline_point(args) -> None:
             p25_capacity=n_p25,
             channel_bandwidth=25_000.0,
             transport=args.transport,
+            adaptive_transport=bool(args.adaptive),
             pipeline_depth=2,
             blocks_per_dispatch=args.blocks_per_dispatch,
             # listener-gated audio fetch: demod runs for every slot, but
@@ -181,6 +198,8 @@ def run_baseline_point(args) -> None:
     # audio subscribers on a sample of channels: fan-out cost is per-publish
     # regardless, but a subscriber proves PCM actually reaches the host tier
     subs = [cap.channels[c].audio.subscribe() for c in ("n0", f"n{n_nbfm-1}")]
+    if args.throttle_mbps > 0:
+        cap._upload_throttle_bps = args.throttle_mbps * 1e6
     t_start = time.time()
     cap.start()
     warm_n, end_n = 8, 88
@@ -246,6 +265,10 @@ def run_baseline_point(args) -> None:
                 "block_wall_ms": round(wall_ms, 1),
                 "block_latency_ms": round(block_lat_ms, 1),
                 "realtime_x": round(rt, 2),
+                "transport": args.transport,
+                "transport_active": cap.transport_active,
+                "adaptive": bool(args.adaptive),
+                "throttle_mbps": args.throttle_mbps or None,
                 "audio_batches_received": got_audio,
                 "startup_s": round(t_warm - t_start, 1) if t_warm else None,
                 "stage_ms_per_dispatch": stage_ms,

@@ -114,6 +114,19 @@ class CaptureConfig:
     # at 100 equal channels in 10 MHz — docs/perf.md); opt-in for
     # many-channel captures on upload-bound relays.
     transport: str = "i16"  # i4 | i8 | i16 | f32
+    # Adaptive transport (round 5): when the measured per-batch processing
+    # budget approaches realtime (congested relay link, slow hour), the
+    # capture auto-degrades the IQ transport one step down the
+    # i16 -> i8 -> i4 ladder and recovers when the link clears, instead of
+    # falling behind and overflowing at a statically configured width.
+    # The configured ``transport`` is the FIDELITY CEILING — adaptation
+    # only ever steps below it, and an explicit "f32" ceiling disables
+    # adaptation entirely (test/measurement fidelity stays exact).
+    # Switching costs one cached jit retrace (the block program is
+    # polymorphic over the batch pytree); no pipeline rebuild, no DSP
+    # state reset.  Reference analog: adaptive FFT FPS under load
+    # (reference capture.py:3144).
+    adaptive_transport: bool = True
     # Software pipeline depth: 1 overlaps the host fetch of block k-1 with
     # the upload+compute of block k (jax dispatch is async), hiding the
     # device round trip when the stream keeps up.  0 = fully synchronous.
@@ -208,6 +221,15 @@ class Capture:
         self._wide_baseband = False
         self._audio_fp: frozenset = frozenset()
         self._audio_pos: dict = {}
+        # adaptive transport (see CaptureConfig.adaptive_transport):
+        # transport_active is the width actually used for the next batch
+        self.transport_active: str = config.transport
+        self._adapt_ema = 0.0  # EMA of busy/budget load ratio
+        self._adapt_good = 0  # consecutive low-load batches at degraded width
+        self._last_fetch_busy_ms = 0.0  # fetch-thread cost of the last batch
+        # test/simulation hook: when set, _dispatch_blocks sleeps
+        # nbytes/bps after conversion, emulating a congested upload link
+        self._upload_throttle_bps: float | None = None
         # driver-service recovery escalation (set by the CaptureManager)
         self.recovery = None
 
@@ -859,6 +881,10 @@ class Capture:
             self._stop.clear()
             self._retune_pending = False
             self._started_at = time.time()
+            # a fresh stream starts at the configured fidelity ceiling
+            self.transport_active = self.config.transport
+            self._adapt_ema = 0.0
+            self._adapt_good = 0
             self._gen += 1
             self._rebuild_pipeline_if_needed()
             # publish the attributes only AFTER .start(): a concurrent
@@ -904,27 +930,44 @@ class Capture:
                     return
                 n = max(1, self.config.blocks_per_dispatch)
                 size = self.block_size
-                if self.config.transport == "i4":
-                    batch: Any = (
-                        np.zeros((n, size), np.int8),
-                        np.full(n, 1.0 / 7.0, np.float32),
-                    )
-                elif self.config.transport == "i8":
-                    batch = (
-                        np.zeros((n, size), np.int16),
-                        np.full(n, 1.0 / 127.0, np.float32),
-                    )
-                elif self.config.transport == "i16":
-                    batch = np.zeros((n, size), np.int32)
-                else:
-                    batch = np.zeros((n, 2 * size), np.float32)
+
+                def zeros_batch(transport: str) -> Any:
+                    if transport == "i4":
+                        return (
+                            np.zeros((n, size), np.int8),
+                            np.full(n, 1.0 / 7.0, np.float32),
+                        )
+                    if transport == "i8":
+                        return (
+                            np.zeros((n, size), np.int16),
+                            np.full(n, 1.0 / 127.0, np.float32),
+                        )
+                    if transport == "i16":
+                        return np.zeros((n, size), np.int32)
+                    return np.zeros((n, 2 * size), np.float32)
+
+                # adaptive transport may step down the ladder mid-stream;
+                # warming those variants too means a congested-hour
+                # degradation never pays a cold compile while already behind
+                widths = [self.config.transport]
+                if (
+                    self.config.adaptive_transport
+                    and self.config.transport in self._TRANSPORT_LADDER
+                ):
+                    i = self._TRANSPORT_LADDER.index(self.config.transport)
+                    widths = list(self._TRANSPORT_LADDER[i:])
                 self._compile_started = time.time()
                 self._compiling = True
                 try:
-                    out, _ = jit_step(
-                        jax.tree_util.tree_map(jnp.asarray, batch), state, ctl
-                    )
-                    jax.block_until_ready(out)
+                    for transport in widths:
+                        out, _ = jit_step(
+                            jax.tree_util.tree_map(
+                                jnp.asarray, zeros_batch(transport)
+                            ),
+                            state,
+                            ctl,
+                        )
+                        jax.block_until_ready(out)
                 finally:
                     self._compiling = False
                 self._program_warm = True
@@ -1203,7 +1246,8 @@ class Capture:
         # an int16, i16 pairs in an int32 — a free np .view of the
         # quantized interleaved bytes); the device splits I/Q with shifts
         # (see pipeline._to_complex for why not stride-2 slicing).
-        if self.config.transport == "i16":
+        transport = self.transport_active
+        if transport == "i16":
             rows = [
                 np.clip(
                     np.round(np.ascontiguousarray(b).view(np.float32) * 32767.0),
@@ -1215,7 +1259,7 @@ class Capture:
                 for b in blocks
             ]
             batch: Any = np.stack(rows)
-        elif self.config.transport == "i8":
+        elif transport == "i8":
             f_rows = [np.ascontiguousarray(b).view(np.float32) for b in blocks]
             # peak from a stride-8 subsample: within ~0.1 dB for real IQ
             # and the clip below bounds any stragglers; the full |x| scan
@@ -1232,7 +1276,7 @@ class Capture:
                 rows.append(q.astype(np.int8).view(np.int16))
             # per-block scale folded back on-device: x_f32 = x_i8 * scale
             batch = (np.stack(rows), peaks * np.float32(1.0 / 127.0))
-        elif self.config.transport == "i4":
+        elif transport == "i4":
             # adaptive 4-bit nibbles, ONE BYTE per complex sample: halves
             # the upload again vs i8.  Quantization noise is white across
             # the whole capture bandwidth, so narrowband channels see only
@@ -1255,10 +1299,18 @@ class Capture:
             rows = [np.ascontiguousarray(b).view(np.float32) for b in blocks]
             batch = np.stack(rows)
         t_conv1 = time.perf_counter()
+        if self._upload_throttle_bps:
+            # congested-link simulation (tests/benchmarks): charge the
+            # upload at the throttled byte rate so adaptation is observable
+            nbytes = sum(
+                a.nbytes for a in jax.tree_util.tree_leaves(batch)
+            )
+            time.sleep(nbytes / self._upload_throttle_bps)
         # heartbeat BEFORE dispatch: a cold jit compile (tens of seconds on
         # first block / after a mode-set change) must not trip the stall
         # watchdog and trigger a pointless restart loop
         self.last_block_time = time.time()
+        warm_at_dispatch = self._program_warm
         if not self._program_warm:
             self._compile_started = time.time()
             self._compiling = True
@@ -1301,8 +1353,72 @@ class Capture:
             ):
                 self._pend_cv.wait(0.1)
         p["wait_ms"] = p.get("wait_ms", 0.0) + (time.perf_counter() - t_wait0) * 1e3
+        if warm_at_dispatch:
+            # compile batches are not load samples
+            busy_ms = (time.perf_counter() - t0) * 1e3
+            budget_ms = len(blocks) * self.block_size / self.config.sample_rate * 1e3
+            self._adapt_transport(
+                max(busy_ms, self._last_fetch_busy_ms), budget_ms
+            )
         if self._fetch_thread is None or not self._fetch_thread.is_alive():
             self._drain_inline()
+
+    _TRANSPORT_LADDER = ("i16", "i8", "i4")
+
+    def _adapt_transport(self, busy_ms: float, budget_ms: float) -> None:
+        """Auto-degrade/recover the IQ transport width under link pressure.
+
+        ``busy_ms`` is the slower of the capture thread's per-batch cost
+        (conv + upload + dispatch + pipeline wait) and the fetch thread's
+        (device fetch + fan-out); whichever thread exceeds the realtime
+        budget first is the one that makes the stream fall behind.  The
+        controller keeps an EMA of the load ratio with hysteresis:
+
+        * EMA > 0.90 -> step DOWN one width (the next batch ships fewer
+          bytes; one cached retrace, no state reset);
+        * predicted post-upgrade load (~2x: upload dominates and doubles
+          per step) < 0.85 sustained for 40 batches -> step back UP,
+          never above the configured ceiling.
+
+        Reference analog: load-adaptive FFT FPS (capture.py:3144); here
+        the lever is the dominant term — host->device bytes."""
+        cfg = self.config
+        if not cfg.adaptive_transport or cfg.transport not in ("i16", "i8"):
+            return
+        if budget_ms <= 0:
+            return
+        ladder = self._TRANSPORT_LADDER
+        load = busy_ms / budget_ms
+        # converge from 0 rather than seeding with the first sample: one
+        # loaded batch is never enough to degrade (~9 batches at load 0.95
+        # cross the 0.90 threshold), while a hard overload (load > 3)
+        # still trips on the first sample
+        self._adapt_ema = 0.7 * self._adapt_ema + 0.3 * load
+        cur = ladder.index(self.transport_active)
+        base = ladder.index(cfg.transport)
+        if self._adapt_ema > 0.90 and cur < len(ladder) - 1:
+            self.transport_active = ladder[cur + 1]
+            self._adapt_good = 0
+            self._adapt_ema = 0.0  # fresh window at the new width
+            logger.warning(
+                "capture %s: load %.2f of realtime — degrading transport to %s",
+                self.id,
+                load,
+                self.transport_active,
+            )
+        elif cur > base and self._adapt_ema * 2.0 < 0.85:
+            self._adapt_good += 1
+            if self._adapt_good >= 40:
+                self.transport_active = ladder[cur - 1]
+                self._adapt_good = 0
+                self._adapt_ema = 0.0
+                logger.info(
+                    "capture %s: link recovered — transport back to %s",
+                    self.id,
+                    self.transport_active,
+                )
+        else:
+            self._adapt_good = 0
 
     def _fetch_loop(self) -> None:
         """Drain dispatched batches: device fetch + host fan-out.
@@ -1426,6 +1542,8 @@ class Capture:
         p = self.perf
         p["fetch_ms"] = p.get("fetch_ms", 0.0) + (t_f1 - t_f0) * 1e3
         p["fanout_ms"] = p.get("fanout_ms", 0.0) + (time.perf_counter() - t_f1) * 1e3
+        # feed the adaptive-transport controller the fetch thread's cost
+        self._last_fetch_busy_ms = (time.perf_counter() - t_f0) * 1e3
 
     # -- info --------------------------------------------------------------
 
@@ -1446,6 +1564,8 @@ class Capture:
             "blocksProcessed": self.blocks_processed,
             "overflowCount": self.overflow_count,
             "blockMs": round(self.block_ms, 2),
+            "transport": self.config.transport,
+            "transportActive": self.transport_active,
             "perf": {k: round(v, 1) for k, v in self.perf.items()},
             "channels": [
                 {

@@ -228,6 +228,7 @@ class AppState:
                     gain_db=spec.gain_db,
                     mesh=spec.mesh or self.config.stream.mesh,
                     transport=self.config.stream.transport,
+                    adaptive_transport=self.config.stream.adaptive_transport,
                     narrow_capacity=self.config.limits.max_channels_per_capture,
                     wide_capacity=self.config.limits.max_wide_channels,
                     p25_capacity=self.config.limits.max_p25_channels,
@@ -529,6 +530,12 @@ def build_router(state: AppState) -> Router:
                     mesh=body.get("mesh", state.config.stream.mesh),
                     transport=str(
                         body.get("transport", state.config.stream.transport)
+                    ),
+                    adaptive_transport=bool(
+                        body.get(
+                            "adaptiveTransport",
+                            state.config.stream.adaptive_transport,
+                        )
                     ),
                     audio_fetch_slots=int(
                         body.get(

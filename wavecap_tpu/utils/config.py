@@ -48,6 +48,11 @@ class StreamConfig:
     # default host->device IQ transport for new captures
     # (engine.CaptureConfig.transport): i4 | i8 | i16 | f32
     transport: str = "i16"
+    # auto-degrade the transport down the i16->i8->i4 ladder when the
+    # measured per-batch budget approaches realtime, recover when the
+    # link clears (engine.CaptureConfig.adaptive_transport); the
+    # configured transport is the fidelity ceiling
+    adaptive_transport: bool = True
 
 
 @dataclass

@@ -247,6 +247,90 @@ class TestVoiceSuperframes:
         assert tr.process(rng.normal(0, 1, 5000).astype(np.float32)) == []
 
 
+class TestCach:
+    """CACH/TACT (ETSI TS 102 361-1 7.1.3, B.3.2, B.4) — absent from the
+    reference entirely; the TC bit is what routes dual-slot voice."""
+
+    def test_tact_roundtrip_all_values(self):
+        for at in (0, 1):
+            for tc in (0, 1):
+                for lcss in range(4):
+                    got = dmr.decode_tact(dmr.encode_tact(at, tc, lcss))
+                    assert got == (at, tc, lcss, 0)
+
+    def test_tact_single_error_correction(self):
+        w0 = dmr.encode_tact(1, 0, 2)
+        for pos in range(7):
+            w = w0.copy()
+            w[pos] ^= 1
+            assert dmr.decode_tact(w) == (1, 0, 2, 1), pos
+
+    def test_cach_roundtrip_with_payload(self):
+        rng = np.random.default_rng(3)
+        payload = rng.integers(0, 2, 17).astype(np.uint8)
+        cach = dmr.encode_cach(1, 1, 3, payload)
+        got = dmr.decode_cach(cach)
+        assert (got["at"], got["tc"], got["lcss"], got["errors"]) == (1, 1, 3, 0)
+        assert np.array_equal(got["payload"], payload)
+
+    def test_burst_slot_tagging(self):
+        for slot in (0, 1):
+            d = dmr.build_test_burst("BS_DATA", tdma_slot=slot)
+            assert dmr.burst_tdma_slot(d) == slot
+
+    def test_decode_burst_reports_cach_slot(self):
+        bits = dmr.make_csbk_bits(0x30, dst_id=800, src_id=900, channel=33)
+        burst_d = dmr.build_data_burst(bits, dmr.DataType.CSBK)
+        cach = dmr.encode_cach(1, 1, 0)
+        burst_d[:12] = ((cach[0::2] << 1) | cach[1::2]).astype(np.uint8)
+        dec = dmr.DMRDecoder()
+        bursts = dec.process(dmr.DIBIT_SYMBOLS[burst_d].astype(np.float32))
+        assert bursts
+        parsed = dmr.decode_burst(bursts[0])
+        assert parsed is not None and parsed["cachSlot"] == 1
+
+
+class TestDualSlotVoice:
+    """Two concurrent voice calls on ONE carrier, routed by CACH TC
+    (round 5): the slot-blind tracker double-captures the interleaved
+    stream; slot-routed trackers separate it cleanly."""
+
+    def _stream(self):
+        rng = np.random.default_rng(21)
+        ambe0 = rng.integers(0, 2, (18, 72)).astype(np.uint8)
+        ambe1 = rng.integers(0, 2, (18, 72)).astype(np.uint8)
+        dibits = dmr.build_dual_slot_voice_stream(ambe0, ambe1, rng=rng)
+        soft = dmr.DIBIT_SYMBOLS[dibits].astype(np.float32)
+        return ambe0, ambe1, soft
+
+    def test_slot_routed_trackers_separate_the_calls(self):
+        ambe0, ambe1, soft = self._stream()
+        for slot, expect in ((0, ambe0), (1, ambe1)):
+            tr = dmr.DMRVoiceTracker(stride_bursts=2, tdma_slot=slot)
+            sfs = []
+            # odd-sized chunks: state must carry across block boundaries
+            for i in range(0, len(soft), 307):
+                sfs.extend(tr.process(soft[i : i + 307]))
+            assert len(sfs) == 1, f"slot {slot}: {len(sfs)} superframes"
+            assert np.array_equal(sfs[0].ambe_bits, expect), f"slot {slot}"
+            if slot == 1:
+                # the slot-1 tracker had to step past slot 0's anchor
+                # (slot 0's tracker consumes its span before ever seeing
+                # the foreign anchor, so it skips nothing)
+                assert tr.skipped_other_slot >= 1
+
+    def test_wrong_slot_gets_nothing_from_single_slot_stream(self):
+        rng = np.random.default_rng(22)
+        ambe = rng.integers(0, 2, (18, 72)).astype(np.uint8)
+        dibits = dmr.build_voice_superframe(
+            ambe, stride_bursts=2, rng=rng, tdma_slot=0
+        )
+        soft = dmr.DIBIT_SYMBOLS[dibits].astype(np.float32)
+        assert dmr.DMRVoiceTracker(stride_bursts=2, tdma_slot=1).process(soft) == []
+        sfs = dmr.DMRVoiceTracker(stride_bursts=2, tdma_slot=0).process(soft)
+        assert len(sfs) == 1 and np.array_equal(sfs[0].ambe_bits, ambe)
+
+
 @pytest.mark.slow
 class TestDmrOverRF:
     def test_csbk_bursts_from_rf_iq_through_engine(self):

@@ -547,9 +547,10 @@ class TestDmrTier3Trunking:
         frames = AmbeEncoder().encode(tone)[:18]
         # realistic repeater TDMA stream: this call's voice bursts alternate
         # with the other timeslot's data bursts (stride 2 matches the
-        # configured 2-slot channel plan)
+        # configured 2-slot channel plan); real CACH TC tags (round 5) so
+        # the recorder's slot routing follows slot 0
         voice_dibits = dmr.build_voice_superframe(
-            ambe_bits=frames, stride_bursts=2
+            ambe_bits=frames, stride_bursts=2, tdma_slot=0
         )
         voice_iq = make_dmr_stream_iq(
             capture_rate, 460_200_000.0 - center, voice_dibits
@@ -608,6 +609,135 @@ class TestDmrTier3Trunking:
                 time.sleep(0.25)
             if rec is not None:
                 assert rec._pcm, "no PCM synthesized"
+        finally:
+            tm.stop_all()
+
+    def test_dual_slot_voice_on_one_carrier(self, tmp_path):
+        """Round-5 capstone: BOTH timeslots of one Tier III carrier granted
+        simultaneously -> two independent recorders, routed by the CACH TC
+        bit, each producing its own distinct WAV with the right talkgroup.
+        (Round 4 had to skip the second grant — ``grant_same_carrier_busy``;
+        the reference has no DMR voice at all.)"""
+        from wavecap_tpu.decoders import dmr
+        from wavecap_tpu.decoders.ambe_vocoder import AmbeEncoder
+        from wavecap_tpu.utils.wavio import read_audio_wav
+
+        capture_rate = 960_000
+        center = 460_150_000.0
+        cc_freq = 460_100_000.0
+        base = 460_000_000.0
+        # LCN 33 -> carrier 16 slot 0 (tgid 800); LCN 34 -> carrier 16
+        # slot 1 (tgid 801): SAME 460.2 MHz carrier, both slots live
+        cc_dibits = np.concatenate(
+            [
+                dmr.build_data_burst(
+                    dmr.make_csbk_bits(0x30, dst_id=800, src_id=900, channel=33),
+                    dmr.DataType.CSBK,
+                ),
+                dmr.build_data_burst(
+                    dmr.make_csbk_bits(0x30, dst_id=801, src_id=901, channel=34),
+                    dmr.DataType.CSBK,
+                ),
+            ]
+            * 8
+        )
+        cc_iq = make_dmr_stream_iq(capture_rate, cc_freq - center, cc_dibits)
+
+        def tone_frames(f0: float) -> np.ndarray:
+            t = np.arange(int(0.6 * 8000)) / 8000.0
+            x = np.zeros_like(t)
+            for k, a in ((1, 1.0), (2, 0.6), (3, 0.45)):
+                x += a * np.sin(2 * np.pi * f0 * k * t)
+            tone = (0.3 * x / np.max(np.abs(x))).astype(np.float32)
+            return AmbeEncoder().encode(tone)[:18]
+
+        # distinct program per slot so separation is audible in the WAVs
+        voice_dibits = dmr.build_dual_slot_voice_stream(
+            tone_frames(150.0), tone_frames(250.0)
+        )
+        voice_iq = make_dmr_stream_iq(
+            capture_rate, 460_200_000.0 - center, voice_dibits
+        )
+
+        cc_station = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        cc_station.iq_loop = cc_iq
+        v_station = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        v_station.iq_loop = voice_iq
+        mgr = CaptureManager(FakeDriver(stations=[cc_station, v_station]))
+        tm = TrunkingManager(mgr, state_dir=tmp_path)
+        cfg = TrunkingSystemConfig(
+            id="dmr2",
+            protocol=TrunkingProtocol.DMR_TIER3,
+            control_channels=[cc_freq],
+            center_hz=center,
+            sample_rate=capture_rate,
+            max_voice_channels=2,
+            dmr_base_hz=base,
+            recording_dir=str(tmp_path / "rec"),
+            # the test ends the calls as soon as PCM lands, which can be
+            # faster than the default 1 s minimum-duration artifact gate
+            min_call_duration_s=0.0,
+        )
+        sys_ = tm.create_system(cfg)
+        sys_.start()
+        try:
+            t0 = time.time()
+            calls = {}
+            while time.time() - t0 < 300:
+                for c in sys_.active_calls.values():
+                    if c.imbe_frames >= 18:
+                        calls[c.tgid] = c
+                if {800, 801} <= set(calls):
+                    break
+                time.sleep(0.25)
+            assert {800, 801} <= set(calls), (
+                sys_.active_calls,
+                [e for e in sys_.events if "grant" in e.get("type", "")][-5:],
+            )
+            assert calls[800].tdma_slot == 0 and calls[801].tdma_slot == 1
+            assert abs(calls[800].frequency_hz - 460_200_000.0) < 1
+            assert abs(calls[801].frequency_hz - 460_200_000.0) < 1
+            # neither grant was skipped as same-carrier-busy
+            assert not any(
+                e.get("type") == "grant_same_carrier_busy" for e in sys_.events
+            )
+            # wait for PCM on both recorders, then end the calls -> WAVs
+            t0 = time.time()
+            while time.time() - t0 < 60:
+                recs = [sys_.pool.for_tgid(tg) for tg in (800, 801)]
+                if all(r is not None and r._pcm for r in recs):
+                    break
+                time.sleep(0.25)
+            assert all(r is not None and r._pcm for r in recs), "PCM missing"
+            now = time.time()
+            for r in recs:
+                sys_._end_call(r, now)
+            wav_by_tgid = {}
+            for meta in (tmp_path / "rec" / "dmr2").rglob("*.json"):
+                import json as _json
+
+                info = _json.loads(meta.read_text())
+                wav = meta.with_suffix(".wav")
+                if wav.exists():
+                    wav_by_tgid[info["tgid"]] = wav
+            assert {800, 801} <= set(wav_by_tgid), list(wav_by_tgid)
+            # each WAV carries its own slot's program: compare harmonic-comb
+            # power (150/300/450 Hz vs 250/500/750 Hz — disjoint combs; the
+            # vocoder may move energy between a pitch's own harmonics)
+            def comb_power(spec, freqs, f0):
+                return sum(
+                    float(spec[np.abs(freqs - k * f0) < 20.0].sum())
+                    for k in (1, 2, 3)
+                )
+
+            for tgid, f0, other in ((800, 150.0, 250.0), (801, 250.0, 150.0)):
+                audio, rate = read_audio_wav(wav_by_tgid[tgid])
+                seg = audio[320:] - np.mean(audio[320:])
+                spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+                freqs = np.fft.rfftfreq(len(seg), 1 / rate)
+                own = comb_power(spec, freqs, f0)
+                foreign = comb_power(spec, freqs, other)
+                assert own > 3.0 * foreign, (tgid, own, foreign)
         finally:
             tm.stop_all()
 

@@ -110,10 +110,15 @@ class DMRDecoder:
         return out
 
 
-def build_test_burst(kind: str = "BS_DATA", rng=None) -> np.ndarray:
+def build_test_burst(
+    kind: str = "BS_DATA", rng=None, tdma_slot: int | None = None
+) -> np.ndarray:
     rng = rng or np.random.default_rng(0)
     d = rng.integers(0, 4, BURST_DIBITS).astype(np.uint8)
     d[SYNC_OFFSET : SYNC_OFFSET + 24] = SYNC_DIBITS[kind]
+    if tdma_slot is not None:
+        cach = encode_cach(1, tdma_slot, 0, rng.integers(0, 2, 17))
+        d[:12] = _bits_to_dibits(cach)
     return d
 
 
@@ -184,6 +189,115 @@ def decode_slot_type(bits20: np.ndarray) -> tuple[int, int, int] | None:
     if errs < 0 or data12 > 0xFF:
         return None
     return (data12 >> 4) & 0xF, data12 & 0xF, errs
+
+
+# ---------------------------------------------------------------------------
+# CACH / TACT (ETSI TS 102 361-1 7.1.3, B.3.2, B.4)
+#
+# The 24-bit Common Announcement CHannel opens every outbound (BS) burst:
+# a Hamming(7,4,3)-protected TACT word — AT (access type), TC (the TDMA
+# channel number of the burst this CACH opens), LCSS (short-LC/CSBK
+# fragment state) — interleaved with 17 payload bits of the short-LC
+# fragment stream.  Decoding TC is what lets two concurrent voice calls
+# on ONE carrier be routed to their own recorders (round 5; the reference
+# ``decoders/dmr.py`` stops at burst sync and has no CACH at all).
+# ---------------------------------------------------------------------------
+
+# TACT bit positions within the 24-bit CACH (ETSI B.4 interleaving);
+# the remaining 17 positions carry the fragment payload.
+TACT_POSITIONS = (0, 4, 8, 12, 14, 18, 22)
+_CACH_PAYLOAD_POSITIONS = tuple(
+    i for i in range(24) if i not in TACT_POSITIONS
+)
+
+
+def encode_tact(at: int, tc: int, lcss: int) -> np.ndarray:
+    """(AT, TC, LCSS) -> 7 Hamming(7,4,3)-protected TACT bits.
+
+    Parity per ETSI B.3.2: c5=i1^i2^i3, c6=i2^i3^i4, c7=i1^i2^i4 over the
+    data word [AT, TC, LCSS1, LCSS0]."""
+    i1, i2 = int(at) & 1, int(tc) & 1
+    i3, i4 = (int(lcss) >> 1) & 1, int(lcss) & 1
+    return np.array(
+        [i1, i2, i3, i4, i1 ^ i2 ^ i3, i2 ^ i3 ^ i4, i1 ^ i2 ^ i4], np.uint8
+    )
+
+
+def _tact_syndrome_table() -> dict:
+    """syndrome (3 bits as int) -> error position, for 1-bit correction."""
+    table = {}
+    base = encode_tact(0, 0, 0)
+    for pos in range(7):
+        w = base.copy()
+        w[pos] ^= 1
+        i1, i2, i3, i4 = w[:4]
+        s = (
+            ((i1 ^ i2 ^ i3 ^ w[4]) << 2)
+            | ((i2 ^ i3 ^ i4 ^ w[5]) << 1)
+            | (i1 ^ i2 ^ i4 ^ w[6])
+        )
+        table[int(s)] = pos
+    return table
+
+
+_TACT_SYNDROMES = _tact_syndrome_table()
+
+
+def decode_tact(bits7: np.ndarray) -> tuple[int, int, int, int] | None:
+    """7 TACT bits -> (at, tc, lcss, corrected_errors) or None."""
+    w = np.asarray(bits7, np.uint8).copy()
+    i1, i2, i3, i4 = w[:4]
+    s = int(
+        ((i1 ^ i2 ^ i3 ^ w[4]) << 2)
+        | ((i2 ^ i3 ^ i4 ^ w[5]) << 1)
+        | (i1 ^ i2 ^ i4 ^ w[6])
+    )
+    errs = 0
+    if s:
+        pos = _TACT_SYNDROMES.get(s)
+        if pos is None:  # pragma: no cover - all 3-bit syndromes map
+            return None
+        w[pos] ^= 1
+        errs = 1
+    return int(w[0]), int(w[1]), int((w[2] << 1) | w[3]), errs
+
+
+def encode_cach(
+    at: int, tc: int, lcss: int, payload17: np.ndarray | None = None
+) -> np.ndarray:
+    """24 CACH bits: interleaved TACT + short-LC fragment payload."""
+    out = np.zeros(24, np.uint8)
+    out[list(TACT_POSITIONS)] = encode_tact(at, tc, lcss)
+    if payload17 is not None:
+        out[list(_CACH_PAYLOAD_POSITIONS)] = np.asarray(payload17, np.uint8)[:17]
+    return out
+
+
+def decode_cach(bits24: np.ndarray) -> dict | None:
+    """24 CACH bits -> {'at', 'tc', 'lcss', 'payload', 'errors'} or None."""
+    bits = np.asarray(bits24, np.uint8)
+    tact = decode_tact(bits[list(TACT_POSITIONS)])
+    if tact is None:
+        return None
+    at, tc, lcss, errs = tact
+    return {
+        "at": at,
+        "tc": tc,
+        "lcss": lcss,
+        "payload": bits[list(_CACH_PAYLOAD_POSITIONS)],
+        "errors": errs,
+    }
+
+
+def burst_cach_bits(dibits: np.ndarray) -> np.ndarray:
+    """First 12 dibits of a burst -> the 24 CACH bits."""
+    return _dibits_to_bits(np.asarray(dibits, np.uint8)[:12])
+
+
+def burst_tdma_slot(dibits: np.ndarray) -> int | None:
+    """Decode the burst's CACH TC bit (which timeslot this burst is)."""
+    cach = decode_cach(burst_cach_bits(dibits))
+    return None if cach is None else cach["tc"]
 
 
 CSBK_CRC_MASK = 0xA5A5
@@ -409,6 +523,9 @@ def decode_burst(burst: "DMRBurst") -> dict | None:
         "dataTypeName": DataType(dtype).name if dtype <= 10 else f"DT_{dtype}",
         "slotTypeErrors": errs,
         "kind": burst.kind,
+        # CACH TC bit: which timeslot this burst is (BS streams only;
+        # None when the TACT doesn't decode, e.g. MS bursts / noise)
+        "cachSlot": burst_tdma_slot(burst.dibits),
     }
     if dtype == DataType.IDLE:
         return out
@@ -496,13 +613,27 @@ class DMRVoiceTracker:
     ``stride_bursts=2`` models a repeater TDMA stream where the two
     timeslots alternate (consecutive frames of one slot are 288 dibits
     apart); ``1`` models a continuous single-slot transmission.
+
+    ``tdma_slot`` (round 5): route by the anchor burst's CACH TC bit —
+    only superframes whose frame-A CACH decodes to this timeslot are
+    assembled, so two trackers (two recorders) on one repeater carrier
+    each follow their own call instead of double-capturing mixed audio.
+    ``None`` keeps the slot-blind behavior (single-slot streams, or MS
+    transmissions which carry no CACH).
     """
 
-    def __init__(self, sync_threshold: float = 0.75, stride_bursts: int = 1):
+    def __init__(
+        self,
+        sync_threshold: float = 0.75,
+        stride_bursts: int = 1,
+        tdma_slot: int | None = None,
+    ):
         self._dec = DMRDecoder(sync_threshold)
         self.stride = int(stride_bursts)
+        self.tdma_slot = tdma_slot
         self._buf = np.zeros(0, np.float32)
         self.superframes_found = 0
+        self.skipped_other_slot = 0
 
     def process(self, soft: np.ndarray) -> list[DMRVoiceSuperframe]:
         self._buf = np.concatenate([self._buf, np.asarray(soft, np.float32)])
@@ -533,6 +664,25 @@ class DMRVoiceTracker:
                 if n > keep:
                     self._buf = self._buf[-keep:]
                 break
+            if self.tdma_slot is not None:
+                # CACH slot routing: need the anchor burst's first dibits
+                if n - start < BURST_DIBITS:
+                    self._buf = self._buf[start:]
+                    break
+                anchor = self._buf[start : start + BURST_DIBITS]
+                pos = anchor >= 0
+                outer = np.abs(anchor) >= 2.0
+                d = np.where(
+                    pos, np.where(outer, 1, 0), np.where(outer, 3, 2)
+                ).astype(np.uint8)
+                slot = burst_tdma_slot(d)
+                if slot != self.tdma_slot:
+                    # other timeslot's transmission (or undecodable TACT):
+                    # step past this burst; the next anchor candidate is
+                    # the other slot's frame A one burst later
+                    self.skipped_other_slot += 1
+                    self._buf = self._buf[start + BURST_DIBITS :]
+                    continue
             if n - start < span:
                 self._buf = self._buf[start:]
                 break
@@ -567,24 +717,34 @@ def build_voice_superframe(
     kind: str = "BS_VOICE",
     stride_bursts: int = 1,
     rng=None,
+    tdma_slot: int | None = None,
 ) -> np.ndarray:
     """Synthesize a 6-burst voice superframe's dibits (tests).
 
     ``ambe_bits`` is (18, 72); defaults to random frames.  With
     ``stride_bursts=2`` the other slot's positions are filled with data
-    bursts, modelling a repeater TDMA stream.
+    bursts, modelling a repeater TDMA stream.  ``tdma_slot`` writes a
+    real CACH (TACT TC = slot) into every voice burst — and tags the
+    stride filler bursts with the OTHER slot — so CACH slot routing is
+    exercised end to end.
     """
     rng = rng or np.random.default_rng(0)
     if ambe_bits is None:
         ambe_bits = rng.integers(0, 2, (18, AMBE_FRAME_BITS)).astype(np.uint8)
     assert ambe_bits.shape == (18, AMBE_FRAME_BITS)
+    other = (1 - tdma_slot) if tdma_slot in (0, 1) else None
     bursts = []
     for i in range(VOICE_FRAMES_PER_SUPERFRAME):
         f1, f2, f3 = ambe_bits[3 * i : 3 * i + 3]
         first = np.concatenate([f1, f2[:36]])
         second = np.concatenate([f2[36:], f3])
         d = np.zeros(BURST_DIBITS, np.uint8)
-        d[:_CACH_DIBITS] = rng.integers(0, 4, _CACH_DIBITS)
+        if tdma_slot is None:
+            d[:_CACH_DIBITS] = rng.integers(0, 4, _CACH_DIBITS)
+        else:
+            d[:_CACH_DIBITS] = _bits_to_dibits(
+                encode_cach(1, tdma_slot, 0, rng.integers(0, 2, 17))
+            )
         d[_CACH_DIBITS:SYNC_OFFSET] = _bits_to_dibits(first)
         d[SYNC_OFFSET + 24 :] = _bits_to_dibits(second)
         if i == 0:
@@ -593,5 +753,29 @@ def build_voice_superframe(
             d[SYNC_OFFSET : SYNC_OFFSET + 24] = rng.integers(0, 4, 24)
         bursts.append(d)
         for _ in range(stride_bursts - 1):
-            bursts.append(build_test_burst("BS_DATA", rng=rng))
+            bursts.append(build_test_burst("BS_DATA", rng=rng, tdma_slot=other))
     return np.concatenate(bursts)
+
+
+def build_dual_slot_voice_stream(
+    ambe_slot0: np.ndarray | None = None,
+    ambe_slot1: np.ndarray | None = None,
+    kind: str = "BS_VOICE",
+    rng=None,
+) -> np.ndarray:
+    """Interleaved repeater TDMA stream: TWO concurrent voice calls, one
+    per timeslot, each a 6-burst superframe with its CACH TC tag — the
+    exact on-air shape a Tier III carrier has when both slots are granted
+    (tests; the single-slot tracker double-captures this, the slot-routed
+    trackers separate it)."""
+    rng = rng or np.random.default_rng(0)
+    a = build_voice_superframe(
+        ambe_slot0, kind=kind, stride_bursts=1, rng=rng, tdma_slot=0
+    ).reshape(VOICE_FRAMES_PER_SUPERFRAME, BURST_DIBITS)
+    b = build_voice_superframe(
+        ambe_slot1, kind=kind, stride_bursts=1, rng=rng, tdma_slot=1
+    ).reshape(VOICE_FRAMES_PER_SUPERFRAME, BURST_DIBITS)
+    out = np.empty((2 * VOICE_FRAMES_PER_SUPERFRAME, BURST_DIBITS), np.uint8)
+    out[0::2] = a
+    out[1::2] = b
+    return out.reshape(-1)

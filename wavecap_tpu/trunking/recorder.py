@@ -181,7 +181,18 @@ class VoiceRecorder:
         from wavecap_tpu.decoders.dmr import DMRDecoder, DMRVoiceTracker
 
         if self._dmr_voice is None:
-            self._dmr_voice = DMRVoiceTracker(stride_bursts=self.dmr_stride)
+            # On a dual-slot repeater carrier, route voice by the anchor
+            # burst's CACH TC bit so two recorders on ONE carrier each
+            # follow their own call (round 5; previously a second grant on
+            # a busy carrier had to be skipped)
+            slot = (
+                self.call.tdma_slot
+                if self.dmr_stride >= 2 and self.call is not None
+                else None
+            )
+            self._dmr_voice = DMRVoiceTracker(
+                stride_bursts=self.dmr_stride, tdma_slot=slot
+            )
             self._dmr_data = DMRDecoder()
         if self._ambe_vocoder is None:
             self._ambe_vocoder = AmbeDecoder()
@@ -210,6 +221,15 @@ class VoiceRecorder:
                 and self.call is not None
                 and parsed.get("dst_id") == self.call.tgid
             )
+            # CACH slot routing: a decodable TC bit naming the OTHER
+            # timeslot disqualifies the burst for this call's control
+            if (
+                trusted
+                and self.dmr_stride >= 2
+                and parsed.get("cachSlot") is not None
+                and parsed["cachSlot"] != self.call.tdma_slot
+            ):
+                trusted = False
             name = parsed.get("dataTypeName")
             if name == "TERMINATOR_WITH_LC" and trusted:
                 self.last_activity = 0.0  # end promptly

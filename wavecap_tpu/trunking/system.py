@@ -656,12 +656,15 @@ class TrunkingSystem:
         # otherwise fall back to parity.
         tdma_slot = int(parsed.get("slot") or 0) or max(0, lcn - 1) % slots
         freq = float(base) + carrier * cfg.dmr_spacing_hz
-        # The voice tracker cannot separate timeslots without CACH decode
-        # (both slots share the voice sync), so a second grant on a carrier
-        # we are already recording would double-capture mixed audio — skip
-        # it rather than corrupt both calls.
+        # Round 5: the voice trackers route bursts by the CACH TC bit, so
+        # two concurrent calls CAN share one carrier — one per timeslot
+        # (decoders/dmr.py burst_tdma_slot).  Only a same-slot collision
+        # (different talkgroup granted on a slot we're already recording)
+        # still has to be skipped.
         for c in self.active_calls.values():
             if abs(c.frequency_hz - freq) < 1.0 and c.tgid != tgid:
+                if slots >= 2 and c.tdma_slot != tdma_slot:
+                    continue  # other timeslot: independent call
                 self._emit(
                     "grant_same_carrier_busy",
                     {"tgid": tgid, "frequencyHz": freq, "activeTgid": c.tgid},

@@ -145,6 +145,10 @@ class TestCongestedLink:
         # upload alone is ~0.18 s of the 0.2 s budget (load > 0.9).
         # i8 ships half that -> comfortably inside the budget.
         cap._upload_throttle_bps = 3.5e6
+        # adaptation only engages for realtime-paced sources (a
+        # non-realtime fake runs busy>budget by construction); make this
+        # fake stream pace like real hardware
+        cap.device.realtime = True
         cap.start()
         try:
             assert wait_for(lambda: cap.blocks_processed >= 3)

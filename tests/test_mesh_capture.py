@@ -468,7 +468,7 @@ class TestMeshTrunking:
             assert sys_.capture.config.mesh == "stream=1,time=8"
             t0 = time.time()
             call = None
-            while time.time() - t0 < 300:
+            while time.time() - t0 < 600:
                 seen = list(sys_.active_calls.values()) + list(sys_.call_history)
                 hit = [c for c in seen if c.tgid == 2001]
                 st = sys_.status()
@@ -530,8 +530,9 @@ class TestMeshDmrTrunking:
             x += a * np.sin(2 * np.pi * 150.0 * k * t)
         tone = (0.3 * x / np.max(np.abs(x))).astype(np.float32)
         frames = AmbeEncoder().encode(tone)[:18]
+        # real CACH TC tags (round 5): the recorder routes voice by slot
         voice_dibits = dmr.build_voice_superframe(
-            ambe_bits=frames, stride_bursts=2
+            ambe_bits=frames, stride_bursts=2, tdma_slot=0
         )
         voice_iq = make_dmr_stream_iq(
             capture_rate, 460_200_000.0 - center, voice_dibits
@@ -558,7 +559,7 @@ class TestMeshDmrTrunking:
         try:
             t0 = time.time()
             call = None
-            while time.time() - t0 < 300:
+            while time.time() - t0 < 600:
                 st = sys_.status()
                 seen = list(sys_.active_calls.values()) + list(
                     sys_.call_history
@@ -694,7 +695,7 @@ class TestMeshPhase2Trunking:
             assert sys_.capture.config.mesh == "stream=1,time=8"
             t0 = time.time()
             call = None
-            while time.time() - t0 < 360:
+            while time.time() - t0 < 600:
                 seen = list(sys_.active_calls.values()) + list(
                     sys_.call_history
                 )

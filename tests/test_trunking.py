@@ -914,6 +914,33 @@ class TestRound4ConfigSurface:
         assert cfg.equalizer_taps == 127
         assert cfg.mesh == "stream=1,time=8"
 
+    def test_equalizer_auto_policy(self):
+        """Round 5: equalizer_taps=None resolves to 41 for Phase 1 LSM
+        (simulcast) systems, 0 elsewhere (incl. mesh); explicit values
+        are honored verbatim."""
+        base = {"id": "s", "control_channels": [851.2e6]}
+        lsm = TrunkingSystemConfig.from_dict({**base, "modulation": "cqpsk"})
+        assert lsm.equalizer_taps is None
+        assert lsm.effective_equalizer_taps == 41
+        c4 = TrunkingSystemConfig.from_dict(base)
+        assert c4.effective_equalizer_taps == 0
+        dmr = TrunkingSystemConfig.from_dict({**base, "protocol": "dmr_tier3"})
+        assert dmr.effective_equalizer_taps == 0
+        p2 = TrunkingSystemConfig.from_dict({**base, "protocol": "p25_phase2"})
+        assert p2.effective_equalizer_taps == 0
+        mesh = TrunkingSystemConfig.from_dict(
+            {**base, "modulation": "cqpsk", "mesh": "stream=1,time=8"}
+        )
+        assert mesh.effective_equalizer_taps == 0
+        off = TrunkingSystemConfig.from_dict(
+            {**base, "modulation": "cqpsk", "equalizerTaps": 0}
+        )
+        assert off.effective_equalizer_taps == 0
+        forced = TrunkingSystemConfig.from_dict(
+            {**base, "mesh": "stream=1,time=8", "equalizerTaps": 127}
+        )
+        assert forced.effective_equalizer_taps == 127
+
     def test_status_reports_round4_fields(self, tmp_path):
         sys_ = make_system(
             tmp_path, modulation="cqpsk", equalizer_taps=127,

@@ -230,6 +230,12 @@ class Capture:
         # test/simulation hook: when set, _dispatch_blocks sleeps
         # nbytes/bps after conversion, emulating a congested upload link
         self._upload_throttle_bps: float | None = None
+        # adaptation only makes sense for a source that paces in real
+        # time: a non-realtime source (fake tests, file replay, offline
+        # decode) routinely runs busy>budget without anything "falling
+        # behind", and degrading there just churns retraces.  Set from
+        # the stream's own declaration at start (_run).
+        self._stream_realtime = True
         # driver-service recovery escalation (set by the CaptureManager)
         self.recovery = None
 
@@ -1143,6 +1149,9 @@ class Capture:
             stream.close()
             return
         self.state = "running"
+        # real SDR streams pace in realtime (no attribute = assume so);
+        # fake/file streams declare realtime=False and disable adaptation
+        self._stream_realtime = bool(getattr(stream, "realtime", True))
         chunk = max(8192, self.config.sample_rate // 20)
         # chunk accumulator: a LIST of read buffers concatenated once per
         # block boundary — concatenating into one growing buffer per read
@@ -1385,7 +1394,7 @@ class Capture:
         cfg = self.config
         if not cfg.adaptive_transport or cfg.transport not in ("i16", "i8"):
             return
-        if budget_ms <= 0:
+        if not self._stream_realtime or budget_ms <= 0:
             return
         ladder = self._TRANSPORT_LADDER
         load = busy_ms / budget_ms

@@ -529,7 +529,19 @@ def _p25_step(chans, state: P25BankState, assign, cfg: CapturePipelineConfig,
     def per_slot(iq_slot, offset_hz, phase0, c4state):
         shifted, phase1 = ops.freq_shift(iq_slot, -offset_hz, rate, phase0)
         rssi = ops.rssi_dbfs(shifted)
-        soft, dibits, c4state = demod_fn(shifted, c4state, c4)
+        if getattr(c4, "equalizer_taps", 0) > 0:
+            # equalizer runtime guard (round 5): the echo-fit template
+            # assumes a near-bin-centered channel — an off-center slot's
+            # asymmetric passband mis-fits as a strong echo (models/p25/
+            # equalizer.py), so gate the fit on THIS slot's fine offset
+            eq_ok = jnp.abs(offset_hz) <= jnp.float32(
+                c4.eq_max_fine_offset_hz
+            )
+            soft, dibits, c4state = demod_fn(
+                shifted, c4state, c4, eq_enable=eq_ok
+            )
+        else:
+            soft, dibits, c4state = demod_fn(shifted, c4state, c4)
         return soft, dibits, rssi, phase1, c4state
 
     soft, dibits, rssi, phases, c4states = jax.vmap(per_slot)(

@@ -106,6 +106,10 @@ class C4fmConfig:
     equalizer_taps: int = 0
     eq_lambda: float = 0.01
     eq_max_delay: int = 16
+    # Runtime guard + engagement hysteresis (round 5): see CqpskConfig /
+    # models/p25/equalizer.py module docstring
+    eq_max_fine_offset_hz: float = 3000.0
+    eq_engage_blocks: int = 2
 
     @property
     def sps(self) -> float:
@@ -126,6 +130,7 @@ class C4fmState(NamedTuple):
     eq_taps: jnp.ndarray  # (T,) complex equalizer taps (T=0 when off)
     eq_tail: jnp.ndarray  # (T-1,) streaming-conv carry
     eq_acf: jnp.ndarray  # EMA'd autocorrelation lags for the echo fit
+    eq_hits: jnp.ndarray = np.zeros((), np.int32)  # consecutive decisive fits
 
 
 INTERP_TAIL = 64  # samples of filtered signal carried across blocks
@@ -182,6 +187,7 @@ def c4fm_init(cfg: C4fmConfig) -> C4fmState:
             (int(cfg.eq_max_delay) + 13) if cfg.equalizer_taps > 0 else 0,
             jnp.complex64,
         ),
+        eq_hits=jnp.zeros((), jnp.int32),
     )
 
 
@@ -199,12 +205,16 @@ def n_symbols_per_block(cfg: C4fmConfig, block_len: int) -> int:
     return int(round(block_len / cfg.sps))
 
 
-def c4fm_demodulate(iq: jnp.ndarray, state: C4fmState, cfg: C4fmConfig):
+def c4fm_demodulate(
+    iq: jnp.ndarray, state: C4fmState, cfg: C4fmConfig, eq_enable=None
+):
     """Demodulate one IQ block -> (soft_symbols, dibits, state).
 
     ``soft_symbols`` are in units of the 4-level constellation (~±1, ±3).
     A fixed ``n_symbols_per_block(cfg, len(iq))`` symbols are produced.
-    """
+    ``eq_enable`` (traced bool, round 5): runtime guard for the simulcast
+    equalizer — False (off-bin-center slot) holds identity taps and
+    restarts the echo fit; None means unguarded (centered input)."""
     fs = float(cfg.sample_rate)
     sps = cfg.sps
     lpf = jnp.asarray(design_baseband_lpf(fs))
@@ -218,13 +228,25 @@ def c4fm_demodulate(iq: jnp.ndarray, state: C4fmState, cfg: C4fmConfig):
         preds, params, n_tau = _c4fm_eq_candidates(
             int(cfg.sample_rate), int(cfg.eq_max_delay)
         )
-        eq_taps, eq_acf = eqz.fit_and_invert(
+        allowed = jnp.bool_(True) if eq_enable is None else eq_enable
+        est, eq_acf, sig = eqz.fit_and_invert(
             iq, state.eq_acf, preds, params, n_tau,
-            cfg.equalizer_taps, cfg.eq_lambda,
+            cfg.equalizer_taps, cfg.eq_lambda, enable=allowed,
+        )
+        # engagement hysteresis: decisive for eq_engage_blocks in a row
+        eq_hits = jnp.where(
+            allowed & sig,
+            jnp.minimum(state.eq_hits + 1, jnp.int32(1_000_000)),
+            jnp.int32(0),
+        )
+        engaged = eq_hits >= jnp.int32(cfg.eq_engage_blocks)
+        eq_taps = jnp.where(
+            allowed & engaged, est, eqz.init_taps(cfg.equalizer_taps)
         )
         iq, eq_tail = ops.fir_filter(iq, eq_taps, state.eq_tail)
     else:
         eq_taps, eq_tail, eq_acf = state.eq_taps, state.eq_tail, state.eq_acf
+        eq_hits = state.eq_hits
 
     x, lpf_tail = ops.fir_filter(iq, lpf, state.lpf_tail)
     # discriminator scaled so +/-1800 Hz -> +/-3.0
@@ -240,7 +262,7 @@ def c4fm_demodulate(iq: jnp.ndarray, state: C4fmState, cfg: C4fmConfig):
         return _demod_block_timing(
             buf, filt, n_sym, state, cfg,
             lpf_tail=lpf_tail, disc_prev=disc_prev, rrc_tail=rrc_tail,
-            eq_taps=eq_taps, eq_tail=eq_tail, eq_acf=eq_acf,
+            eq_taps=eq_taps, eq_tail=eq_tail, eq_acf=eq_acf, eq_hits=eq_hits,
         )
 
     alpha, beta = _loop_gains(cfg)
@@ -310,12 +332,14 @@ def c4fm_demodulate(iq: jnp.ndarray, state: C4fmState, cfg: C4fmConfig):
         eq_taps=eq_taps,
         eq_tail=eq_tail,
         eq_acf=eq_acf,
+        eq_hits=eq_hits,
     )
     return soft, dibits, new_state
 
 
 def _demod_block_timing(buf, filt, n_sym, state, cfg, *, lpf_tail, disc_prev,
-                        rrc_tail, eq_taps=None, eq_tail=None, eq_acf=None):
+                        rrc_tail, eq_taps=None, eq_tail=None, eq_acf=None,
+                        eq_hits=None):
     """Vectorized timing recovery: Oerder-Meyr line for clock error + lock
     detection, block-averaged Gardner discriminant for phase.
 
@@ -434,6 +458,7 @@ def _demod_block_timing(buf, filt, n_sym, state, cfg, *, lpf_tail, disc_prev,
         eq_taps=eq_taps if eq_taps is not None else state.eq_taps,
         eq_tail=eq_tail if eq_tail is not None else state.eq_tail,
         eq_acf=eq_acf if eq_acf is not None else state.eq_acf,
+        eq_hits=eq_hits if eq_hits is not None else state.eq_hits,
     )
     return soft, dibits, new_state
 

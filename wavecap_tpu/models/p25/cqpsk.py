@@ -88,6 +88,15 @@ class CqpskConfig:
     eq_lambda: float = 0.01  # MMSE regularization (1/SNR-ish, caps boost)
     eq_max_delay: int = 16  # echo-delay search range (samples)
     eq_ema: float = 1.0  # per-block tap smoothing (1 = none)
+    # Runtime guard (round 5): the echo-fit template assumes a (near)
+    # bin-centered channel — the pipeline passes eq_enable=False for
+    # slots whose fine offset exceeds this, forcing identity taps
+    # (equalizer.py module docstring: measured bogus d=8/a=0.85
+    # engagement on a +14 kHz-offset bin)
+    eq_max_fine_offset_hz: float = 3000.0
+    # Engagement hysteresis (round 5): the fit must be decisive for this
+    # many CONSECUTIVE blocks before the inverse is applied
+    eq_engage_blocks: int = 2
 
     @property
     def sps(self) -> float:
@@ -113,6 +122,7 @@ class CqpskState(NamedTuple):
     eq_taps: jnp.ndarray  # (T,) complex equalizer taps (T=0 when off)
     eq_tail: jnp.ndarray  # (T-1,) streaming-conv carry
     eq_acf: jnp.ndarray  # EMA'd autocorrelation lags for the echo fit
+    eq_hits: jnp.ndarray = np.zeros((), np.int32)  # consecutive decisive fits
 
 
 INTERP_TAIL = 64
@@ -149,6 +159,7 @@ def cqpsk_init(cfg: CqpskConfig) -> CqpskState:
             else 0,
             jnp.complex64,
         ),
+        eq_hits=jnp.zeros((), jnp.int32),
     )
 
 
@@ -217,7 +228,7 @@ def _eq_candidates(
 
 
 def _echo_mmse_taps(
-    x: jnp.ndarray, acf_acc: jnp.ndarray, cfg: CqpskConfig
+    x: jnp.ndarray, acf_acc: jnp.ndarray, cfg: CqpskConfig, enable=None
 ) -> tuple:
     """Fit the LSM echo channel and build its MMSE inverse (see
     models/p25/equalizer.py for the method and its caveats)."""
@@ -228,12 +239,19 @@ def _echo_mmse_taps(
         int(cfg.eq_max_delay),
     )
     return eqz.fit_and_invert(
-        x, acf_acc, preds, params, n_tau, cfg.equalizer_taps, cfg.eq_lambda
+        x, acf_acc, preds, params, n_tau, cfg.equalizer_taps, cfg.eq_lambda,
+        enable=enable,
     )
 
 
-def cqpsk_demodulate(iq: jnp.ndarray, state: CqpskState, cfg: CqpskConfig):
-    """One block -> (soft_symbols, dibits, state); soft in C4FM units."""
+def cqpsk_demodulate(
+    iq: jnp.ndarray, state: CqpskState, cfg: CqpskConfig, eq_enable=None
+):
+    """One block -> (soft_symbols, dibits, state); soft in C4FM units.
+
+    ``eq_enable`` (traced bool, round 5): runtime guard for the simulcast
+    equalizer — False (off-bin-center slot) holds identity taps and
+    restarts the echo fit; None means unguarded (centered input)."""
     sps = cfg.sps
     if cfg.cfo_span_hz > 0:
         # de-rotate by the acquired offset (phase-continuous NCO); the
@@ -296,15 +314,31 @@ def cqpsk_demodulate(iq: jnp.ndarray, state: CqpskState, cfg: CqpskConfig):
         cfo_settled = (
             jnp.abs(resid_hz) < 20.0 if cfg.cfo_span_hz > 0 else jnp.bool_(True)
         )
+        allowed = cfo_settled
+        if eq_enable is not None:
+            # fine-offset runtime guard (round 5): off-template slots
+            # never fit, never accumulate, never engage
+            allowed = allowed & eq_enable
         acf_in = jnp.where(
-            cfo_settled, state.eq_acf, jnp.zeros_like(state.eq_acf)
+            allowed, state.eq_acf, jnp.zeros_like(state.eq_acf)
         )
-        est, eq_acf = _echo_mmse_taps(filt, acf_in, cfg)
-        est = jnp.where(cfo_settled, est, _eq_init_taps(cfg.equalizer_taps))
+        est, eq_acf, sig = _echo_mmse_taps(filt, acf_in, cfg, enable=allowed)
+        # engagement hysteresis: the fit must be decisive for
+        # eq_engage_blocks CONSECUTIVE blocks before the inverse applies
+        eq_hits = jnp.where(
+            allowed & sig,
+            jnp.minimum(state.eq_hits + 1, jnp.int32(1_000_000)),
+            jnp.int32(0),
+        )
+        engaged = eq_hits >= jnp.int32(cfg.eq_engage_blocks)
+        est = jnp.where(
+            allowed & engaged, est, _eq_init_taps(cfg.equalizer_taps)
+        )
         eq_taps = cfg.eq_ema * est + (1.0 - cfg.eq_ema) * state.eq_taps
         filt, eq_tail = ops.fir_filter(filt, eq_taps, state.eq_tail)
     else:
         eq_taps, eq_tail, eq_acf = state.eq_taps, state.eq_tail, state.eq_acf
+        eq_hits = state.eq_hits
 
     buf = jnp.concatenate([state.interp_tail, filt])
     n_sym = n_symbols_per_block(cfg, iq.shape[-1])
@@ -448,6 +482,7 @@ def cqpsk_demodulate(iq: jnp.ndarray, state: CqpskState, cfg: CqpskConfig):
         eq_taps=eq_taps,
         eq_tail=eq_tail,
         eq_acf=eq_acf,
+        eq_hits=eq_hits,
     )
     return soft, dibits, new_state
 

@@ -33,9 +33,16 @@ a 0.95 one); and the template assumes the channel is (near) bin-centered
 — a large fine offset through the channelizer truncates the band
 asymmetrically, which the single-echo model can mis-fit as a strong
 echo (measured on a +14 kHz-offset bin: bogus d=8/a=0.85 engagement).
-Enable the equalizer for bin-centered assignments; off-center channels
-decode fine unequalized (100 % steady CRC at 10 dB SNR even with a
-12.5 kHz fine offset — docs/perf.md).
+Off-center channels decode fine unequalized (100 % steady CRC at 10 dB
+SNR even with a 12.5 kHz fine offset — docs/perf.md).
+
+Round 5: the bin-centering caveat is enforced at RUNTIME, not in prose —
+``fit_and_invert(enable=...)`` takes a traced guard that the capture
+pipeline derives from each slot's fine offset (``eq_max_fine_offset_hz``),
+forcing identity taps and restarting the acf estimate on off-center
+assignments; and engagement requires the fit to be decisive for
+``eq_engage_blocks`` CONSECUTIVE blocks (carried ``eq_hits`` counter in
+the demod state), so a single noisy-block fit cannot spuriously engage.
 """
 
 from __future__ import annotations
@@ -166,17 +173,26 @@ def fit_and_invert(
     a_floor: float = 0.35,
     gate_ratio: float = 0.6,
     acf_ema: float = 0.5,
+    enable=None,
 ) -> tuple:
     """One block of the echo fit: measure acf (EMA'd with the carried
     ``acf_acc``), match the candidate grid, synthesize the MMSE inverse.
-    Returns ``(taps, new_acf_state)``; identity taps when the block is
-    too small, no material echo is found, or the echo model does not
-    beat the no-echo candidate decisively."""
+    Returns ``(taps, new_acf_state, significant)``; identity taps (and
+    ``significant`` False) when the block is too small, no material echo
+    is found, or the echo model does not beat the no-echo candidate
+    decisively.  ``enable`` (traced bool, round 5) is the runtime guard:
+    False forces identity taps AND restarts the acf estimate — used when
+    the channel's fine offset exceeds the template's validity (an
+    off-center channelizer bin truncates the band asymmetrically, which
+    the single-echo model can mis-fit as a strong echo; measured bogus
+    d=8/a=0.85 on a +14 kHz bin)."""
     c = n_taps // 2
     nfft = EQ_NFFT
     n = x.shape[-1]
     if n < 4 * (n_tau + 1):  # static: block too small to estimate
-        return init_taps(n_taps), acf_acc
+        return init_taps(n_taps), acf_acc, jnp.bool_(False)
+    if enable is None:
+        enable = jnp.bool_(True)
 
     xc = jnp.conj(x)
     r = jnp.stack(
@@ -191,12 +207,14 @@ def fit_and_invert(
         (1.0 - acf_ema) * acf_acc + acf_ema * r,
         r,
     )
+    # guard: a disabled fit must not accumulate the off-template acf
+    acf = jnp.where(enable, acf, jnp.zeros_like(acf))
 
     preds = jnp.asarray(preds_np)
     resid = jnp.sum(jnp.abs(preds - acf[None, :]) ** 2, axis=-1)
     j = jnp.argmin(resid)
     d, theta, a = jnp.asarray(params_np)[j]
-    significant = (resid[j] < gate_ratio * resid[0]) & (a >= a_floor)
+    significant = (resid[j] < gate_ratio * resid[0]) & (a >= a_floor) & enable
     a = jnp.where(significant, a, 0.0)
 
     w_grid = 2.0 * np.pi * np.arange(nfft) / nfft
@@ -204,4 +222,6 @@ def fit_and_invert(
     W = jnp.conj(H) / (jnp.abs(H) ** 2 + lam)
     h_t = jnp.fft.ifft(W)  # circular impulse response, two-sided
     idx = (jnp.arange(n_taps) - c) % nfft  # window [-c..c] -> linear FIR
-    return h_t[idx].astype(jnp.complex64), acf
+    taps = h_t[idx].astype(jnp.complex64)
+    taps = jnp.where(enable, taps, init_taps(n_taps))
+    return taps, acf, significant

@@ -67,8 +67,13 @@ class TrunkingSystemConfig:
     dmr_spacing_hz: float = 12_500.0
     dmr_slots_per_carrier: int = 2
     # CQPSK/LSM simulcast equalizer taps for this system's capture
-    # (0 = off; odd, e.g. 127) — worth enabling on simulcast networks
-    equalizer_taps: int = 0
+    # (0 = off; odd, e.g. 127).  None (round 5) = AUTO: LSM (cqpsk
+    # Phase 1) systems — which exist FOR simulcast networks — compile the
+    # echo fit in with 41 taps; it holds identity until the fit is
+    # decisive for consecutive blocks AND the slot is near bin center
+    # (models/p25/equalizer.py runtime guard), so clean channels pay only
+    # the fit, never a spurious inverse.  Other protocols default to 0.
+    equalizer_taps: int | None = None
     # Host->device IQ transport for this system's capture: "i8" (default,
     # the 8-bit front-end dynamic-range model) or "i4" to halve the
     # upload again on upload-bound relays (quantization noise is white
@@ -134,10 +139,34 @@ class TrunkingSystemConfig:
                 d.get("dmr_slots_per_carrier", d.get("dmrSlotsPerCarrier", 2))
             ),
             modulation=d.get("modulation"),
-            equalizer_taps=int(d.get("equalizer_taps", d.get("equalizerTaps", 0))),
+            equalizer_taps=(
+                int(v)
+                if (v := d.get("equalizer_taps", d.get("equalizerTaps")))
+                is not None
+                else None
+            ),
             transport=str(d.get("transport", "i8")),
             mesh=d.get("mesh"),
         )
+
+    @property
+    def effective_equalizer_taps(self) -> int:
+        """Resolved equalizer taps: explicit value, or the auto policy —
+        41 taps (guarded, hysteresis-gated) for Phase 1 LSM (cqpsk)
+        systems, 0 elsewhere."""
+        if self.equalizer_taps is not None:
+            return int(self.equalizer_taps)
+        if self.mesh:
+            # the mesh grid demodulates EVERY bin — auto-compiling the
+            # echo fit there multiplies its cost by the bin count for
+            # bins that are bin-centered by construction; opt in
+            # explicitly if a simulcast mesh system needs it
+            return 0
+        phase1_lsm = (
+            self.protocol == TrunkingProtocol.P25_PHASE1
+            and (self.modulation or "").lower() == "cqpsk"
+        )
+        return 41 if phase1_lsm else 0
 
     def effective_center_hz(self) -> float:
         if self.center_hz is not None:

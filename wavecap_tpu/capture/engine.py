@@ -144,10 +144,11 @@ class CaptureConfig:
     # capture's block step through the sharded grid
     # (parallel/sharded.py: ppermute halo channelizer + all_to_all
     # channel-parallel demod) over jax.devices().  Mesh captures
-    # demodulate every channelizer bin with ONE shared mode — narrow
-    # analog (audio out) or p25 (soft symbols out, p25_capacity > 0
-    # required at creation for symbol-commensurate block geometry);
-    # wide captures stay single-chip.
+    # demodulate every channelizer bin; analog modes mix freely (per-bin
+    # bank select), wide (WBFM) slots ride a raw-stream stage, and p25
+    # (soft symbols out; p25_capacity > 0 required at creation for
+    # symbol-commensurate block geometry) mixes with analog via the
+    # grid's second output (round 5) — only p25p2 + analog is excluded.
     # None = single-chip slot-bank program (capture/pipeline.py).
     mesh: str | None = None
 
@@ -434,17 +435,23 @@ class Capture:
             for c in self.channels.values()
             if c.spec.id != exclude_id
         }
-        # allowed mixes: any set of narrow analog (mode, dsp) groups (the
-        # grid runs one bank per group, per-bin bank_idx selects — round
-        # 4), or the p25 family — {p25} / {p25, p25p2} ride the
-        # (dual-rate) grid together.  Narrow and p25 do not mix: their
-        # block geometries differ (symbol-commensurate vs audio-rate).
+        # Allowed mixes (round 5 lifted the analog/p25 exclusion): any
+        # set of narrow analog (mode, dsp) groups + wide groups + p25 —
+        # analog banks are the grid's base (per-bin bank_idx selects),
+        # and p25 rides the grid's SECOND output (the mode2 machinery the
+        # dual-rate Phase 2 grid already uses; block geometry is the lcm
+        # of both constraints, _compute_block_size).  The one remaining
+        # exclusion: p25p2 (Phase 2 dual-rate needs mode2 for its
+        # 6000-baud bank) cannot share a mesh capture with analog
+        # channels — that would need a third grid output.
         p25_family = {"p25", "p25p2"}
-        if len({group in p25_family} | {g in p25_family for g in others}) > 1:
+        groups_all = others | {group}
+        has_analog = any(g not in p25_family for g in groups_all)
+        if "p25p2" in groups_all and has_analog:
             raise ValueError(
-                "mesh-backend captures mix narrow analog modes freely, "
-                "and p25 + p25p2 ride the dual-rate grid together, but "
-                "analog and p25 channels cannot share one mesh capture"
+                "mesh-backend captures mix analog and p25 channels "
+                "(round 5), but p25p2 (the dual-rate grid's second bank) "
+                "cannot share a mesh capture with analog channels"
             )
         if group in p25_family and self.config.p25_capacity <= 0:
             # block geometry must be symbol-commensurate, and that is
@@ -739,12 +746,13 @@ class Capture:
         ):
             from wavecap_tpu.capture import mesh as mesh_mod
 
-            if cfg.narrow_modes or cfg.wide_groups:
-                groups = set(cfg.narrow_modes) | {
-                    ("wide", g) for g in cfg.wide_groups
-                }
-            else:
-                groups = {"p25", "p25p2"}
+            groups = set(cfg.narrow_modes) | {
+                ("wide", g) for g in cfg.wide_groups
+            }
+            if cfg.p25_capacity or cfg.p25p2_capacity:
+                # p25 bins ride the grid too — as the base bank (p25-only
+                # capture) or the second output (mixed with analog)
+                groups |= {"p25", "p25p2"}
             chans = [
                 c for c in self.channels.values() if c.mode_group in groups
             ]

@@ -19,9 +19,12 @@ output on device, so changing a mesh channel's mode costs NO recompile
 channels need ~200 kHz the 25 kHz bin grid does not synthesize, so they
 run a separate time-sharded stage off the RAW stream (per-slot
 freq-shift + decimating FIR with the channelizer's halo, ``all_gather``
-of the small IF, replicated demod — ``parallel/sharded.py``).  The one
-remaining constraint: analog (narrow/wide) and p25 channels cannot
-share a mesh capture (their block geometries differ).
+of the small IF, replicated demod — ``parallel/sharded.py``).  Round 5
+lifted the last mode exclusion: analog and p25 channels mix in one mesh
+capture (the 4800-baud soft bank rides the grid's second output, the
+mode2 machinery of the dual-rate Phase 2 grid; block geometry is the
+lcm of the audio and symbol constraints).  The only remaining exclusion
+is p25p2 + analog in one capture (a third grid output).
 
 SURVEY §7.2 step 8; the reference's analog is its process-per-device
 scale-out (``trunking/manager.py:49``) — here one capture scales across
@@ -89,6 +92,14 @@ def mesh_grid_cfg(pipe_cfg, entry) -> ShardedGridConfig:
     the C4FM (or CQPSK) demod and the grid's output is soft symbols the
     host framer / trunking stack consumes, exactly like the single-chip
     p25 bank."""
+    # wide (WBFM) slot groups ride the grid's raw-stream stage (round 4)
+    wide_kw = dict(
+        wide_groups=tuple(pipe_cfg.wide_groups),
+        wide_cfgs=tuple(
+            pipe_cfg.wide_cfg(g) for g in pipe_cfg.wide_groups
+        ),
+        wide_export_baseband=pipe_cfg.export_wide_baseband,
+    )
     if entry == "p25":
         from wavecap_tpu.capture.pipeline import p25_cfg_for, p25p2_cfg_for
 
@@ -106,15 +117,8 @@ def mesh_grid_cfg(pipe_cfg, entry) -> ShardedGridConfig:
             demod_cfg=p25_cfg_for(pipe_cfg),
             mode2="p25-cqpsk-soft" if dual else None,
             demod_cfg2=p25p2_cfg_for(pipe_cfg) if dual else None,
+            **wide_kw,
         )
-    # wide (WBFM) slot groups ride the grid's raw-stream stage (round 4)
-    wide_kw = dict(
-        wide_groups=tuple(pipe_cfg.wide_groups),
-        wide_cfgs=tuple(
-            pipe_cfg.wide_cfg(g) for g in pipe_cfg.wide_groups
-        ),
-        wide_export_baseband=pipe_cfg.export_wide_baseband,
-    )
     if entry is None:
         # wide-only mesh capture: the bin grid still needs a base bank
         # (all bins inactive) — nbfm is the cheapest placeholder
@@ -136,10 +140,30 @@ def mesh_grid_cfg(pipe_cfg, entry) -> ShardedGridConfig:
     # channel's mode never recompiles, unlike the single-chip slot bank)
     extras = tuple(g for g in pipe_cfg.narrow_modes if g != entry)
     extra_banks = tuple(pipe_cfg.bank_cfg(g) for g in extras)
+    # Mixed analog + p25 (round 5, lifting the last mesh mode exclusion):
+    # the 4800-baud soft-symbol bank rides the grid's SECOND output — the
+    # same mode2 machinery the Phase 2 dual-rate grid uses — so a mixed
+    # site capture (NBFM mutual-aid + a P25 system in one pass-band) runs
+    # on the mesh like it does single-chip.  Block geometry is already
+    # the lcm of the audio and symbol constraints (engine
+    # _compute_block_size when p25_capacity > 0).
+    mode2 = None
+    demod_cfg2 = None
+    if pipe_cfg.p25_capacity > 0:
+        from wavecap_tpu.capture.pipeline import p25_cfg_for
+
+        mode2 = (
+            "p25-cqpsk-soft"
+            if pipe_cfg.p25_modulation == "cqpsk"
+            else "p25-soft"
+        )
+        demod_cfg2 = p25_cfg_for(pipe_cfg)
     return ShardedGridConfig(
         channelizer=pipe_cfg.channelizer(),
         mode=bank.mode,
         demod_cfg=bank.demod_cfg,
+        mode2=mode2,
+        demod_cfg2=demod_cfg2,
         extra_modes=tuple(b.mode for b in extra_banks),
         extra_demod_cfgs=tuple(b.demod_cfg for b in extra_banks),
         **wide_kw,
@@ -249,6 +273,14 @@ def jit_mesh_capture_multi(pipe_cfg, n_blocks: int, mesh: Mesh, entry):
                     else {}
                 ),
             }
+            if "audio2" in g_out:
+                # mixed analog + p25 (round 5): the second grid output is
+                # the 4800-baud soft-symbol bank for this capture's p25
+                # channels
+                out["p25"] = {
+                    "soft": g_out["audio2"][0],
+                    "rssi": g_out["rssi"][0],
+                }
         if "wide" in g_out:
             # wide slots off the raw-stream stage; same shape contract as
             # the slot-bank program's out["wide"][dsp_key]

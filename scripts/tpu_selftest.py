@@ -13,9 +13,12 @@ Run: python scripts/tpu_selftest.py      (uses the default device)
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

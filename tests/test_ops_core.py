@@ -74,6 +74,39 @@ class TestFIR:
             np.concatenate(parts), np.asarray(full), atol=2e-5
         )
 
+    def test_matmul_conv_path_matches_direct(self, rng, monkeypatch):
+        """The TPU MXU banded-matmul conv (round 5: the voice FIR was
+        73 % of the fused 800-channel program on the VPU; this path took
+        the headline 417 -> 1390 Msps) must be numerically equivalent to
+        the direct conv on identical inputs."""
+        from wavecap_tpu.ops import fir as fir_ops
+
+        monkeypatch.setenv("WAVECAP_FIR_MATMUL", "1")
+        for t in (9, 63, 127, 128):
+            taps = sps.firwin(t, 0.2).astype(np.float32)
+            for x in (
+                rng.standard_normal(5126).astype(np.float32),
+                make_noise(rng, 5126),
+            ):
+                a = np.asarray(
+                    fir_ops._conv_valid_direct(jnp.asarray(x), jnp.asarray(taps))
+                )
+                b = np.asarray(
+                    fir_ops.conv_valid(jnp.asarray(x), jnp.asarray(taps))
+                )
+                assert a.shape == b.shape
+                denom = max(float(np.max(np.abs(a))), 1e-9)
+                assert float(np.max(np.abs(a - b))) / denom < 2e-5, (t, x.dtype)
+        # below the size/taps floor the dispatch stays direct (identical)
+        small = rng.standard_normal(100).astype(np.float32)
+        taps = sps.firwin(63, 0.2).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(fir_ops.conv_valid(jnp.asarray(small), jnp.asarray(taps))),
+            np.asarray(
+                fir_ops._conv_valid_direct(jnp.asarray(small), jnp.asarray(taps))
+            ),
+        )
+
     def test_decimate_matches_lfilter_slice(self, rng):
         taps = sps.firwin(157, 0.03).astype(np.float32)
         x = make_noise(rng, 30000)

@@ -123,9 +123,13 @@ class TestRest:
             time.sleep(0.25)
         assert st["blocksProcessed"] >= 2
 
-        # spectrum snapshot works
+        # snapshot serves the cached last frame instantly while running
+        # (even during a bank-change recompile) — previously it hung up
+        # to 10 s waiting for the NEXT frame
+        t0 = time.monotonic()
         spec = client.get(f"/captures/{cid}/spectrum").json()
         assert len(spec["db"]) == 2048
+        assert time.monotonic() - t0 < 5.0
 
         # channel metrics + update
         r = client.patch(f"/channels/{ch['id']}", json={"name": "renamed"})
@@ -136,12 +140,12 @@ class TestRest:
         r = client.post(f"/captures/{cid}/stop")
         assert r.json()["state"] == "stopped"
 
-        # snapshot serves the cached last frame instantly even with no new
-        # frames flowing (block loop stopped / bank-change recompile in
-        # flight) — previously it hung 10 s waiting for the NEXT frame.
+        # round 5 (ADVICE): a stopped capture must NOT serve a stale
+        # frame forever — the cache clears on stop and the route answers
+        # 404 immediately instead of burning the 10 s next-frame wait
         t0 = time.monotonic()
-        spec = client.get(f"/captures/{cid}/spectrum").json()
-        assert len(spec["db"]) == 2048
+        r = client.get(f"/captures/{cid}/spectrum")
+        assert r.status_code == 404
         assert time.monotonic() - t0 < 5.0
 
         assert client.delete(f"/captures/{cid}").json()["ok"]

@@ -101,11 +101,81 @@ def _conv_valid_direct(
     return conv1d(x.astype(jnp.float32), kern)
 
 
+_CONV_TILE = 128
+
+
+def _conv_valid_matmul(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Valid convolution as a banded-matrix tile matmul (MXU path).
+
+    ``lax.conv`` with C_in=1 lowers to a VPU shift-multiply-accumulate on
+    TPU (~0.3 TFLOP/s measured) — at the 800-channel operating point the
+    voice-band FIR was 73 % of the whole fused program (round-5 profile,
+    ``scripts/profile_roofline.py``).  Blocking the output into
+    ``_CONV_TILE``-sample tiles turns it into
+    ``(n_tiles, tile+T-1) @ (tile+T-1, tile)`` matmuls against a banded
+    taps matrix — the systolic array's bread and butter.  The band matrix
+    wastes a factor ~(tile+T)/T of multiplies on structural zeros, which
+    the MXU's ~100x headroom swallows: measured 6x end-to-end on the
+    voice chain.  Real taps only (complex x rides as two real rows);
+    Precision.HIGH matches the direct path's accumulation.
+    """
+    t = taps.shape[-1]
+    n = x.shape[-1]
+    m_out = n - t + 1
+    tile = _CONV_TILE
+    n_tiles = -(-m_out // tile)
+    kern = taps.astype(jnp.float32)
+    # band[i, o] = taps[o + t - 1 - i] for 0 <= o + t - 1 - i < t
+    i = np.arange(tile + t - 1)[:, None]
+    o = np.arange(tile)[None, :]
+    k_idx = o + (t - 1) - i
+    valid = (k_idx >= 0) & (k_idx < t)
+    band = jnp.where(
+        jnp.asarray(valid), kern[jnp.asarray(np.clip(k_idx, 0, t - 1))], 0.0
+    )
+
+    complex_x = jnp.issubdtype(x.dtype, jnp.complexfloating)
+    planes = (
+        jnp.stack([x.real, x.imag]).astype(jnp.float32)
+        if complex_x
+        else x.astype(jnp.float32)[None]
+    )
+    pad = n_tiles * tile + tile - n  # one spare row for the tail window
+    xp = jnp.pad(planes, ((0, 0), (0, max(pad, 0))))
+    rows = xp.reshape(planes.shape[0], -1, tile)  # (P, n_tiles+1, tile)
+    win = jnp.concatenate(
+        [rows[:, :-1], rows[:, 1:, : t - 1]], axis=-1
+    )  # (P, n_tiles, tile+t-1)
+    y = jnp.einsum(
+        "pnk,ko->pno", win, band, precision=jax.lax.Precision.HIGH
+    ).reshape(planes.shape[0], -1)[:, :m_out]
+    if complex_x:
+        return jax.lax.complex(y[0], y[1])
+    return y[0]
+
+
 def conv_valid(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
-    """Valid convolution with real taps; picks direct vs FFT by cost."""
+    """Valid convolution with real taps; picks direct vs FFT vs MXU-matmul
+    by cost and platform."""
     t = int(taps.shape[-1])
     if stride == 1 and t > 128:
         return _conv_valid_fft(x, taps)
+    import os as _os
+
+    force = _os.environ.get("WAVECAP_FIR_MATMUL")  # "1" force / "0" off
+    use_matmul = (
+        force == "1" or (force is None and jax.default_backend() == "tpu")
+    )
+    if (
+        stride == 1
+        and t > 8
+        and use_matmul
+        and not jnp.issubdtype(taps.dtype, jnp.complexfloating)
+        and x.shape[-1] >= 4 * _CONV_TILE
+    ):
+        # the banded matmul wastes ~(tile+T)/T multiplies on zeros, a win
+        # only where the MXU exists; CPU/GPU keep the direct conv
+        return _conv_valid_matmul(x, taps)
     return _conv_valid_direct(x, taps, stride)
 
 

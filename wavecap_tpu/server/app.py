@@ -591,6 +591,13 @@ def build_router(state: AppState) -> Router:
         cap = state.get_capture(req.params["cid"])
         spec = getattr(cap, "last_spectrum", None)
         if spec is None:
+            # stop()/retune invalidates the cache (round 5: a stopped
+            # capture must not serve stale data, a retuned one must not
+            # serve old-frequency frames under the new label) — and a
+            # stopped capture will never publish a fresh frame, so answer
+            # immediately instead of burning the 10 s wait
+            if cap.state != "running":
+                raise HttpError(404, "no spectrum available (capture stopped)")
             # No frame yet (capture just started): wait for the first one.
             sub = cap.spectrum_subs.subscribe(maxsize=2)
             try:

@@ -63,6 +63,15 @@ def main() -> None:
         "to demonstrate degrade-and-hold vs a static transport falling "
         "behind",
     )
+    ap.add_argument(
+        "--realtime",
+        action="store_true",
+        help="pace the fake stream at the sample rate like real hardware. "
+        "Adaptive transport only engages for realtime-paced sources (a "
+        "throughput-mode source can't 'fall behind'), so the adaptive "
+        "demonstration needs this; realtime_x then tops out at ~1.0 and "
+        "the interesting outputs are transport_active + the stage budget",
+    )
     args = ap.parse_args()
     if args.channels:
         run_baseline_point(args)
@@ -200,6 +209,8 @@ def run_baseline_point(args) -> None:
     subs = [cap.channels[c].audio.subscribe() for c in ("n0", f"n{n_nbfm-1}")]
     if args.throttle_mbps > 0:
         cap._upload_throttle_bps = args.throttle_mbps * 1e6
+    if args.realtime:
+        cap.device.realtime = True
     t_start = time.time()
     cap.start()
     warm_n, end_n = 8, 88

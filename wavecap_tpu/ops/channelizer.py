@@ -153,11 +153,19 @@ def channelize(x: jnp.ndarray, state: jnp.ndarray, cfg: ChannelizerConfig):
     u_odd = parity_stack(1 + m // 2)
 
     if cfg._use_matmul_dft():
-        from .planar import planar_matmul_dft
+        from .planar import _dft_factor, planar_factored_dft, planar_matmul_dft
 
-        def dft_fwd(u):
-            yr, yi = planar_matmul_dft(u.real, u.imag, m, inverse=False)
-            return jax.lax.complex(yr, yi)
+        if _dft_factor(m) is not None:
+            # two-stage Cooley-Tukey matmuls (round 5): ~m/(m1+m2) fewer
+            # FLOPs than the full m x m matmul (14x at m=800) at BETTER
+            # accuracy (shorter f32 dot chains: ~135 dB vs ~99 dB)
+            def dft_fwd(u):
+                yr, yi = planar_factored_dft(u.real, u.imag, m, inverse=False)
+                return jax.lax.complex(yr, yi)
+        else:
+            def dft_fwd(u):
+                yr, yi = planar_matmul_dft(u.real, u.imag, m, inverse=False)
+                return jax.lax.complex(yr, yi)
     else:
         def dft_fwd(u):
             return jnp.fft.fft(u, axis=-1)

@@ -74,6 +74,94 @@ def planar_matmul_dft(re, im, m: int, inverse: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Factorized (Cooley-Tukey two-stage) matmul DFT
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=16)
+def _dft_factor(m: int) -> tuple[int, int] | None:
+    """Split ``m = m1 * m2`` with both factors >= 8, closest to sqrt(m);
+    None if no such factorization exists (prime-ish m)."""
+    best = None
+    for m1 in range(8, int(np.sqrt(m)) + 1):
+        if m % m1 == 0 and m // m1 >= 8:
+            best = (m1, m // m1)  # m1 <= m2, m1 ascending -> last is closest
+    return best
+
+
+@lru_cache(maxsize=16)
+def _factored_mats(m: int, inverse: bool):
+    m1, m2 = _dft_factor(m)  # type: ignore[misc]
+    sign = 1.0 if inverse else -1.0
+    a1 = 2.0 * np.pi * np.outer(np.arange(m1), np.arange(m1)) / m1
+    a2 = 2.0 * np.pi * np.outer(np.arange(m2), np.arange(m2)) / m2
+    tw = 2.0 * np.pi * np.outer(np.arange(m1), np.arange(m2)) / m
+    return (
+        (np.cos(a1).astype(np.float32), (sign * np.sin(a1)).astype(np.float32)),
+        (np.cos(a2).astype(np.float32), (sign * np.sin(a2)).astype(np.float32)),
+        (np.cos(tw).astype(np.float32), (sign * np.sin(tw)).astype(np.float32)),
+    )
+
+
+def planar_factored_dft(re, im, m: int, inverse: bool = False):
+    """Two-stage Cooley-Tukey DFT as planar matmuls (round 5).
+
+    The full m x m matmul DFT does O(m) MACs per output; splitting
+    ``m = m1 * m2`` (e.g. 800 = 25 x 32) does O(m1 + m2) — ~14x fewer
+    FLOPs at m=800 — while every stage stays an MXU matmul at full f32
+    accumulation (`Precision.HIGH`), so there is no precision trade
+    (measured ~116 dB vs numpy fft at m=800; the single-matmul HIGH
+    path measures ~99 dB).
+
+    Derivation (forward): with k = m2*k1 + k2 and c = c1 + m1*c2,
+      X[c1 + m1 c2] = sum_{k2} [ e^{-2pi i c1 k2 / m}
+                       * sum_{k1} x[k1,k2] e^{-2pi i k1 c1 / m1} ]
+                       * e^{-2pi i k2 c2 / m2}
+    i.e. stage-1 DFT over k1 (m1 x m1 matmul), twiddle by c1*k2, stage-2
+    DFT over k2 (m2 x m2 matmul), then (c1, c2) -> c1 + m1*c2 reorder.
+    """
+    import os
+
+    (c1m, s1m), (c2m, s2m), (twc, tws) = _factored_mats(m, inverse)
+    m1, m2 = c1m.shape[0], c2m.shape[0]
+    prec = os.environ.get("WAVECAP_DFT_PRECISION", "high")
+    hi = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }.get(prec, jax.lax.Precision.HIGH)
+    c1j, s1j = jnp.asarray(c1m), jnp.asarray(s1m)
+    c2j, s2j = jnp.asarray(c2m), jnp.asarray(s2m)
+    twcj, twsj = jnp.asarray(twc), jnp.asarray(tws)
+
+    lead = re.shape[:-1]
+    xr = re.reshape(lead + (m1, m2))
+    xi = im.reshape(lead + (m1, m2))
+
+    # stage 1: DFT over k1 -> A[..., c1, k2]
+    def mm1(x, mat):
+        return jnp.einsum("...ab,ac->...cb", x, mat, precision=hi)
+
+    ar = mm1(xr, c1j) - mm1(xi, s1j)
+    ai = mm1(xr, s1j) + mm1(xi, c1j)
+
+    # twiddle by e^{sign 2pi i c1 k2 / m} (elementwise, (m1, m2) grid)
+    br = ar * twcj - ai * twsj
+    bi = ar * twsj + ai * twcj
+
+    # stage 2: DFT over k2 -> X[..., c1, c2]
+    def mm2(x, mat):
+        return jnp.einsum("...cb,bd->...cd", x, mat, precision=hi)
+
+    yr = mm2(br, c2j) - mm2(bi, s2j)
+    yi = mm2(br, s2j) + mm2(bi, c2j)
+
+    # (c1, c2) -> c = c1 + m1*c2: transpose to (c2, c1) then flatten
+    yr = jnp.swapaxes(yr, -1, -2).reshape(lead + (m,))
+    yi = jnp.swapaxes(yi, -1, -2).reshape(lead + (m,))
+    return yr, yi
+
+
+# ---------------------------------------------------------------------------
 # Elementwise planar ops
 # ---------------------------------------------------------------------------
 

@@ -273,7 +273,9 @@ class TestAmFamilyDifferential:
         cfg = SsbConfig(sample_rate=self.FS, mode=mode, enable_agc=False)
         mine, _ = ssb_demod(jnp.asarray(iq), ssb_init(cfg), cfg)
         corr, lag = audio_corr(np.asarray(ref), np.asarray(mine))
-        assert corr > 0.93, f"ssb seed {seed} {mode}: corr {corr:.4f} @ {lag}"
+        # round 5: this tier root-caused the original 0.95-0.99 gap to a
+        # bandpass order mismatch (ours 4, reference 5); fixed -> exact
+        assert corr > 0.99, f"ssb seed {seed} {mode}: corr {corr:.4f} @ {lag}"
 
 
 # ---------------------------------------------------------------------------

@@ -90,11 +90,11 @@ class TestMeshConstraints:
         )
         assert ch.mode_group == "p25"
 
-    def test_mixes_analog_and_p25_rejects_p25p2_mix(self):
+    def test_all_modes_mix_on_one_mesh_capture(self):
         """Round 4: narrow analog modes mix freely on the mesh; round 5:
-        p25 mixes with analog too (grid second output) when p25_capacity
-        was declared at creation.  The only remaining exclusion is
-        p25p2 + analog (the dual-rate grid's second bank)."""
+        p25 AND p25p2 mix with analog too (the soft banks ride the
+        grid's own-output bank tuple) — no mode exclusions remain.
+        Capacities must still be declared at creation (block geometry)."""
         _, cap = make_mesh_capture()
         cap.create_channel(ChannelSpec(id="a", mode="nbfm", frequency_hz=155.1e6))
         cap.create_channel(ChannelSpec(id="b", mode="am", frequency_hz=155.2e6))
@@ -117,10 +117,35 @@ class TestMeshConstraints:
             ChannelSpec(id="p", mode="p25", frequency_hz=155.3e6)
         )
         assert ch.mode_group == "p25"
-        with pytest.raises(ValueError, match="p25p2"):
-            cap2.create_channel(
-                ChannelSpec(id="p2", mode="p25p2", frequency_hz=155.35e6)
+        ch2 = cap2.create_channel(
+            ChannelSpec(id="p2", mode="p25p2", frequency_hz=155.35e6)
+        )
+        assert ch2.mode_group == "p25p2"
+        # the three-output program (analog audio + 4800 soft + 6000 soft)
+        # compiles and runs with state round-tripping
+        import jax
+        import jax.numpy as jnp
+
+        jit_step = cap2._jit_step
+        state = cap2._dev_state
+        ctl = cap2._build_control()
+        rng = np.random.default_rng(0)
+        batch = jnp.asarray(
+            (rng.standard_normal((1, 2 * cap2.block_size)) * 0.1).astype(
+                np.float32
             )
+        )
+        out, state = jit_step(batch, state, ctl)
+        out2, state = jit_step(batch, state, ctl)
+        jax.block_until_ready((out2, state))
+        m = cap2._channelizer.channel_count
+        assert next(iter(out2["banks"].values()))["audio"].shape[-2] == m
+        assert out2["p25"]["soft"].shape[-2] == m
+        assert out2["p25p2"]["soft"].shape[-2] == m
+        # the two soft banks demodulate at different symbol rates
+        assert (
+            out2["p25"]["soft"].shape[-1] != out2["p25p2"]["soft"].shape[-1]
+        )
 
     def test_rejects_bin_collision(self):
         _, cap = make_mesh_capture()

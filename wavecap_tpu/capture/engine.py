@@ -145,10 +145,10 @@ class CaptureConfig:
     # (parallel/sharded.py: ppermute halo channelizer + all_to_all
     # channel-parallel demod) over jax.devices().  Mesh captures
     # demodulate every channelizer bin; analog modes mix freely (per-bin
-    # bank select), wide (WBFM) slots ride a raw-stream stage, and p25
-    # (soft symbols out; p25_capacity > 0 required at creation for
-    # symbol-commensurate block geometry) mixes with analog via the
-    # grid's second output (round 5) — only p25p2 + analog is excluded.
+    # bank select), wide (WBFM) slots ride a raw-stream stage, and the
+    # p25 family (soft symbols out; capacities > 0 required at creation
+    # for symbol-commensurate block geometry) rides the grid's
+    # own-output soft banks — round 5: ANY mode mix runs in one capture.
     # None = single-chip slot-bank program (capture/pipeline.py).
     mesh: str | None = None
 
@@ -430,29 +430,14 @@ class Capture:
                 "mesh p25p2 channels need p25p2_capacity > 0 at creation "
                 "(enables the dual-rate grid)"
             )
-        others = {
-            c.mode_group
-            for c in self.channels.values()
-            if c.spec.id != exclude_id
-        }
-        # Allowed mixes (round 5 lifted the analog/p25 exclusion): any
-        # set of narrow analog (mode, dsp) groups + wide groups + p25 —
-        # analog banks are the grid's base (per-bin bank_idx selects),
-        # and p25 rides the grid's SECOND output (the mode2 machinery the
-        # dual-rate Phase 2 grid already uses; block geometry is the lcm
-        # of both constraints, _compute_block_size).  The one remaining
-        # exclusion: p25p2 (Phase 2 dual-rate needs mode2 for its
-        # 6000-baud bank) cannot share a mesh capture with analog
-        # channels — that would need a third grid output.
+        # Round 5: no mode-mix exclusions remain — any combination of
+        # narrow analog (mode, dsp) groups, wide groups, p25 (4800) and
+        # p25p2 (6000) runs in one mesh capture: analog banks are the
+        # grid's base (per-bin bank_idx selects) and the soft-symbol
+        # banks ride the grid's own-output bank tuple
+        # (parallel/sharded.py modes2); block geometry is the lcm of the
+        # audio and symbol constraints (_compute_block_size).
         p25_family = {"p25", "p25p2"}
-        groups_all = others | {group}
-        has_analog = any(g not in p25_family for g in groups_all)
-        if "p25p2" in groups_all and has_analog:
-            raise ValueError(
-                "mesh-backend captures mix analog and p25 channels "
-                "(round 5), but p25p2 (the dual-rate grid's second bank) "
-                "cannot share a mesh capture with analog channels"
-            )
         if group in p25_family and self.config.p25_capacity <= 0:
             # block geometry must be symbol-commensurate, and that is
             # decided at capture creation from p25_capacity (single-chip

@@ -20,11 +20,11 @@ channels need ~200 kHz the 25 kHz bin grid does not synthesize, so they
 run a separate time-sharded stage off the RAW stream (per-slot
 freq-shift + decimating FIR with the channelizer's halo, ``all_gather``
 of the small IF, replicated demod — ``parallel/sharded.py``).  Round 5
-lifted the last mode exclusion: analog and p25 channels mix in one mesh
-capture (the 4800-baud soft bank rides the grid's second output, the
-mode2 machinery of the dual-rate Phase 2 grid; block geometry is the
-lcm of the audio and symbol constraints).  The only remaining exclusion
-is p25p2 + analog in one capture (a third grid output).
+removed the mode exclusions entirely: ANY combination of narrow analog,
+wide, p25 (4800) and p25p2 (6000) channels runs in one mesh capture —
+the soft-symbol banks ride the grid's own-output bank tuple
+(``ShardedGridConfig.modes2``) and block geometry is the lcm of the
+audio and symbol constraints.
 
 SURVEY §7.2 step 8; the reference's analog is its process-per-device
 scale-out (``trunking/manager.py:49``) — here one capture scales across
@@ -85,6 +85,28 @@ def build_mesh(spec: str) -> Mesh:
     return Mesh(arr, tuple(axes.keys()))
 
 
+def mesh_banks2(pipe_cfg, entry) -> tuple:
+    """Own-output grid banks beyond the base: ``((label, mode, cfg), ...)``.
+
+    Round 5 (generalized from the single round-4 ``mode2``): any
+    combination of {analog base, p25 @ 4800, p25p2 @ 6000} runs in one
+    mesh capture — the last structural mode exclusion is gone.
+    ``label`` is the engine-facing output key ("p25" / "p25p2")."""
+    from wavecap_tpu.capture.pipeline import p25_cfg_for, p25p2_cfg_for
+
+    banks = []
+    if entry != "p25" and pipe_cfg.p25_capacity > 0:
+        mode = (
+            "p25-cqpsk-soft"
+            if pipe_cfg.p25_modulation == "cqpsk"
+            else "p25-soft"
+        )
+        banks.append(("p25", mode, p25_cfg_for(pipe_cfg)))
+    if pipe_cfg.p25p2_capacity > 0:
+        banks.append(("p25p2", "p25-cqpsk-soft", p25p2_cfg_for(pipe_cfg)))
+    return tuple(banks)
+
+
 def mesh_grid_cfg(pipe_cfg, entry) -> ShardedGridConfig:
     """Grid config for the capture's single mode group ``entry``.
 
@@ -100,23 +122,25 @@ def mesh_grid_cfg(pipe_cfg, entry) -> ShardedGridConfig:
         ),
         wide_export_baseband=pipe_cfg.export_wide_baseband,
     )
+    banks2 = mesh_banks2(pipe_cfg, entry)
+    banks2_kw = dict(
+        modes2=tuple(b[1] for b in banks2),
+        demod_cfgs2=tuple(b[2] for b in banks2),
+    )
     if entry == "p25":
-        from wavecap_tpu.capture.pipeline import p25_cfg_for, p25p2_cfg_for
+        from wavecap_tpu.capture.pipeline import p25_cfg_for
 
         mode = (
             "p25-cqpsk-soft"
             if pipe_cfg.p25_modulation == "cqpsk"
             else "p25-soft"
         )
-        # Phase 2 dual-rate: a second 6000-baud H-DQPSK bank over the same
-        # bins (each bin shifted once, demodulated at both symbol rates)
-        dual = pipe_cfg.p25p2_capacity > 0
+        # Phase 2 dual-rate: the 6000-baud H-DQPSK bank rides banks2
         return ShardedGridConfig(
             channelizer=pipe_cfg.channelizer(),
             mode=mode,
             demod_cfg=p25_cfg_for(pipe_cfg),
-            mode2="p25-cqpsk-soft" if dual else None,
-            demod_cfg2=p25p2_cfg_for(pipe_cfg) if dual else None,
+            **banks2_kw,
             **wide_kw,
         )
     if entry is None:
@@ -131,6 +155,7 @@ def mesh_grid_cfg(pipe_cfg, entry) -> ShardedGridConfig:
             demod_cfg=make_config(
                 "nbfm", int(ch.channel_rate), audio_rate=pipe_cfg.audio_rate
             ),
+            **banks2_kw,
             **wide_kw,
         )
     bank = pipe_cfg.bank_cfg(entry)
@@ -140,30 +165,18 @@ def mesh_grid_cfg(pipe_cfg, entry) -> ShardedGridConfig:
     # channel's mode never recompiles, unlike the single-chip slot bank)
     extras = tuple(g for g in pipe_cfg.narrow_modes if g != entry)
     extra_banks = tuple(pipe_cfg.bank_cfg(g) for g in extras)
-    # Mixed analog + p25 (round 5, lifting the last mesh mode exclusion):
-    # the 4800-baud soft-symbol bank rides the grid's SECOND output — the
-    # same mode2 machinery the Phase 2 dual-rate grid uses — so a mixed
-    # site capture (NBFM mutual-aid + a P25 system in one pass-band) runs
-    # on the mesh like it does single-chip.  Block geometry is already
-    # the lcm of the audio and symbol constraints (engine
-    # _compute_block_size when p25_capacity > 0).
-    mode2 = None
-    demod_cfg2 = None
-    if pipe_cfg.p25_capacity > 0:
-        from wavecap_tpu.capture.pipeline import p25_cfg_for
-
-        mode2 = (
-            "p25-cqpsk-soft"
-            if pipe_cfg.p25_modulation == "cqpsk"
-            else "p25-soft"
-        )
-        demod_cfg2 = p25_cfg_for(pipe_cfg)
+    # Mixed analog + p25 (+ p25p2) — round 5, the last mesh mode
+    # exclusion is gone: the soft-symbol banks ride the grid's own-output
+    # bank tuple (``banks2``), so a mixed site capture (NBFM mutual-aid +
+    # a P25 system — FDMA and/or Phase 2 TDMA — in one pass-band) runs on
+    # the mesh like it does single-chip.  Block geometry is already the
+    # lcm of the audio and symbol constraints (engine _compute_block_size
+    # when p25_capacity > 0).
     return ShardedGridConfig(
         channelizer=pipe_cfg.channelizer(),
         mode=bank.mode,
         demod_cfg=bank.demod_cfg,
-        mode2=mode2,
-        demod_cfg2=demod_cfg2,
+        **banks2_kw,
         extra_modes=tuple(b.mode for b in extra_banks),
         extra_demod_cfgs=tuple(b.demod_cfg for b in extra_banks),
         **wide_kw,
@@ -238,6 +251,7 @@ def jit_mesh_capture_multi(pipe_cfg, n_blocks: int, mesh: Mesh, entry):
     from wavecap_tpu.capture.pipeline import _to_complex
 
     gcfg = mesh_grid_cfg(pipe_cfg, entry)
+    banks2_labels = tuple(b[0] for b in mesh_banks2(pipe_cfg, entry))
     gstep = sharded_grid_step(mesh, gcfg)
     fft_size = pipe_cfg.fft_size
     spectrum_frames = pipe_cfg.spectrum_frames
@@ -253,12 +267,6 @@ def jit_mesh_capture_multi(pipe_cfg, n_blocks: int, mesh: Mesh, entry):
                 "spectrum": spectrum,
                 "p25": {"soft": g_out["audio"][0], "rssi": g_out["rssi"][0]},
             }
-            if "audio2" in g_out:
-                # dual-rate grid: the 6000-baud bank for p25p2 channels
-                out["p25p2"] = {
-                    "soft": g_out["audio2"][0],
-                    "rssi": g_out["rssi"][0],
-                }
         else:
             out = {
                 "spectrum": spectrum,
@@ -273,14 +281,13 @@ def jit_mesh_capture_multi(pipe_cfg, n_blocks: int, mesh: Mesh, entry):
                     else {}
                 ),
             }
-            if "audio2" in g_out:
-                # mixed analog + p25 (round 5): the second grid output is
-                # the 4800-baud soft-symbol bank for this capture's p25
-                # channels
-                out["p25"] = {
-                    "soft": g_out["audio2"][0],
-                    "rssi": g_out["rssi"][0],
-                }
+        # own-output soft banks (round 5 tuple): dual-rate p25p2 and/or
+        # the 4800-baud bank of a mixed analog+p25 capture
+        for i, label in enumerate(banks2_labels):
+            out[label] = {
+                "soft": g_out["audio2"][i][0],
+                "rssi": g_out["rssi"][0],
+            }
         if "wide" in g_out:
             # wide slots off the raw-stream stage; same shape contract as
             # the slot-bank program's out["wide"][dsp_key]

@@ -40,14 +40,18 @@ class ShardedGridConfig:
     channelizer: ChannelizerConfig
     mode: str
     demod_cfg: Any
-    # Optional SECOND demod bank over the same bins (round 4): each bin is
-    # frequency-shifted once and demodulated by BOTH configs — how Phase 2
-    # trunking (4800-baud FDMA control + 6000-baud H-DQPSK voice in one
-    # capture) runs on the mesh.  The host consumes whichever output a
-    # bin's channel mode calls for.  Compute doubles on the grid's demod
-    # stage; the channelizer/collectives are shared.
-    mode2: str | None = None
-    demod_cfg2: Any = None
+    # Additional demod banks with their OWN outputs over the same bins
+    # (round 4 as a single optional "mode2"; round 5 generalized to a
+    # tuple): each bin is frequency-shifted once and demodulated by every
+    # bank; the host consumes whichever output a bin's channel mode calls
+    # for.  This is how Phase 2 dual-rate trunking (4800-baud FDMA CC +
+    # 6000-baud H-DQPSK voice) and mixed analog+p25(+p25p2) captures run
+    # on the mesh.  Compute scales with bank count on the demod stage;
+    # the channelizer/collectives are shared.  Unlike ``extra_modes``
+    # (which fold into the one ``audio`` output via bank_idx), each entry
+    # here is a separate output array (different shapes allowed).
+    modes2: tuple = ()
+    demod_cfgs2: tuple = ()
     # Mixed analog modes (round 4): additional demod banks whose outputs
     # share the base bank's audio shape (the narrow analog family —
     # nbfm/am/sam/usb/lsb — all resample to the same audio rate).  Every
@@ -86,7 +90,7 @@ class GridState(NamedTuple):
     hist: jnp.ndarray  # (n_streams, M*T) channelizer history carry
     demod_states: Any  # stacked pytree, leading dims (n_streams, M)
     nco_phase: jnp.ndarray  # (n_streams, M) uint32
-    demod_states2: Any = None  # second bank (dual-rate grids) or None
+    demod_states2: Any = ()  # tuple of own-output bank states (modes2)
     demod_states_extra: Any = ()  # tuple of stacked pytrees (mixed modes)
     wide: Any = None  # {dsp_key: {"nco": (S,W) u32, "demod": pytree}} or None
 
@@ -106,12 +110,13 @@ def grid_init(cfg: ShardedGridConfig, n_streams: int) -> GridState:
     t = cfg.channelizer.taps_per_channel
     spec = get_demod(cfg.mode)
     base = spec.init(cfg.demod_cfg)
-    states2 = None
-    if cfg.mode2 is not None:
-        base2 = get_demod(cfg.mode2).init(cfg.demod_cfg2)
-        states2 = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (n_streams, m) + x.shape), base2
+    states2 = tuple(
+        jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_streams, m) + x.shape),
+            get_demod(mk).init(ck),
         )
+        for mk, ck in zip(cfg.modes2, cfg.demod_cfgs2)
+    )
     extras = tuple(
         jax.tree.map(
             lambda x: jnp.broadcast_to(x, (n_streams, m) + x.shape),
@@ -182,8 +187,7 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
     if m % n_time != 0:
         raise ValueError(f"channel count {m} must divide by time shards {n_time}")
     spec = get_demod(cfg.mode)
-    spec2 = get_demod(cfg.mode2) if cfg.mode2 is not None else None
-    dual = spec2 is not None
+    specs2 = tuple(get_demod(mk) for mk in cfg.modes2)
     specs_extra = tuple(get_demod(mk) for mk in cfg.extra_modes)
     rate = cfg.channelizer.channel_rate
     rate_full = float(cfg.channelizer.sample_rate)
@@ -199,7 +203,7 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
 
     def one_stream(
         x_local, hist, demod_states, nco_phase, fine, active, squelch,
-        bank_idx, ds_extra, wide_state, wide_ctl, demod_states2=None,
+        bank_idx, ds_extra, wide_state, wide_ctl, demod_states2=(),
     ):
         if x_local.shape[-1] < hist_len:
             raise ValueError(
@@ -324,20 +328,24 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
         audio = jnp.where(active[:, None], audio, jnp.zeros_like(audio))
         rssi = jnp.where(active, rssi, jnp.full_like(rssi, -200.0))
 
-        if dual:
-            # second bank over the SAME shifted bins (dual-rate trunking)
-            def per_chan2(shifted, dstate2):
-                out2, dstate2 = spec2.demod(shifted, dstate2, cfg.demod_cfg2)
+        # own-output extra banks over the SAME shifted bins (dual-rate
+        # trunking, mixed analog+p25(+p25p2) — round 5 generalized tuple)
+        audio2_list = []
+        ds2_list = []
+        for k, sp2 in enumerate(specs2):
+            cfg2_k = cfg.demod_cfgs2[k]
+
+            def per_chan2(shifted, dstate2, _sp=sp2, _cfg=cfg2_k):
+                out2, dstate2 = _sp.demod(shifted, dstate2, _cfg)
                 return out2, dstate2
 
-            audio2, demod_states2 = jax.vmap(per_chan2)(
-                shifted_all, demod_states2
+            a2, d2 = jax.vmap(per_chan2)(shifted_all, demod_states2[k])
+            audio2_list.append(
+                jnp.where(active[:, None], a2, jnp.zeros_like(a2))
             )
-            audio2 = jnp.where(
-                active[:, None], audio2, jnp.zeros_like(audio2)
-            )
-        else:
-            audio2 = audio  # unused placeholder (never returned)
+            ds2_list.append(d2)
+        audio2 = tuple(audio2_list)
+        demod_states2 = tuple(ds2_list)
 
         # --- next-block history: the global stream tail (last shard's) ---
         if cfg.debug_skip_halo:
@@ -346,14 +354,9 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
             all_tails = jax.lax.all_gather(tail, "time")  # (n_time, hist_len)
             new_hist = all_tails[-1]
 
-        if dual:
-            return (
-                audio, rssi, new_hist, demod_states, nco_phase, ds_extra,
-                wide_out, new_wide, audio2, demod_states2,
-            )
         return (
             audio, rssi, new_hist, demod_states, nco_phase, ds_extra,
-            wide_out, new_wide,
+            wide_out, new_wide, audio2, demod_states2,
         )
 
     base_in = (
@@ -378,67 +381,20 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
         P("stream", "time"),  # extra demod states
         P("stream"),  # wide outputs (replicated over time)
         P("stream"),  # wide state
+        P("stream", "time", None),  # own-output bank audio tuple (M sharded)
+        P("stream", "time"),  # own-output bank states tuple
     )
 
-    if dual:
-
-        def body(x, hist, ds, nco, fine, active, squelch, bidx, dse, ws, wc, ds2):
-            f = jax.vmap(one_stream)
-            return f(
-                x, hist, ds, nco, fine, active, squelch, bidx, dse, ws, wc, ds2
-            )
-
-        shard = jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=base_in + (P("stream", "time"),),
-            out_specs=base_out
-            + (P("stream", "time", None), P("stream", "time")),
-            check_vma=False,
-        )
-
-        @jax.jit
-        def step(x, state: GridState, ctl: GridControl):
-            bidx = ctl.bank_idx
-            if bidx is None:
-                bidx = jnp.zeros(ctl.active.shape, jnp.int32)
-            (
-                audio, rssi, hist, dstates, nco, dse, wide_out, wide_st,
-                audio2, dstates2,
-            ) = shard(
-                x,
-                state.hist,
-                state.demod_states,
-                state.nco_phase,
-                ctl.fine_offset_hz,
-                ctl.active,
-                ctl.squelch_db,
-                bidx,
-                state.demod_states_extra,
-                state.wide,
-                ctl.wide,
-                state.demod_states2,
-            )
-            out = {"audio": audio, "rssi": rssi, "audio2": audio2}
-            if wide_out:
-                out["wide"] = wide_out
-            return out, GridState(
-                hist, dstates, nco, dstates2, dse, wide_st or None
-            )
-
-        return step
-
-    def body(x, hist, demod_states, nco_phase, fine, active, squelch, bidx, dse, ws, wc):
+    def body(x, hist, ds, nco, fine, active, squelch, bidx, dse, ws, wc, ds2):
         f = jax.vmap(one_stream)  # over local stream axis
         return f(
-            x, hist, demod_states, nco_phase, fine, active, squelch, bidx,
-            dse, ws, wc,
+            x, hist, ds, nco, fine, active, squelch, bidx, dse, ws, wc, ds2
         )
 
     shard = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=base_in,
+        in_specs=base_in + (P("stream", "time"),),
         out_specs=base_out,
         check_vma=False,
     )
@@ -448,7 +404,10 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
         bidx = ctl.bank_idx
         if bidx is None:
             bidx = jnp.zeros(ctl.active.shape, jnp.int32)
-        audio, rssi, hist, dstates, nco, dse, wide_out, wide_st = shard(
+        (
+            audio, rssi, hist, dstates, nco, dse, wide_out, wide_st,
+            audio2, dstates2,
+        ) = shard(
             x,
             state.hist,
             state.demod_states,
@@ -460,12 +419,15 @@ def sharded_grid_step(mesh: Mesh, cfg: ShardedGridConfig):
             state.demod_states_extra,
             state.wide,
             ctl.wide,
+            state.demod_states2,
         )
         out = {"audio": audio, "rssi": rssi}
+        if audio2:
+            out["audio2"] = audio2
         if wide_out:
             out["wide"] = wide_out
         return out, GridState(
-            hist, dstates, nco, None, dse, wide_st or None
+            hist, dstates, nco, dstates2, dse, wide_st or None
         )
 
     return step

@@ -47,6 +47,27 @@ class TestPlanarOps:
         got = np.asarray(yr)[0] + 1j * np.asarray(yi)[0]
         assert snr_db(ref.real, got.real) > 55
 
+    def test_factored_dft_matches_fft(self, rng):
+        """Round 5: the two-stage Cooley-Tukey matmul DFT (14x fewer
+        FLOPs at m=800, took the headline 1390->2470 Msps) must match
+        numpy fft forward AND inverse at f32-dot accuracy, across
+        factorable sizes including the production m=800 and m=96."""
+        for m in (800, 96, 640, 64):
+            assert planar._dft_factor(m) is not None
+            x = make_noise(rng, 3 * m).reshape(3, m)
+            for inverse in (False, True):
+                ref = np.fft.ifft(x) * m if inverse else np.fft.fft(x)
+                yr, yi = planar.planar_factored_dft(
+                    jnp.asarray(x.real), jnp.asarray(x.imag), m,
+                    inverse=inverse,
+                )
+                got = np.asarray(yr) + 1j * np.asarray(yi)
+                err = np.linalg.norm(ref - got) / np.linalg.norm(ref)
+                assert err < 1e-5, (m, inverse, err)
+        # prime-ish sizes have no factorization and stay on the single
+        # matmul path
+        assert planar._dft_factor(38) is None
+
     def test_channelizer_matches_complex(self, rng):
         cfg = ChannelizerConfig(sample_rate=200_000.0, channel_bandwidth=25_000.0)
         x = make_noise(rng, 8 * 400)

@@ -98,19 +98,21 @@ def main() -> None:
         def one_block(carry, x):
             hist, dstates, phases = carry
             if stage == "input":
-                return carry, jnp.sum(x.real[:: m]) + jnp.sum(x.imag[-1])
+                return carry, jnp.sum(x.real) + jnp.sum(x.imag[-1])
             if stage == "polyphase":
                 ue, uo, hist = arm_stacks(x, hist)
+                # sum EVERY column: a single-column checksum lets XLA
+                # dead-code 799/800 of the arm work (measured round 5)
                 return (hist, dstates, phases), (
-                    jnp.sum(ue.real[:, 0]) + jnp.sum(uo.real[:, 0])
+                    jnp.sum(ue.real) + jnp.sum(uo.real)
                 )
             chans, hist = chz.channelize(x, hist, ch)
             if stage == "chan":
-                return (hist, dstates, phases), jnp.sum(chans.real[:, -1])
+                return (hist, dstates, phases), jnp.sum(chans.real)
             spectrum = ops.power_spectrum(x, 2048)
             if stage == "spectrum":
                 return (hist, dstates, phases), (
-                    jnp.sum(chans.real[:, -1]) + jnp.sum(spectrum[..., 0])
+                    jnp.sum(chans.real) + jnp.sum(spectrum)
                 )
             if stage == "shift":
                 # + per-channel NCO freq shift and RSSI only
